@@ -1,0 +1,134 @@
+"""Chunk catalog + store layout (Iceberg-manifest-style, Parquet-backed).
+
+The reference's ``.ch`` sidecar (mtscomp.py:341-358) — chunk_bounds,
+chunk_offsets, dtype, sha1s — becomes a **catalog table**: one row per
+chunk carrying ``(url, chunk_id, ts_min, ts_max, n_points, nbytes,
+sha1)``. The min/max columns play the role of ``chunk_bounds`` for
+pruning, exactly like Iceberg manifest column stats; byte offsets
+disappear because Parquet row groups are the addressing unit.
+
+No Iceberg runtime jar exists offline (SURVEY §7), so the layout is
+plain Parquet with the same semantics; a real Iceberg catalog drops in
+behind this class when jars exist. Chunks are **partitioned by
+chunk_id** (time bucket): retention then drops whole partitions —
+metadata-only deletes, the distributed analogue of the reference's
+byte-copy ``chop`` (mtscomp.py:750-796).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .config import EngineConfig, DEFAULT
+
+CATALOG_COLS = [
+    "url", "chunk_id", "lang", "ts_min", "ts_max",
+    "n_points", "raw_nbytes", "comp_nbytes",
+    "raw_signal_nbytes", "comp_signal_nbytes", "sha1",
+]
+
+
+class ChunkStore:
+    """Filesystem layout of one engine instance.
+
+    root/
+      chunks/        compressed chunk rows, partitioned by chunk_id
+      catalog/       per-chunk stats (the .ch analogue)
+      rollup_1m|1h|1d/  continuous-aggregate tiers
+      checkpoints/   processed-partition manifests (resume)
+      lineage/       per-partition metrics rows
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    # -- write ------------------------------------------------------------
+
+    def write_chunks(self, chunks: DataFrame, mode: str = "append") -> None:
+        """Persist chunk rows + derive the catalog (≙ Writer.write's
+        ordered sink + .ch dump, mtscomp.py:425-507 — here two writes,
+        ordering by keys)."""
+        chunks.write.mode(mode).partitionBy("chunk_id").parquet(self.path("chunks"))
+        cat = self.spark.read.parquet(self.path("chunks")).select(*CATALOG_COLS)
+        cat.write.mode("overwrite").parquet(self.path("catalog"))
+
+    def rebuild_catalog(self) -> None:
+        cat = self.chunks().select(*CATALOG_COLS)
+        cat.write.mode("overwrite").parquet(self.path("catalog"))
+
+    # -- read -------------------------------------------------------------
+
+    def chunks(self) -> DataFrame:
+        return self.spark.read.parquet(self.path("chunks"))
+
+    def catalog(self) -> DataFrame:
+        return self.spark.read.parquet(self.path("catalog"))
+
+    def has(self, name: str) -> bool:
+        p = self.path(name)
+        return os.path.exists(p) and any(
+            f.endswith(".parquet") or f.startswith("part-")
+            for _, _, fs in os.walk(p) for f in fs
+        )
+
+    # -- metadata ops -----------------------------------------------------
+
+    def describe(self) -> DataFrame:
+        """≙ mtsdesc (mtscomp.py:1131-1150): dataset stats from catalog
+        only — never touches payloads."""
+        return self.catalog().agg(
+            F.countDistinct("url").alias("n_series"),
+            F.count("*").alias("n_chunks"),
+            F.sum("n_points").alias("n_points"),
+            F.min("ts_min").alias("ts_min"),
+            F.max("ts_max").alias("ts_max"),
+            F.sum("raw_nbytes").alias("raw_nbytes"),
+            F.sum("comp_nbytes").alias("comp_nbytes"),
+            (F.sum("comp_nbytes") / F.sum("raw_nbytes")).alias("ratio"),
+            (F.sum("comp_signal_nbytes") / F.sum("raw_signal_nbytes")).alias(
+                "signal_ratio"
+            ),
+        )
+
+
+def prune_chunks(
+    chunks: DataFrame,
+    t0_us: int | None = None,
+    t1_us: int | None = None,
+    url: str | None = None,
+    url_prefix: str | None = None,
+    cfg: EngineConfig | None = None,
+) -> DataFrame:
+    """Interval-overlap pruning: ``ts_min <= t1 AND ts_max >= t0``.
+
+    ≙ Reader._chunks_for_interval's bisect on chunk_bounds
+    (mtscomp.py:661-684). Expressed as plain filters so Parquet min/max
+    row-group stats + partition pruning on chunk_id do the skipping
+    (PushedFilters in the physical plan)."""
+    out = chunks
+    if cfg is not None and "chunk_id" in chunks.columns:
+        # directory-level partition pruning on chunk_id — strictly
+        # cheaper than row-group stats (never reads pruned files at all)
+        if t0_us is not None:
+            out = out.filter(
+                F.col("chunk_id") >= int(t0_us) // cfg.chunk_duration_us
+            )
+        if t1_us is not None:
+            out = out.filter(
+                F.col("chunk_id") <= int(t1_us) // cfg.chunk_duration_us
+            )
+    if t1_us is not None:
+        out = out.filter(F.col("ts_min") <= F.lit(int(t1_us)))
+    if t0_us is not None:
+        out = out.filter(F.col("ts_max") >= F.lit(int(t0_us)))
+    if url is not None:
+        out = out.filter(F.col("url") == url)
+    if url_prefix is not None:
+        out = out.filter(F.col("url").startswith(url_prefix))
+    return out

@@ -1,0 +1,67 @@
+"""Random-access read path (≙ Reader.__getitem__, mtscomp.py:798-856).
+
+    read_range(store, t0, t1, url?) =
+        prune chunks on [ts_min, ts_max] overlap   (≙ bisect, :661-684)
+        → mapInPandas(decode)                      (≙ read_chunk, :602-635)
+        → filter ts BETWEEN t0 AND t1              (≙ trim, :828-833)
+
+"Concatenate then trim" becomes union-of-chunk-decodes + WHERE — and the
+pruning is pushed into the Parquet scan (partition + row-group stats),
+so unneeded chunks are never read, the property the reference asserts at
+mtscomp.py:674,681.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .catalog import ChunkStore, prune_chunks
+from .chunk import decompress_chunks
+from .config import EngineConfig, DEFAULT
+from .series import TS_COL
+
+
+def read_range(
+    store: ChunkStore,
+    t0_us: int | None = None,
+    t1_us: int | None = None,
+    url: str | None = None,
+    url_prefix: str | None = None,
+    columns: list[str] | None = None,
+    cfg: EngineConfig = DEFAULT,
+    verify: bool = False,
+) -> DataFrame:
+    pruned = prune_chunks(
+        store.chunks(), t0_us, t1_us, url=url, url_prefix=url_prefix, cfg=cfg
+    )
+    decoded = decompress_chunks(pruned, verify=verify)
+    if t0_us is not None:
+        decoded = decoded.filter(F.col(TS_COL) >= int(t0_us))
+    if t1_us is not None:
+        decoded = decoded.filter(F.col(TS_COL) <= int(t1_us))
+    if columns is not None:
+        # channel projection (≙ r[:, cols], mtscomp.py:835-842) — with
+        # per-channel payload columns this prunes at the Parquet scan
+        decoded = decoded.select("url", TS_COL, *columns)
+    return decoded
+
+
+def read_step(
+    store: ChunkStore,
+    step: int,
+    t0_us: int | None = None,
+    t1_us: int | None = None,
+    url: str | None = None,
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Strided read (≙ slice step, mtscomp.py:828-833): every step-th
+    point per url by row position within the range."""
+    from pyspark.sql import Window as W
+
+    base = read_range(store, t0_us, t1_us, url=url, cfg=cfg)
+    w = W.partitionBy("url").orderBy(TS_COL, "text_sha1")
+    return (
+        base.withColumn("_rn", F.row_number().over(w) - 1)
+        .filter(F.pmod(F.col("_rn"), F.lit(step)) == 0)
+        .drop("_rn")
+    )

@@ -1,0 +1,108 @@
+"""End-to-end compress → store → read → verify slice.
+
+≙ the reference's round-trip workhorse (_round_trip, tests.py:130-139)
+and byte-identity E2E (tests.py:381-410), over the pages fixture."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mtslake import chunk, read
+from mtslake.catalog import ChunkStore
+from mtslake.config import DEFAULT
+from mtslake.datagen import generate_pages
+from mtslake.series import pages_to_series, TS_COL
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    pages = generate_pages(spark, n_urls=40, snapshots_per_url=48, n_hot=2,
+                           hot_factor=20)
+    series = pages_to_series(pages)
+    chunks = chunk.compress_series(series, DEFAULT)
+    st = ChunkStore(spark, str(tmp_path_factory.mktemp("store")))
+    st.write_chunks(chunks, mode="overwrite")
+    return st, series
+
+
+def _canon(df):
+    return {tuple(r) for r in df.select(
+        "url", TS_COL, "n_chars", "value", "text_sha1").collect()}
+
+
+def test_roundtrip_bit_exact(store):
+    st, series = store
+    decoded = read.read_range(st, verify=True)
+    # bit-exact: compare doubles via their exact values (Python floats
+    # preserve the 64 bits; NaN-free fixture)
+    assert _canon(decoded) == _canon(series)
+
+
+def test_counts_and_catalog_consistent(store):
+    st, series = store
+    n_raw = series.count()
+    cat = st.catalog()
+    assert cat.agg(F.sum("n_points")).first()[0] == n_raw
+    # every chunk's span lies inside its chunk_id bucket
+    dur = DEFAULT.chunk_duration_us
+    bad = cat.filter(
+        (F.floor(F.col("ts_min") / dur) != F.col("chunk_id"))
+        | (F.floor(F.col("ts_max") / dur) != F.col("chunk_id"))
+    ).count()
+    assert bad == 0
+
+
+def test_compression_actually_compresses(store):
+    st, _ = store
+    row = st.describe().first()
+    # total ratio includes the full-entropy sha1 ledger (20 B/pt); the
+    # signal streams (ts + channels) are what the codec is judged on
+    assert row["ratio"] < 1.0
+    assert row["signal_ratio"] < 0.6, f"signal ratio {row['signal_ratio']}"
+
+
+def test_range_read_pruning_and_trim(store):
+    st, series = store
+    # mid-horizon 3-day window (≙ randomized slice oracle tests,
+    # tests.py:246-299 — range vs the uncompressed oracle)
+    t0 = series.agg(F.min(TS_COL)).first()[0] + 5 * 86_400_000_000
+    t1 = t0 + 3 * 86_400_000_000
+    got = read.read_range(st, t0, t1)
+    exp = series.filter((F.col(TS_COL) >= t0) & (F.col(TS_COL) <= t1))
+    assert _canon(got) == _canon(exp)
+
+
+def test_url_filtered_read(store):
+    st, series = store
+    url = series.select("url").first()[0]
+    got = read.read_range(st, url=url)
+    exp = series.filter(F.col("url") == url)
+    assert _canon(got) == _canon(exp)
+
+
+def test_empty_range_returns_empty(store):
+    st, _ = store
+    assert read.read_range(st, 0, 1000).count() == 0  # pre-horizon
+
+
+def test_tampered_chunk_fails_verify(store, spark, tmp_path):
+    # ≙ tamper test (tests.py:345-379): corrupt one payload byte ⇒
+    # verification must raise, silent corruption is forbidden
+    st, _ = store
+    import pyspark.sql.functions as F2
+    bad = st.chunks().limit(1).withColumn(
+        "p_value",
+        F2.concat(F2.expr("substring(p_value, 1, 20)"),
+                  F2.lit(b"\xff\xff\xff\xff"),
+                  F2.expr("substring(p_value, 25, 1000000)")),
+    )
+    with pytest.raises(Exception):
+        chunk.decompress_chunks(bad, verify=True).count()
+
+
+def test_text_sha1_invariant_roundtrip(store):
+    """byte-identical extracted text per url (input_hint invariant):
+    the per-row text_sha1 survives the codec bit-exactly."""
+    st, series = store
+    got = read.read_range(st).select("url", TS_COL, "text_sha1")
+    exp = series.select("url", TS_COL, "text_sha1")
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
