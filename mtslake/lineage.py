@@ -1,0 +1,155 @@
+"""Checkpoint-resumable jobs with per-partition lineage + metrics
+(north_rule).
+
+Work is planned in **partition units** (chunk_id time buckets). For each
+unit the job writes:
+
+* the chunk rows themselves — via **dynamic partition overwrite**, so
+  re-processing a unit replaces exactly its partition (idempotent:
+  deterministic chunk ids + overwrite ⇒ a re-run after a mid-job kill
+  neither duplicates nor skips — SURVEY §7 risk 7);
+* a **lineage row** (job_id, unit, n_chunks, n_points, bytes, ratio,
+  wall_ms) — ≙ the reference's per-chunk ratio logging
+  (mtscomp.py:490-492) promoted to a queryable table;
+* a **checkpoint row** marking the unit done — the .ch-style manifest
+  reborn as a snapshot log; resume = anti-join(all units, done units).
+
+The driver loop iterates over partition units (metadata-scale), never
+over rows — each unit is one distributed Spark job.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, functions as F
+
+from .catalog import ChunkStore
+from .chunk import compress_series
+from .config import EngineConfig, DEFAULT
+from .series import TS_COL
+
+
+class ResumableCompressJob:
+    def __init__(
+        self,
+        store: ChunkStore,
+        job_id: str,
+        cfg: EngineConfig = DEFAULT,
+        units_per_batch: int = 8,
+    ):
+        self.store = store
+        self.job_id = job_id
+        self.cfg = cfg
+        self.units_per_batch = units_per_batch
+        self.spark = store.spark
+
+    # -- checkpoint manifest ------------------------------------------------
+
+    def done_units(self) -> set[int]:
+        if not self.store.has("checkpoints"):
+            return set()
+        df = self.spark.read.parquet(self.store.path("checkpoints"))
+        return {
+            r[0]
+            for r in df.filter(F.col("job_id") == self.job_id)
+            .select("unit")
+            .distinct()
+            .collect()
+        }
+
+    def _mark_done(self, units: list[int], meta: list[dict]) -> None:
+        ck = self.spark.createDataFrame(
+            [(self.job_id, int(u)) for u in units], "job_id string, unit long"
+        )
+        ck.write.mode("append").parquet(self.store.path("checkpoints"))
+        ln = self.spark.createDataFrame(
+            [
+                (
+                    self.job_id, int(m["unit"]), int(m["n_chunks"]),
+                    int(m["n_points"]), int(m["raw_nbytes"]),
+                    int(m["comp_nbytes"]), float(m["ratio"]), int(m["wall_ms"]),
+                )
+                for m in meta
+            ],
+            "job_id string, unit long, n_chunks long, n_points long, "
+            "raw_nbytes long, comp_nbytes long, ratio double, wall_ms long",
+        )
+        ln.write.mode("append").parquet(self.store.path("lineage"))
+
+    # -- planning + execution ------------------------------------------------
+
+    def plan_units(self, series: DataFrame) -> list[int]:
+        units = [
+            r[0]
+            for r in series.select(
+                F.floor(F.col(TS_COL) / self.cfg.chunk_duration_us).alias("u")
+            )
+            .distinct()
+            .collect()
+        ]
+        return sorted(units)
+
+    def run(self, series: DataFrame, fail_after_batches: int | None = None) -> dict:
+        """Process all pending units; fail_after_batches simulates a
+        mid-job kill (tests). Returns run metrics."""
+        spark = self.spark
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        all_units = self.plan_units(series)
+        done = self.done_units()
+        pending = [u for u in all_units if u not in done]
+        batches = [
+            pending[i : i + self.units_per_batch]
+            for i in range(0, len(pending), self.units_per_batch)
+        ]
+        n_done = 0
+        for bi, batch in enumerate(batches):
+            if fail_after_batches is not None and bi >= fail_after_batches:
+                raise RuntimeError("simulated mid-job kill")
+            t0 = time.monotonic()
+            sub = series.filter(
+                F.floor(F.col(TS_COL) / self.cfg.chunk_duration_us).isin(
+                    [int(u) for u in batch]
+                )
+            )
+            chunks = compress_series(sub, self.cfg)
+            chunks.write.mode("overwrite").partitionBy("chunk_id").parquet(
+                self.store.path("chunks")
+            )
+            wall = int((time.monotonic() - t0) * 1000)
+            stats = (
+                self.store.chunks()
+                .filter(F.col("chunk_id").isin([int(u) for u in batch]))
+                .groupBy("chunk_id")
+                .agg(
+                    F.count("*").alias("n_chunks"),
+                    F.sum("n_points").alias("n_points"),
+                    F.sum("raw_nbytes").alias("raw_nbytes"),
+                    F.sum("comp_nbytes").alias("comp_nbytes"),
+                )
+                .collect()
+            )
+            meta = [
+                {
+                    "unit": r["chunk_id"],
+                    "n_chunks": r["n_chunks"],
+                    "n_points": r["n_points"],
+                    "raw_nbytes": r["raw_nbytes"],
+                    "comp_nbytes": r["comp_nbytes"],
+                    "ratio": r["comp_nbytes"] / max(r["raw_nbytes"], 1),
+                    "wall_ms": wall,
+                }
+                for r in stats
+            ]
+            self._mark_done(batch, meta)
+            n_done += len(batch)
+        self.store.rebuild_catalog()
+        return {
+            "job_id": self.job_id,
+            "units_total": len(all_units),
+            "units_already_done": len(done),
+            "units_processed": n_done,
+        }
+
+    def lineage(self) -> DataFrame:
+        return self.spark.read.parquet(self.store.path("lineage"))

@@ -10,6 +10,13 @@ Invariant (SURVEY §7 risk 4): tiers carry ``(cnt, vmin, vmax, vsum)``
 below (sum of sums, min of mins): rollup_1d(raw) ≡ rollup_1d(rollup_1h(
 rollup_1m(raw))). ``vmean = vsum/cnt`` is derived at query time.
 
+``vsum`` is ``DECIMAL(38,18)``: double sums are not associative, so a
+re-aggregated double sum would differ in the last bits from a direct
+sum and break the north_rule's "rolled-up points identical at every
+tier". Decimal addition is exact and order-independent — tier equality
+holds bit-for-bit at any shuffle layout. (38,18) leaves 20 integer
+digits: safe headroom for |v|≲10³ over 10¹² rows.
+
 Grouping key: (url_prefix = host, lang, tumbling bucket) — via
 ``date_trunc``, which is also how the DuckDB oracle expresses it.
 """
@@ -39,8 +46,9 @@ def rollup_from_series(series: DataFrame, tier: str) -> DataFrame:
             F.count("*").alias("cnt"),
             F.min("value").alias("vmin"),
             F.max("value").alias("vmax"),
-            F.sum("value").alias("vsum"),
+            F.sum(F.col("value").cast("decimal(38,18)")).alias("vsum"),
         )
+        .withColumn("vsum", F.col("vsum").cast("decimal(38,18)"))
     )
 
 
@@ -56,11 +64,14 @@ def rollup_from_tier(lower: DataFrame, tier: str) -> DataFrame:
             F.max("vmax").alias("vmax"),
             F.sum("vsum").alias("vsum"),
         )
+        .withColumn("vsum", F.col("vsum").cast("decimal(38,18)"))
     )
 
 
 def with_mean(rolled: DataFrame) -> DataFrame:
-    return rolled.withColumn("vmean", F.col("vsum") / F.col("cnt"))
+    return rolled.withColumn(
+        "vmean", (F.col("vsum") / F.col("cnt")).cast("double")
+    )
 
 
 def build_all_tiers(series: DataFrame) -> dict[str, DataFrame]:

@@ -1,0 +1,145 @@
+"""Rollup tier-equality, LOCF gap-fill, retention, checkpoint-resume."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mtslake import chunk, gapfill, read, retention, rollup
+from mtslake.catalog import ChunkStore
+from mtslake.config import DEFAULT, US_PER_DAY
+from mtslake.datagen import generate_pages
+from mtslake.lineage import ResumableCompressJob
+from mtslake.series import pages_to_series, TS_COL
+
+
+@pytest.fixture(scope="module")
+def series(spark):
+    pages = generate_pages(spark, n_urls=30, snapshots_per_url=96, n_hot=2,
+                           hot_factor=10)
+    return pages_to_series(pages).cache()
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_tier_from_tier_exact(series):
+    """1d computed from raw == 1d computed via 1m → 1h → 1d (exact —
+    sum/count carried, never means; SURVEY §7 risk 4)."""
+    tiers = rollup.build_all_tiers(series)
+    direct_1h = rollup.rollup_from_series(series, "1h")
+    direct_1d = rollup.rollup_from_series(series, "1d")
+    assert _rows(tiers["1h"]) == _rows(direct_1h)
+    assert _rows(tiers["1d"]) == _rows(direct_1d)
+
+
+def test_rollup_over_decoded_equals_rollup_over_raw(spark, series, tmp_path):
+    """The flagship invariant: aggregates over decompressed chunks are
+    IDENTICAL to aggregates over the raw series — codec bit-exactness
+    propagated through the rollup (≙ check(), mtscomp.py:866-888)."""
+    st = ChunkStore(spark, str(tmp_path / "store"))
+    st.write_chunks(chunk.compress_series(series, DEFAULT), mode="overwrite")
+    decoded = read.read_range(st)
+    assert _rows(rollup.rollup_from_series(decoded, "1h")) == _rows(
+        rollup.rollup_from_series(series, "1h")
+    )
+
+
+def test_mean_derivation(series):
+    r = rollup.with_mean(rollup.rollup_from_series(series, "1d"))
+    bad = r.filter(F.abs(F.col("vmean") * F.col("cnt") - F.col("vsum")) > 1e-9)
+    assert bad.count() == 0
+
+
+def test_gapfill_locf(spark):
+    import datetime as dt
+    rows = [
+        ("h1", "en", dt.datetime(2024, 1, 1, 0, 0), 5, 1.0, 2.0, 7.5),
+        ("h1", "en", dt.datetime(2024, 1, 1, 3, 0), 2, 0.5, 0.9, 1.0),
+        ("h2", "de", dt.datetime(2024, 1, 1, 1, 0), 1, 4.0, 4.0, 4.0),
+    ]
+    rolled = spark.createDataFrame(
+        rows,
+        "url_prefix string, lang string, bucket_ts timestamp, cnt long, "
+        "vmin double, vmax double, vsum double",
+    )
+    out = gapfill.gapfill_locf(rolled, "1h").orderBy("url_prefix", "bucket_ts")
+    got = out.collect()
+    h1 = [r for r in got if r["url_prefix"] == "h1"]
+    assert len(h1) == 4  # 00,01,02,03
+    assert [r["is_filled"] for r in h1] == [False, True, True, False]
+    assert h1[1]["vsum"] == 7.5 and h1[2]["cnt"] == 5  # carried forward
+    assert h1[3]["vmin"] == 0.5  # real observation resumes
+    h2 = [r for r in got if r["url_prefix"] == "h2"]
+    assert len(h2) == 1 and not h2[0]["is_filled"]
+
+
+def test_gapfill_leading_gap_stays_null(spark):
+    import datetime as dt
+    rolled = spark.createDataFrame(
+        [
+            ("h1", "en", dt.datetime(2024, 1, 1, 0), None, None, None, None),
+            ("h1", "en", dt.datetime(2024, 1, 1, 2), 3, 1.0, 1.0, 3.0),
+        ],
+        "url_prefix string, lang string, bucket_ts timestamp, cnt long, "
+        "vmin double, vmax double, vsum double",
+    ).filter(F.col("cnt").isNotNull())
+    # spine starts at the key's first observation, so a leading hole
+    # before any data simply isn't fabricated
+    out = gapfill.gapfill_locf(rolled, "1h")
+    assert out.filter(F.col("cnt").isNull()).count() == 0
+    assert out.count() == 1
+
+
+def test_retention_and_chop(spark, series, tmp_path):
+    st = ChunkStore(spark, str(tmp_path / "store"))
+    st.write_chunks(chunk.compress_series(series, DEFAULT), mode="overwrite")
+    parts = retention.list_chunk_partitions(st)
+    assert len(parts) > 3
+    # retention: keep 30 days from "now" = last point
+    now = series.agg(F.max(TS_COL)).first()[0]
+    stats = retention.apply_retention(st, now_us=now, cfg=DEFAULT)
+    # horizon (30 d) exceeds fixture span -> nothing dropped, idempotent
+    assert stats["raw_partitions_dropped"] == 0
+    # tighter horizon via config override
+    cfg2 = DEFAULT.with_overrides(
+        retention_us={**DEFAULT.retention_us, "raw": 3 * US_PER_DAY}
+    )
+    stats2 = retention.apply_retention(st, now_us=now, cfg=cfg2)
+    assert stats2["raw_partitions_dropped"] > 0
+    # idempotent re-run
+    stats3 = retention.apply_retention(st, now_us=now, cfg=cfg2)
+    assert stats3["raw_partitions_dropped"] == 0
+    # surviving chunks: payloads untouched, catalog consistent
+    left = retention.list_chunk_partitions(st)
+    assert min(left) >= (now - 3 * US_PER_DAY) // DEFAULT.chunk_duration_us
+    assert st.catalog().select("chunk_id").distinct().count() == len(left)
+    # chop: suffix truncation without decode
+    cut = left[len(left) // 2]
+    dropped = retention.chop(st, keep_chunks_before=cut)
+    assert dropped == len([c for c in left if c >= cut])
+
+
+def test_checkpoint_resume_idempotent(spark, series, tmp_path):
+    """Kill between partition batches, resume, and the result equals a
+    single clean run — no duplicates, no holes (SURVEY §7 risk 7)."""
+    st = ChunkStore(spark, str(tmp_path / "resume"))
+    job = ResumableCompressJob(st, "job-1", units_per_batch=3)
+    with pytest.raises(RuntimeError, match="simulated"):
+        job.run(series, fail_after_batches=2)
+    done_mid = job.done_units()
+    assert 0 < len(done_mid)
+    res = job.run(series)  # resume
+    assert res["units_already_done"] == len(done_mid)
+    assert res["units_already_done"] + res["units_processed"] == res["units_total"]
+    # round-trip equality vs raw after resume
+    decoded = read.read_range(st)
+    assert decoded.count() == series.count()
+    got = {tuple(r) for r in decoded.select("url", TS_COL, "value").collect()}
+    exp = {tuple(r) for r in series.select("url", TS_COL, "value").collect()}
+    assert got == exp
+    # re-running the whole job is a no-op
+    res2 = job.run(series)
+    assert res2["units_processed"] == 0
+    assert read.read_range(st).count() == series.count()
+    # lineage covers every unit
+    assert job.lineage().select("unit").distinct().count() == res["units_total"]
