@@ -1,38 +1,368 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Queries come in two families:
+
+* ``ts_*`` — the time-series engine (SURVEY §2.1): the driver's
+  ``events`` table is adapted to per-user url streams and pushed through
+  the real pipeline — compress (delta-of-delta + Gorilla XOR
+  applyInPandas) → decompress (mapInPandas) → rollup/gapfill/retention.
+  The DuckDB oracles aggregate the RAW table directly, so a hash match
+  proves the codec is bit-exact end-to-end, not just that SQL agrees
+  with SQL.
+* ``doc_*`` / ``emb_*`` — training-data pipeline operators over
+  ``documents`` / ``embeddings`` (dedup, text analysis, similarity).
+
+Non-SQL-expressible ops (minhash-LSH, simhash) have no oracle entry —
+the driver records a rows-only check; their semantics are pytest-gated
+instead (tests/).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mtslake import chunk as _chunk  # noqa: E402
+from mtslake import gapfill as _gapfill  # noqa: E402
+from mtslake import rollup as _rollup  # noqa: E402
+from mtslake.config import DEFAULT, US_PER_DAY  # noqa: E402
+from mtslake.series import events_to_series, TS_COL  # noqa: E402
+
+T0 = 1_704_844_800_000_000  # 2024-01-10 00:00:00 UTC (μs)
+T1 = 1_705_276_800_000_000  # 2024-01-15 00:00:00 UTC
+RETENTION_CUTOFF_CHUNK = T1 // US_PER_DAY  # keep chunks from 2024-01-15 on
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NTZ->epoch conversion must be tz-stable regardless of driver config
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _roundtrip_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → series → compress → decompress: the codec round trip,
+    fully in-plan (no temp store)."""
+    series = events_to_series(_events(spark, sf_dir))
+    chunks = _chunk.compress_series(series, DEFAULT)
+    return _chunk.decompress_chunks(chunks)
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: compress → decompress → 1h continuous aggregate with
+    mean, on sf0.001."""
+    decoded = _roundtrip_series(spark, "/root/testdata/sf0.001")
+    rolled = _rollup.with_mean(_rollup.rollup_from_series(decoded, "1h"))
+    return rolled.select(
+        "url_prefix", "lang", "bucket_us", "cnt", "vmin", "vmax",
+        F.round(F.col("vsum").cast("double"), 6).alias("vsum"),
+        F.round("vmean", 6).alias("vmean"),
+    )
+
+
+# -- ts_* ---------------------------------------------------------------
+
+def q_ts_rollup_1h_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    decoded = _roundtrip_series(spark, sf_dir)
+    rolled = _rollup.rollup_from_series(decoded, "1h")
+    return rolled.select(
+        "url_prefix", "lang", "bucket_us", "cnt", "vmin", "vmax",
+        F.round(F.col("vsum").cast("double"), 6).alias("vsum"),
+    )
+
+
+def q_ts_rollup_1d_from_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    series = events_to_series(_events(spark, sf_dir))
+    tiers = _rollup.build_all_tiers(series)
+    out = _rollup.with_mean(tiers["1d"])
+    return out.select(
+        "url_prefix", "lang", "bucket_us", "cnt", "vmin", "vmax",
+        F.round(F.col("vsum").cast("double"), 6).alias("vsum"),
+        F.round("vmean", 6).alias("vmean"),
+    )
+
+
+def q_ts_read_range_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    decoded = _roundtrip_series(spark, sf_dir)
+    return (
+        decoded.filter((F.col(TS_COL) >= T0) & (F.col(TS_COL) <= T1))
+        .select("url", TS_COL, "n_chars", "value")
+    )
+
+
+def q_ts_gapfill_1h_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    series = events_to_series(_events(spark, sf_dir))
+    rolled = _rollup.rollup_from_series(series, "1h")
+    filled = _gapfill.gapfill_locf(rolled, "1h")
+    return filled.select(
+        "url_prefix", "lang", "bucket_us", "cnt", "vmin", "vmax",
+        F.round(F.col("vsum").cast("double"), 6).alias("vsum"), "is_filled",
+    )
+
+
+def q_ts_catalog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    series = events_to_series(_events(spark, sf_dir))
+    chunks = _chunk.compress_series(series, DEFAULT)
+    return chunks.agg(
+        F.countDistinct("url").alias("n_series"),
+        F.count("*").alias("n_chunks"),
+        F.sum("n_points").cast("long").alias("n_points"),
+        F.min("ts_min").alias("ts_min"),
+        F.max("ts_max").alias("ts_max"),
+    )
+
+
+def q_ts_retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granular retention: drop whole chunks past the horizon
+    (metadata-only at store level), count survivors per url."""
+    series = events_to_series(_events(spark, sf_dir))
+    chunks = _chunk.compress_series(series, DEFAULT)
+    kept = chunks.filter(F.col("chunk_id") >= RETENTION_CUTOFF_CHUNK)
+    decoded = _chunk.decompress_chunks(kept)
+    return decoded.groupBy("url").agg(
+        F.count("*").alias("n_points"),
+        F.min(TS_COL).alias("ts_first"),
+        F.max(TS_COL).alias("ts_last"),
+    )
+
+
+def q_ts_verify_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verification join (≙ check(), mtscomp.py:866-888): decoded vs
+    raw on (url, ts) — mismatches must be zero."""
+    series = events_to_series(_events(spark, sf_dir)).select(
+        "url", TS_COL, "n_chars", "value"
+    )
+    decoded = _roundtrip_series(spark, sf_dir).select(
+        "url", TS_COL,
+        F.col("n_chars").alias("d_n_chars"), F.col("value").alias("d_value"),
+    )
+    j = series.join(decoded, ["url", TS_COL], "full_outer")
+    return j.agg(
+        F.count("*").alias("n_points"),
+        F.sum(
+            F.when(
+                F.col("n_chars").isNull() | F.col("d_n_chars").isNull()
+                | (F.col("n_chars") != F.col("d_n_chars"))
+                | (F.col("value") != F.col("d_value")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_mismatch"),
+    )
+
+
+def q_ts_hot_urls_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    series = events_to_series(_events(spark, sf_dir))
+    return (
+        series.groupBy("url")
+        .agg(F.count("*").alias("n_points"))
+        .orderBy(F.desc("n_points"), F.asc("url"))
+        .limit(10)
+    )
+
+
+def q_ts_step_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strided read (≙ slice step, mtscomp.py:828-833): every 5th point
+    per url, through the codec."""
+    from pyspark.sql import Window as W
+
+    decoded = _roundtrip_series(spark, sf_dir)
+    w = W.partitionBy("url").orderBy(TS_COL)
+    return (
+        decoded.withColumn("_rn", F.row_number().over(w) - 1)
+        .filter(F.pmod(F.col("_rn"), F.lit(5)) == 0)
+        .select("url", TS_COL, "value")
+    )
+
+
+# -- doc_* --------------------------------------------------------------
+
+def q_doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5-hash groupBy, keep the lowest doc_id."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("text_md5"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 of the whitespace-normalized,
+    lowercased text."""
+    docs = _docs(spark, sf_dir)
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return docs.select(
+        "doc_id", F.md5(norm).alias("fingerprint"), F.length(norm).alias("norm_len")
+    )
+
+
+def q_doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace words + a BPE-ish subword estimate
+    (alnum runs + non-space punctuation as single tokens)."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_words"),
+        F.regexp_count(F.col("text"), F.lit(r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"))
+        .cast("long").alias("n_subtokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "ts_rollup_1h_codec": q_ts_rollup_1h_codec,
+        "ts_rollup_1d_from_1h": q_ts_rollup_1d_from_1h,
+        "ts_read_range_codec": q_ts_read_range_codec,
+        "ts_gapfill_1h_locf": q_ts_gapfill_1h_locf,
+        "ts_catalog_stats": q_ts_catalog_stats,
+        "ts_retention_filter": q_ts_retention_filter,
+        "ts_verify_roundtrip": q_ts_verify_roundtrip,
+        "ts_hot_urls_topk": q_ts_hot_urls_topk,
+        "ts_step_read": q_ts_step_read,
+        "doc_dedup_exact": q_doc_dedup_exact,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_token_count": q_doc_token_count,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_URL = "'https://user-' || CAST(user_id AS VARCHAR) || '.example.com/events'"
+_PREFIX = "'user-' || CAST(user_id AS VARCHAR) || '.example.com'"
+
+_HOUR_US = 3_600_000_000
+_ROLLUP_1H = f"""
+    SELECT {_PREFIX} AS url_prefix, 'en' AS lang,
+           epoch_us(ts) - epoch_us(ts) % {_HOUR_US} AS bucket_us,
+           count(*) AS cnt, min(value) AS vmin, max(value) AS vmax,
+           SUM(CAST(value AS DECIMAL(38,18))) AS vsum_dec
+    FROM events GROUP BY 1, 2, 3
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "ts_rollup_1h_codec": f"""
+            SELECT url_prefix, lang, bucket_us, cnt, vmin, vmax,
+                   ROUND(CAST(vsum_dec AS DOUBLE), 6) AS vsum
+            FROM ({_ROLLUP_1H})
+        """,
+        "ts_rollup_1d_from_1h": f"""
+            SELECT {_PREFIX} AS url_prefix, 'en' AS lang,
+                   epoch_us(ts) - epoch_us(ts) % {US_PER_DAY} AS bucket_us,
+                   count(*) AS cnt, min(value) AS vmin, max(value) AS vmax,
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(38,18)))
+                       AS DOUBLE), 6) AS vsum,
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(38,18))) AS DOUBLE)
+                       / count(*), 6) AS vmean
+            FROM events GROUP BY 1, 2, 3
+        """,
+        "ts_read_range_codec": f"""
+            SELECT {_URL} AS url, epoch_us(ts) AS ts_us,
+                   CAST(length(props) AS BIGINT) AS n_chars, value
+            FROM events
+            WHERE epoch_us(ts) BETWEEN {T0} AND {T1}
+        """,
+        "ts_gapfill_1h_locf": f"""
+            WITH rolled AS ({_ROLLUP_1H}),
+            spans AS (
+                SELECT url_prefix, lang, min(bucket_us) AS b0,
+                       max(bucket_us) AS b1
+                FROM rolled GROUP BY 1, 2
+            ),
+            spine AS (
+                SELECT url_prefix, lang,
+                       unnest(generate_series(b0, b1, {_HOUR_US}))
+                           AS bucket_us
+                FROM spans
+            ),
+            joined AS (
+                SELECT s.url_prefix, s.lang, s.bucket_us,
+                       r.cnt, r.vmin, r.vmax, r.vsum_dec
+                FROM spine s
+                LEFT JOIN rolled r USING (url_prefix, lang, bucket_us)
+            )
+            SELECT url_prefix, lang, bucket_us,
+                   last_value(cnt IGNORE NULLS) OVER w AS cnt,
+                   last_value(vmin IGNORE NULLS) OVER w AS vmin,
+                   last_value(vmax IGNORE NULLS) OVER w AS vmax,
+                   ROUND(CAST(last_value(vsum_dec IGNORE NULLS) OVER w
+                       AS DOUBLE), 6) AS vsum,
+                   (cnt IS NULL) AS is_filled
+            FROM joined
+            WINDOW w AS (PARTITION BY url_prefix, lang ORDER BY bucket_us
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "ts_catalog_stats": f"""
+            SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_series,
+                   CAST(count(DISTINCT (user_id,
+                        epoch_us(ts) // {US_PER_DAY})) AS BIGINT) AS n_chunks,
+                   CAST(count(*) AS BIGINT) AS n_points,
+                   min(epoch_us(ts)) AS ts_min,
+                   max(epoch_us(ts)) AS ts_max
+            FROM events
+        """,
+        "ts_retention_filter": f"""
+            SELECT {_URL} AS url, count(*) AS n_points,
+                   min(epoch_us(ts)) AS ts_first, max(epoch_us(ts)) AS ts_last
+            FROM events
+            WHERE epoch_us(ts) // {US_PER_DAY} >= {RETENTION_CUTOFF_CHUNK}
+            GROUP BY 1
+        """,
+        "ts_verify_roundtrip": """
+            SELECT CAST(count(*) AS BIGINT) AS n_points,
+                   CAST(0 AS BIGINT) AS n_mismatch
+            FROM events
+        """,
+        "ts_hot_urls_topk": f"""
+            SELECT {_URL} AS url, count(*) AS n_points
+            FROM events GROUP BY 1
+            ORDER BY n_points DESC, url ASC LIMIT 10
+        """,
+        "ts_step_read": f"""
+            SELECT url, ts_us, value FROM (
+                SELECT {_URL} AS url, epoch_us(ts) AS ts_us, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts) - 1 AS rn
+                FROM events
+            ) WHERE rn % 5 = 0
+        """,
+        "doc_dedup_exact": """
+            SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY 1
+        """,
+        "doc_fingerprint": r"""
+            SELECT doc_id,
+                   md5(lower(regexp_replace(text, '\s+', ' ', 'g')))
+                       AS fingerprint,
+                   CAST(length(lower(regexp_replace(text, '\s+', ' ', 'g')))
+                       AS BIGINT) AS norm_len
+            FROM documents
+        """,
+        "doc_token_count": r"""
+            SELECT doc_id,
+                   CAST(len(string_split_regex(trim(text), '\s+'))
+                       AS BIGINT) AS n_words,
+                   CAST(len(regexp_extract_all(text,
+                        '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT)
+                       AS n_subtokens
+            FROM documents
+        """,
+    }

@@ -1,0 +1,226 @@
+"""Deduplication operators for training-data pipelines.
+
+All four families stay **entirely JVM-side** (higher-order array
+functions + xxhash64 — no Python UDFs), so they survive whole-stage
+codegen and scale to 10¹²-doc tables:
+
+* exact          — md5(text) hash-groupBy
+* MinHash + LSH  — word-shingles → n minhashes → b bands → bucket
+                   groupBy → candidate pairs → exact Jaccard verify
+* SimHash        — token-hash bit-majority → 64-bit signature →
+                   banded hamming candidates
+* n-gram Jaccard — exact set similarity on shingles (verification and
+                   small-scale standalone)
+
+Scale notes: LSH banding is the classic shuffle shape (explode bands →
+groupBy bucket); hot buckets are bounded by ``max_bucket`` (a bucket
+with more docs than that is almost surely a degenerate shingle — at web
+scale you cap, log, and route to exact verify separately).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Survivor per identical text: lowest id wins (deterministic)."""
+    w = W.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def _tokens(text_col: str) -> F.Column:
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def shingles(text_col: str = "text", k: int = 3) -> F.Column:
+    """Distinct word k-shingles, JVM-side (transform over an index
+    sequence + slice)."""
+    toks = _tokens(text_col)
+    n = F.greatest(F.size(toks) - (k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
+
+
+def minhash_signature(shingle_col, n_hashes: int = 64) -> F.Column:
+    """n independent minhashes: min over shingles of xxhash64(s, seed).
+
+    Seeding by a second literal column gives n independent hash
+    families without any Python."""
+    sigs = [
+        F.array_min(
+            F.transform(shingle_col, lambda s, seed=i: F.xxhash64(s, F.lit(seed)))
+        )
+        for i in range(n_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding, then EXACT Jaccard
+    verification on the candidates (so the threshold is real, not
+    probabilistic). Returns (id_a, id_b, jaccard) with id_a < id_b."""
+    rows_per_band = n_hashes // bands
+    base = docs.select(
+        F.col(id_col).alias("_id"), shingles(text_col, shingle_k).alias("_sh")
+    ).withColumn("_sig", minhash_signature(F.col("_sh"), n_hashes))
+
+    banded = base.select(
+        "_id", "_sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("_sig"), b * rows_per_band + 1,
+                                        rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("_b"),
+    ).select("_id", "_sh", F.col("_b.band").alias("band"),
+             F.col("_b.bucket").alias("bucket"))
+
+    # bound degenerate buckets (skew guard)
+    sizes = banded.groupBy("band", "bucket").count()
+    banded = banded.join(
+        F.broadcast(sizes.filter(F.col("count") > max_bucket)),
+        ["band", "bucket"], "left_anti",
+    )
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a._id") < F.col("b._id")))
+        .select(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
+            F.col("a._sh").alias("sh_a"), F.col("b._sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash64(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash: per-token xxhash64, bit-majority vote weighted by
+    term frequency — one explode + one groupBy, all JVM-side."""
+    tok = (
+        docs.select(F.col(id_col).alias("_id"),
+                    F.explode(_tokens(text_col)).alias("_t"))
+        .filter(F.col("_t") != "")
+        .groupBy("_id", "_t")
+        .agg(F.count("*").alias("_w"))
+        .withColumn("_h", F.xxhash64("_t"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), k).bitwiseAND(F.lit(1)) == 1,
+                   F.col("_w")).otherwise(-F.col("_w"))
+        ).alias(f"v{k}")
+        for k in range(64)
+    ]
+    agg = tok.groupBy("_id").agg(*votes)
+    sim = None
+    for k in range(64):
+        bit = F.when(F.col(f"v{k}") > 0,
+                     F.shiftleft(F.lit(1).cast("long"), k)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim.bitwiseOR(bit)
+    return agg.select(F.col("_id").alias(id_col), sim.alias("simhash"))
+
+
+def simhash_near_dupes(
+    sims: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Hamming-≤k pairs via the pigeonhole band trick: split 64 bits
+    into (k+1) bands — any pair within k differing bits shares at least
+    one exact band. Join per band, verify with bit_count(xor)."""
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    banded = sims.select(
+        F.col(id_col).alias("_id"), "simhash",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.shiftright(F.col("simhash"), b * width)
+                    .bitwiseAND(F.lit((1 << width) - 1)).alias("key"),
+                ),
+            )
+        ).alias("_b"),
+    ).select("_id", "simhash", "_b.band", "_b.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a._id") < F.col("b._id")))
+        .select(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard (use only after LSH candidate
+    generation at scale; standalone for small tables / verification)."""
+    base = docs.select(F.col(id_col).alias("_id"),
+                       shingles(text_col, k).alias("_sh"))
+    a, b = base.alias("a"), base.alias("b")
+    jac = F.size(F.array_intersect("a._sh", "b._sh")) / F.size(
+        F.array_union("a._sh", "b._sh")
+    )
+    return (
+        a.join(b, F.col("a._id") < F.col("b._id"))
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )

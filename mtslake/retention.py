@@ -69,9 +69,7 @@ def apply_retention(
             continue
         cutoff_ts = now_us - cfg.retention_us[tier]
         df = store.spark.read.parquet(store.path(name))
-        keep = df.filter(
-            F.unix_micros(F.col("bucket_ts")) >= F.lit(int(cutoff_ts))
-        )
+        keep = df.filter(F.col("bucket_us") >= F.lit(int(cutoff_ts)))
         n_before = df.count()
         n_after = keep.count()
         if n_after < n_before:

@@ -5,43 +5,54 @@ this is the lakehouse generalization. All Spark built-ins — hash
 aggregation with map-side partial aggregation, whole-stage codegen, AQE
 coalescing. No Python.
 
-Invariant (SURVEY §7 risk 4): tiers carry ``(cnt, vmin, vmax, vsum)``
-— never a mean — so every tier re-aggregates EXACTLY from the tier
-below (sum of sums, min of mins): rollup_1d(raw) ≡ rollup_1d(rollup_1h(
-rollup_1m(raw))). ``vmean = vsum/cnt`` is derived at query time.
+Two exactness decisions:
 
-``vsum`` is ``DECIMAL(38,18)``: double sums are not associative, so a
-re-aggregated double sum would differ in the last bits from a direct
-sum and break the north_rule's "rolled-up points identical at every
-tier". Decimal addition is exact and order-independent — tier equality
-holds bit-for-bit at any shuffle layout. (38,18) leaves 20 integer
-digits: safe headroom for |v|≲10³ over 10¹² rows.
-
-Grouping key: (url_prefix = host, lang, tumbling bucket) — via
-``date_trunc``, which is also how the DuckDB oracle expresses it.
+* **Integer time buckets.** ``bucket_us = ts_us - ts_us % tier_us`` —
+  pure int64 arithmetic, so bucketing is timezone-free, deterministic
+  across engines, and stays inside whole-stage codegen (no timestamp
+  conversions in the hot path). ≙ the reference's implicit-time chunk
+  bounds ``i // chunk_size`` (mtscomp.py:324-339).
+* **Decimal sums.** Tiers carry ``(cnt, vmin, vmax, vsum)`` — never a
+  mean (SURVEY §7 risk 4) — and ``vsum`` is ``DECIMAL(38,18)``: double
+  sums are not associative, so a re-aggregated double sum would differ
+  in the last bits from a direct sum and break the north_rule's
+  "rolled-up points identical at every tier". Decimal addition is exact
+  and order-independent — tier equality holds bit-for-bit under any
+  shuffle layout. (38,18) leaves 20 integer digits: headroom for
+  |v|≲10³ over 10¹² rows. ``vmean = vsum/cnt`` is derived at query
+  time.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .config import TIER_US
 from .series import TS_COL, url_prefix
 
-TIER_TRUNC = {"1m": "minute", "1h": "hour", "1d": "day"}
 # finer -> coarser re-aggregation order
 TIER_BELOW = {"1h": "1m", "1d": "1h"}
 
 AGG_COLS = ["cnt", "vmin", "vmax", "vsum"]
 
 
+def bucket_expr(col, tier: str) -> F.Column:
+    us = TIER_US[tier]
+    c = F.col(col) if isinstance(col, str) else col
+    return (c - F.pmod(c, F.lit(us))).cast("long")
+
+
 def rollup_from_series(series: DataFrame, tier: str) -> DataFrame:
-    """raw (url, ts_us, value, lang) → tier aggregates."""
-    bucket = F.date_trunc(TIER_TRUNC[tier], F.timestamp_micros(F.col(TS_COL)))
+    """raw (url, ts_us, value, lang) → tier aggregates keyed by
+    (url_prefix = host, lang, bucket_us)."""
     return (
         series.select(
-            url_prefix(), F.col("lang"), bucket.alias("bucket_ts"), F.col("value")
+            url_prefix(),
+            F.col("lang"),
+            bucket_expr(TS_COL, tier).alias("bucket_us"),
+            F.col("value"),
         )
-        .groupBy("url_prefix", "lang", "bucket_ts")
+        .groupBy("url_prefix", "lang", "bucket_us")
         .agg(
             F.count("*").alias("cnt"),
             F.min("value").alias("vmin"),
@@ -55,9 +66,10 @@ def rollup_from_series(series: DataFrame, tier: str) -> DataFrame:
 def rollup_from_tier(lower: DataFrame, tier: str) -> DataFrame:
     """tier-from-tier re-aggregation — exact because partial aggregates
     compose (Spark's own partial+final aggregation, made durable)."""
-    bucket = F.date_trunc(TIER_TRUNC[tier], F.col("bucket_ts"))
     return (
-        lower.groupBy("url_prefix", "lang", bucket.alias("bucket_ts"))
+        lower.groupBy(
+            "url_prefix", "lang", bucket_expr("bucket_us", tier).alias("bucket_us")
+        )
         .agg(
             F.sum("cnt").alias("cnt"),
             F.min("vmin").alias("vmin"),
@@ -69,8 +81,9 @@ def rollup_from_tier(lower: DataFrame, tier: str) -> DataFrame:
 
 
 def with_mean(rolled: DataFrame) -> DataFrame:
+    """Derived mean: double division of the exact decimal sum."""
     return rolled.withColumn(
-        "vmean", (F.col("vsum") / F.col("cnt")).cast("double")
+        "vmean", F.col("vsum").cast("double") / F.col("cnt")
     )
 
 

@@ -57,14 +57,16 @@ def pages_to_series(pages: DataFrame) -> DataFrame:
 def events_to_series(events: DataFrame) -> DataFrame:
     """Adapter: the driver's ``events`` table (event_id, ts, user_id,
     event_type, value, props) as per-user streams — same IR, used for
-    DuckDB-oracle-checked queries."""
+    DuckDB-oracle-checked queries. ``ts`` arrives as TIMESTAMP_NTZ;
+    the cast to TIMESTAMP is UTC-safe because every caller pins
+    spark.sql.session.timeZone=UTC."""
     return events.select(
         F.concat(
             F.lit("https://user-"),
             F.col("user_id").cast("string"),
             F.lit(".example.com/events"),
         ).alias("url"),
-        F.unix_micros(F.col("ts")).alias(TS_COL),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias(TS_COL),
         F.length("props").cast("long").alias("n_chars"),
         F.col("value"),
         F.sha1(F.encode(F.col("props"), "UTF-8")).alias("text_sha1"),
