@@ -223,6 +223,77 @@ def q_doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtslake.textops import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtslake.textops import quality_features
+
+    return quality_features(_docs(spark, sf_dir))
+
+
+def q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs (MinHash banding + exact-Jaccard
+    verify). Not SQL-expressible → rows-only driver check; semantics
+    pytest-gated (tests/test_trainops.py)."""
+    from mtslake.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), jaccard_threshold=0.5)
+
+
+def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (rows-only check)."""
+    from mtslake.dedup import simhash64
+
+    return simhash64(_docs(spark, sf_dir))
+
+
+def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs 3-gram Jaccard ≥ 0.35 over the first 200 docs
+    (bounded quadratic — the exact verifier behind LSH)."""
+    from mtslake.dedup import ngram_jaccard
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return ngram_jaccard(docs, threshold=0.35)
+
+
+def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the 3 lowest-id probe vectors."""
+    from mtslake.simsearch import brute_force_topk
+
+    emb = _emb(spark, sf_dir)
+    probes = (
+        emb.orderBy("vec_id").limit(3)
+        .select(F.col("vec_id").alias("probe_id"),
+                F.col("embedding").alias("probe_vec"))
+    )
+    return brute_force_topk(emb, probes, k=5)
+
+
+def q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via hyperplane-LSH buckets + exact re-rank (rows-only)."""
+    from mtslake.simsearch import lsh_topk
+
+    emb = _emb(spark, sf_dir)
+    probes = (
+        emb.orderBy("vec_id").limit(3)
+        .select(F.col("vec_id").alias("probe_id"),
+                F.col("embedding").alias("probe_vec"))
+    )
+    return lsh_topk(emb, probes, k=5, n_planes=10)
+
+
+def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: synthesized binary media → Arrow-batched
+    feature extraction (decode kernel stubbed; rows-only)."""
+    from mtslake.multimodal import extract_features, synthesize_media
+
+    return extract_features(synthesize_media(_docs(spark, sf_dir)))
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -240,6 +311,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_exact": q_doc_dedup_exact,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_token_count": q_doc_token_count,
+        "doc_lang_id": q_doc_lang_id,
+        "doc_quality": q_doc_quality,
+        "doc_minhash_lsh": q_doc_minhash_lsh,
+        "doc_simhash": q_doc_simhash,
+        "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        "emb_cosine_topk": q_emb_cosine_topk,
+        "emb_lsh_topk": q_emb_lsh_topk,
+        "mm_features": q_mm_features,
     }
 
 
@@ -364,5 +443,101 @@ def oracle_sql() -> dict[str, str]:
                         '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT)
                        AS n_subtokens
             FROM documents
+        """,
+        "doc_lang_id": r"""
+            WITH s AS (
+                SELECT doc_id,
+                    len(regexp_extract_all(lower(text),
+                        '\b(the|and|of|to|is)\b')) AS s_en,
+                    len(regexp_extract_all(lower(text),
+                        '\b(der|die|und|ist|nicht)\b')) AS s_de,
+                    len(regexp_extract_all(lower(text),
+                        '\b(le|la|et|est|les)\b')) AS s_fr,
+                    len(regexp_extract_all(lower(text),
+                        '\b(el|la|los|es|de)\b')) AS s_es,
+                    len(regexp_extract_all(lower(text),
+                        '\b(的|是|了|在|我)\b')) AS s_zh
+                FROM documents
+            )
+            SELECT doc_id,
+                CASE
+                    WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es
+                         AND s_en >= s_zh THEN 'en'
+                    WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh
+                         THEN 'de'
+                    WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+                    WHEN s_es >= s_zh THEN 'es'
+                    ELSE 'zh'
+                END AS pred_lang,
+                CAST(greatest(s_en, s_de, s_fr, s_es, s_zh) AS BIGINT)
+                    AS pred_score
+            FROM s
+        """,
+        "doc_quality": r"""
+            WITH f AS (
+                SELECT doc_id,
+                    length(text) AS nc,
+                    len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS nw,
+                    len(regexp_extract_all(text, '[^\w\s]')) AS np,
+                    len(regexp_extract_all(lower(text),
+                        '\b(the|a|of|to|and|in|is|it|that|for)\b')) AS ns
+                FROM documents
+            ), r AS (
+                SELECT doc_id, nc, nw, np, ns,
+                    CASE WHEN nw > 0 THEN ns / nw ELSE 0.0 END AS sr,
+                    CASE WHEN nc > 0 THEN np / nc ELSE 0.0 END AS pr
+                FROM f
+            )
+            SELECT doc_id,
+                CAST(nc AS BIGINT) AS n_chars_text,
+                CAST(nw AS BIGINT) AS n_words,
+                CAST(np AS BIGINT) AS n_punct,
+                CAST(ns AS BIGINT) AS n_stopwords,
+                sr AS stopword_ratio,
+                pr AS punct_ratio,
+                0.4 * least(nc / 500.0, 1.0)
+                    + 0.3 * least(sr * 5, 1.0)
+                    + 0.3 * (1 - least(pr * 10, 1.0)) AS quality_score
+            FROM r
+        """,
+        "doc_ngram_jaccard": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\s+') AS t
+                FROM documents WHERE doc_id < 200
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct([array_to_string(t[i:i+2], ' ')
+                           FOR i IN generate_series(1,
+                               greatest(len(t) - 2, 1))]) AS s
+                FROM toks
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.s, b.s))), 6)
+                       AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.s, b.s))) >= 0.35
+        """,
+        "emb_cosine_topk": """
+            WITH p AS (
+                SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv
+                FROM embeddings ORDER BY vec_id LIMIT 3
+            ), scored AS (
+                SELECT p.probe_id, e.vec_id,
+                       list_dot_product(e.embedding::DOUBLE[], p.pv)
+                       / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                e.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(p.pv, p.pv))) AS c
+                FROM embeddings e, p
+                WHERE e.vec_id <> p.probe_id
+            )
+            SELECT probe_id, vec_id, ROUND(c, 6) AS cos, rank FROM (
+                SELECT probe_id, vec_id, c,
+                       CAST(row_number() OVER (PARTITION BY probe_id
+                            ORDER BY c DESC, vec_id) AS INT) AS rank
+                FROM scored
+            ) WHERE rank <= 5
         """,
     }

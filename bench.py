@@ -1,0 +1,138 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Primary metric (BASELINE.json): **rolled-up points/sec** through the
+full pipeline — series → compress (applyInPandas codec) → chunk store →
+decode (mapInPandas) → 1m/1h/1d rollup tiers — on a deterministic
+pages table shaped per input_hint, at a scale tied to the sf dir,
+plus per-query timings for the headline operators.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] parallelism (default 32)
+  SPARK_GRAFT_BENCH_URLS  override pages-table width
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = 0.1
+    # pages-table width scales with sf: sf0.1 -> ~2.6M points
+    n_urls = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", str(int(40000 * sf_num))))
+
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("mtslake-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from mtslake import chunk, gapfill, read, rollup
+    from mtslake.catalog import ChunkStore
+    from mtslake.config import DEFAULT
+    from mtslake.datagen import generate_pages
+    from mtslake.series import pages_to_series
+
+    tmp = tempfile.mkdtemp(prefix="mtslake_bench_")
+    store = ChunkStore(spark, tmp)
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.monotonic()
+        out = fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+        return out
+
+    try:
+        pages = generate_pages(
+            spark, n_urls=n_urls, snapshots_per_url=96, n_hot=max(n_urls // 500, 1),
+            hot_factor=20,
+        )
+        series = pages_to_series(pages)
+        # materialize the input once so codec timing excludes datagen
+        series = timed(
+            "gen_series", lambda: series.repartition(cpus * 2, "url").persist()
+        )
+        n_points = series.count()
+
+        chunks = chunk.compress_series(series, DEFAULT)
+        timed("compress_write", lambda: store.write_chunks(chunks, mode="overwrite"))
+
+        decoded = read.read_range(store)
+        tiers = rollup.build_all_tiers(decoded)
+
+        def run_rollups():
+            for t, df in tiers.items():
+                df.write.mode("overwrite").parquet(store.path(f"rollup_{t}"))
+
+        timed("decode_rollup_tiers_write", run_rollups)
+
+        # headline random access: 1-day window mid-horizon
+        t0p = series.agg(F.min("ts_us")).first()[0]
+        timed(
+            "read_range_1d",
+            lambda: read.read_range(
+                store, t0p + 3 * 86_400_000_000, t0p + 4 * 86_400_000_000
+            ).count(),
+        )
+        timed(
+            "gapfill_1h",
+            lambda: gapfill.gapfill_locf(
+                spark.read.parquet(store.path("rollup_1h")), "1h"
+            ).count(),
+        )
+        rolled_points = spark.read.parquet(store.path("rollup_1m")).count()
+
+        pipeline_sec = timings["compress_write"] + timings["decode_rollup_tiers_write"]
+        points_per_sec = n_points / pipeline_sec if pipeline_sec else 0.0
+
+        # driver-table queries (events/documents) for cross-round tracking
+        import __spark_entry__ as entry
+
+        for qname in ("ts_rollup_1h_codec", "doc_minhash_lsh", "emb_cosine_topk"):
+            fn = entry.queries()[qname]
+            timed(qname, lambda f=fn: f(spark, sf_dir).count())
+
+        result = {
+            "metric": "rolled_up_points_per_sec",
+            "value": round(points_per_sec, 1),
+            "unit": "points/sec",
+            "queries": timings,
+            "sf": sf_num,
+            "n_points": n_points,
+            "n_rolled_points_1m": rolled_points,
+            "cpus": cpus,
+            "pipeline_sec": round(pipeline_sec, 3),
+        }
+        print(json.dumps(result))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

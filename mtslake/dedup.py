@@ -174,13 +174,15 @@ def simhash_near_dupes(
     banded = sims.select(
         F.col(id_col).alias("_id"), "simhash",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.shiftright(F.col("simhash"), b * width)
-                    .bitwiseAND(F.lit((1 << width) - 1)).alias("key"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1)).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
             )
         ).alias("_b"),
     ).select("_id", "simhash", "_b.band", "_b.key")

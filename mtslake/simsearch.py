@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* brute-force cosine top-k — the exact baseline: broadcast the probe
+  set, JVM-side dot products (``zip_with`` + ``aggregate``), window
+  rank. One pass over the big side, no shuffle of the embedding table.
+* LSH-bucketed ANN — the scale path: deterministic random-hyperplane
+  signatures (sign bits of dot products with xxhash64-derived ±1
+  planes), bucket equi-join, exact cosine re-rank inside buckets.
+  Recall < 1 by construction; increase ``n_planes`` shards or use
+  multi-probe for higher recall.
+
+Everything JVM-side; dot products run left-to-right (same order as
+DuckDB's list_dot_product) so exact-oracle comparison is bit-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a, b) -> F.Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine for every probe row.
+
+    probes: (probe_id, probe_vec). The probe side is broadcast — the
+    embedding table is scanned once, never shuffled."""
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    p = probes.select(
+        F.col("probe_id"), F.col("probe_vec").cast("array<double>").alias("_p")
+    )
+    scored = e.join(F.broadcast(p), F.col("vec_id") != F.col("probe_id"))
+    scored = scored.withColumn("cos", cosine(F.col("_v"), F.col("_p")))
+    w = W.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+def hyperplane_signature(vec_col, n_planes: int = 16, dim: int = 64) -> F.Column:
+    """n_planes sign bits: plane p's component j is ±1 from the parity
+    of xxhash64(p*dim+j) — deterministic, no stored model."""
+    sig = F.lit(0).cast("long")
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda j, p=p: F.when(
+                        F.pmod(F.xxhash64(j + F.lit(p * dim)), 2) == 0,
+                        F.lit(1.0),
+                    ).otherwise(F.lit(-1.0)),
+                ),
+                lambda x, s: x * s,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig.bitwiseOR(
+            F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(0)
+        )
+    return sig
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    n_planes: int = 12,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: candidates share the probe's hyperplane bucket (plus all
+    1-bit-flip neighbor buckets — multi-probe), exact cosine re-rank."""
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).withColumn("bucket", hyperplane_signature(F.col("_v"), n_planes, dim))
+
+    p = probes.select(
+        "probe_id", F.col("probe_vec").cast("array<double>").alias("_p")
+    ).withColumn("_sig", hyperplane_signature(F.col("_p"), n_planes, dim))
+    # multi-probe: own bucket + every 1-bit flip
+    p = p.select(
+        "probe_id", "_p",
+        F.explode(
+            F.array(
+                F.col("_sig"),
+                *[
+                    F.col("_sig").bitwiseXOR(F.lit(1 << b))
+                    for b in range(n_planes)
+                ],
+            )
+        ).alias("bucket"),
+    )
+    cand = e.join(F.broadcast(p), "bucket").filter(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    cand = cand.withColumn("cos", cosine(F.col("_v"), F.col("_p"))).dropDuplicates(
+        ["probe_id", "vec_id"]
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
+    )

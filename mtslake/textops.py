@@ -1,0 +1,122 @@
+"""Text analysis for training-data pipelines — all JVM built-ins.
+
+* language-ID      — marker-stopword n-gram heuristic (regexp_count
+                     votes per language, argmax via greatest-struct)
+* quality scoring  — length / punctuation / stopword-ratio features
+* token counting   — whitespace words + BPE-ish subword regex
+* fingerprinting   — md5 of whitespace-normalized text + a 64-bit
+                     content hash (xxhash64) for cheap equality joins
+
+Every expression is a deterministic SQL-expressible function so the
+DuckDB oracle can replay it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# marker words per language (tiny, deterministic heuristic — the kind
+# of n-gram table a real langid model compresses)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "es": ["el", "la", "los", "es", "de"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "it", "that", "for"]
+
+WORD_RE = r"[a-zA-Z0-9]+"
+SUBTOKEN_RE = r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"
+
+
+def _marker_count(text_col: str, words: list[str]) -> F.Column:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.regexp_count(F.lower(F.col(text_col)), F.lit(pat))
+
+
+def lang_scores(text_col: str = "text") -> list[F.Column]:
+    return [
+        _marker_count(text_col, ws).alias(f"score_{lang}")
+        for lang, ws in LANG_MARKERS.items()
+    ]
+
+
+def lang_id(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """argmax over marker-vote scores; deterministic tiebreak by the
+    fixed language order (en, de, fr, es, zh)."""
+    scored = docs.select(F.col(id_col), *lang_scores(text_col))
+    # greatest(struct(score, -order)) picks max score, earliest lang on tie
+    langs = list(LANG_MARKERS)
+    best = F.greatest(
+        *[
+            F.struct(
+                F.col(f"score_{lang}").alias("s"),
+                F.lit(len(langs) - i).alias("prio"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(langs)
+        ]
+    )
+    return scored.select(
+        id_col,
+        best["lang"].alias("pred_lang"),
+        best["s"].cast("long").alias("pred_score"),
+    )
+
+
+def quality_features(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Length / punctuation / stopword-ratio features + a composite
+    quality score in [0,1]."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_words = F.regexp_count(t, F.lit(WORD_RE))
+    n_punct = F.regexp_count(t, F.lit(r"[^\w\s]"))
+    n_stop = _marker_count(text_col, STOPWORDS)
+    stop_ratio = F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    mean_word_len = F.when(n_words > 0, (n_chars - n_words + 1) / n_words
+                           ).otherwise(F.lit(0.0))
+    length_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    # no rounding anywhere: the expression tree is pure IEEE double
+    # arithmetic, so identical inputs give bit-identical outputs across
+    # engines (rounding half-way semantics differ between engines)
+    quality = (
+        0.4 * length_score
+        + 0.3 * F.least(stop_ratio * 5, F.lit(1.0))
+        + 0.3 * (1 - F.least(punct_ratio * 10, F.lit(1.0)))
+    )
+    return docs.select(
+        id_col,
+        n_chars.cast("long").alias("n_chars_text"),
+        n_words.cast("long").alias("n_words"),
+        n_punct.cast("long").alias("n_punct"),
+        n_stop.cast("long").alias("n_stopwords"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    t = F.col(text_col)
+    return docs.select(
+        id_col,
+        F.size(F.split(F.trim(t), r"\s+")).cast("long").alias("n_words"),
+        F.regexp_count(t, F.lit(SUBTOKEN_RE)).cast("long").alias("n_subtokens"),
+    )
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return docs.select(
+        id_col,
+        F.md5(norm).alias("fingerprint"),
+        F.xxhash64(norm).alias("fingerprint64"),
+        F.length(norm).cast("long").alias("norm_len"),
+    )

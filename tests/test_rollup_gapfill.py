@@ -51,18 +51,18 @@ def test_mean_derivation(series):
 
 
 def test_gapfill_locf(spark):
-    import datetime as dt
+    H = 3_600_000_000
     rows = [
-        ("h1", "en", dt.datetime(2024, 1, 1, 0, 0), 5, 1.0, 2.0, 7.5),
-        ("h1", "en", dt.datetime(2024, 1, 1, 3, 0), 2, 0.5, 0.9, 1.0),
-        ("h2", "de", dt.datetime(2024, 1, 1, 1, 0), 1, 4.0, 4.0, 4.0),
+        ("h1", "en", 0 * H, 5, 1.0, 2.0, 7.5),
+        ("h1", "en", 3 * H, 2, 0.5, 0.9, 1.0),
+        ("h2", "de", 1 * H, 1, 4.0, 4.0, 4.0),
     ]
     rolled = spark.createDataFrame(
         rows,
-        "url_prefix string, lang string, bucket_ts timestamp, cnt long, "
+        "url_prefix string, lang string, bucket_us long, cnt long, "
         "vmin double, vmax double, vsum double",
     )
-    out = gapfill.gapfill_locf(rolled, "1h").orderBy("url_prefix", "bucket_ts")
+    out = gapfill.gapfill_locf(rolled, "1h").orderBy("url_prefix", "bucket_us")
     got = out.collect()
     h1 = [r for r in got if r["url_prefix"] == "h1"]
     assert len(h1) == 4  # 00,01,02,03
@@ -74,13 +74,13 @@ def test_gapfill_locf(spark):
 
 
 def test_gapfill_leading_gap_stays_null(spark):
-    import datetime as dt
+    H = 3_600_000_000
     rolled = spark.createDataFrame(
         [
-            ("h1", "en", dt.datetime(2024, 1, 1, 0), None, None, None, None),
-            ("h1", "en", dt.datetime(2024, 1, 1, 2), 3, 1.0, 1.0, 3.0),
+            ("h1", "en", 0 * H, None, None, None, None),
+            ("h1", "en", 2 * H, 3, 1.0, 1.0, 3.0),
         ],
-        "url_prefix string, lang string, bucket_ts timestamp, cnt long, "
+        "url_prefix string, lang string, bucket_us long, cnt long, "
         "vmin double, vmax double, vsum double",
     ).filter(F.col("cnt").isNotNull())
     # spine starts at the key's first observation, so a leading hole

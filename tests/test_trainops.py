@@ -1,0 +1,165 @@
+"""Training-data pipeline operators: dedup, text analysis, similarity
+search, multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mtslake import dedup, multimodal, simsearch, textops
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+# -- dedup ---------------------------------------------------------------
+
+def test_exact_dedup(spark, docs):
+    dup = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 100000)
+    both = docs.unionByName(dup)
+    out = dedup.exact_dedup(both)
+    assert out.count() == docs.count()
+    # survivors are the originals (lowest id)
+    assert out.filter(F.col("doc_id") >= 100000).count() == 0
+
+
+def test_minhash_lsh_finds_planted_near_dupes(spark, docs):
+    # plant near-duplicates: copy docs with one word changed
+    planted = (
+        docs.limit(10)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tailword")))
+    )
+    both = docs.unionByName(planted)
+    pairs = dedup.minhash_lsh_pairs(both, jaccard_threshold=0.7)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    expected = {(i, i + 100000) for i in range(10)}
+    assert expected <= got
+    # sanity: planted pairs have jaccard >= .7; random doc pairs don't flood
+    assert len(got) < 200
+
+
+def test_minhash_lsh_agrees_with_exact_jaccard(spark, docs):
+    sample = docs.limit(60)
+    planted = (
+        sample.limit(6)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" x")))
+    )
+    both = sample.unionByName(planted)
+    lsh = dedup.minhash_lsh_pairs(both, jaccard_threshold=0.8)
+    exact = dedup.ngram_jaccard(both, threshold=0.8)
+    lsh_pairs = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
+    exact_pairs = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    # LSH candidates are verified with exact jaccard -> no false positives
+    assert lsh_pairs <= exact_pairs
+    # and at this threshold recall should be total on the planted set
+    assert exact_pairs <= lsh_pairs
+
+
+def test_simhash_near_dupes(spark, docs):
+    planted = (
+        docs.limit(8)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" zq")))
+    )
+    both = docs.unionByName(planted)
+    sims = dedup.simhash64(both)
+    assert sims.count() == both.count()
+    pairs = dedup.simhash_near_dupes(sims, max_hamming=6)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    planted_pairs = {(i, i + 100000) for i in range(8)}
+    assert len(planted_pairs & got) >= 6  # simhash is approximate
+
+
+# -- textops --------------------------------------------------------------
+
+def test_lang_id_marker_votes(spark):
+    rows = [
+        (1, "the cat and the dog is of to the house"),
+        (2, "der hund und die katze ist nicht hier"),
+        (3, "le chat et la maison est les arbres"),
+        (4, "el perro la casa los gatos es de madrid"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["pred_lang"] for r in textops.lang_id(df).collect()}
+    assert out == {1: "en", 2: "de", 3: "fr", 4: "es"}
+
+
+def test_quality_features(spark, docs):
+    out = textops.quality_features(docs)
+    assert out.count() == docs.count()
+    r = out.agg(F.min("quality_score"), F.max("quality_score")).first()
+    assert 0.0 <= r[0] <= r[1] <= 1.0
+
+
+def test_fingerprint_whitespace_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "a  b\tc"), (2, "a b c"), (3, "a b d")],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in textops.fingerprints(df).collect()}
+    assert fp[1] == fp[2] != fp[3]
+
+
+# -- simsearch -------------------------------------------------------------
+
+def _probes(emb, n=3):
+    return (
+        emb.limit(n)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("probe_vec"),
+        )
+    )
+
+
+def test_brute_force_topk_matches_numpy(spark, emb):
+    probes = _probes(emb, 3)
+    out = simsearch.brute_force_topk(emb, probes, k=5).collect()
+    mat = np.array([r["embedding"] for r in emb.orderBy("vec_id").collect()])
+    ids = [r["vec_id"] for r in emb.orderBy("vec_id").collect()]
+    norms = np.linalg.norm(mat, axis=1)
+    for pid in {r["probe_id"] for r in out}:
+        p = mat[ids.index(pid)]
+        cos = (mat @ p) / (norms * np.linalg.norm(p))
+        order = [
+            ids[i]
+            for i in sorted(range(len(ids)), key=lambda i: (-cos[i], ids[i]))
+            if ids[i] != pid
+        ][:5]
+        got = [r["vec_id"] for r in sorted(
+            (r for r in out if r["probe_id"] == pid), key=lambda r: r["rank"])]
+        assert got == order
+
+
+def test_lsh_topk_recall(spark, emb):
+    probes = _probes(emb, 5)
+    exact = simsearch.brute_force_topk(emb, probes, k=5)
+    approx = simsearch.lsh_topk(emb, probes, k=5, n_planes=10)
+    e = {(r["probe_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["probe_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"LSH recall {recall} too low"
+
+
+# -- multimodal -------------------------------------------------------------
+
+def test_multimodal_pipeline(spark, docs):
+    media = multimodal.synthesize_media(docs.limit(50))
+    feats = multimodal.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 50
+    assert all(len(r["features"]) == 8 for r in rows)
+    assert all(abs(sum(r["features"]) - 1.0) < 1e-3 for r in rows)
+    resized = multimodal.resize_images(media, 4, 4).collect()
+    assert all(len(r["payload"]) == 16 for r in resized)
+    frames = multimodal.sample_frames(media, every_n=2)
+    assert frames.count() > 0
+    assert frames.filter(F.length("frame") != 64).count() == 0
