@@ -3,24 +3,35 @@
 Spark shape (SURVEY §3.1): the reference's thread-pool chunk loop
 (Writer.compress_batch, mtscomp.py:399-423) becomes
 
-    series → groupBy(url, chunk_id) → applyInPandas(encode) → chunks table
+    series → repartition(url, chunk_id) → sortWithinPartitions
+           → mapInPandas(streaming group encoder) → chunks table
 
 and the read path (Reader.read_chunk, mtscomp.py:602-635) becomes a
 shuffle-free ``mapInPandas(decode)`` over pruned chunk rows — each chunk
 row is independently addressable and expands to its points without any
 repartition.
 
+Why mapInPandas and not groupBy().applyInPandas: the semantics are the
+same (hash-partition on the group key guarantees co-location; the sort
+makes groups contiguous), but applyInPandas pays one Python invocation
+plus one single-row DataFrame per GROUP, while web-scale chunks are
+small (10²-10⁴ points) and enormous in number — per-group overhead
+dominated the profile by >5×. The streaming encoder amortizes to one
+Python call and two DataFrames per ARROW BATCH, carrying the (possibly
+split) last group over batch boundaries.
+
 * chunk identity is the key ``(url, chunk_id = floor(ts_us / dur))``
   (≙ chunk_bounds, mtscomp.py:324-339) — the reference's "write in
   chunk order" barrier (mtscomp.py:473-474) disappears because identity
   lives in keys, not file offsets.
-* groups are sorted by ``(ts_us, text_sha1)`` inside the UDF — the codec
-  is order-sensitive; the sha1 tiebreak makes duplicate timestamps
-  deterministic (web-data reality the reference never faces).
+* rows are sorted ``(url, chunk_id, ts_us, text_sha1)`` before encoding
+  — the codec is order-sensitive; the sha1 tiebreak makes duplicate
+  timestamps deterministic (web-data reality the reference never faces).
 * per-chunk SHA1 of the raw bytes is carried in the row (≙ the .ch
   running sha1 ledger, mtscomp.py:321-322,481-483).
 * skew stays bounded: a hot url never forms one giant group because the
-  group key includes chunk_id (SURVEY §7 risk 6); AQE handles the rest.
+  partition key includes chunk_id (SURVEY §7 risk 6); AQE handles the
+  rest.
 """
 
 from __future__ import annotations
@@ -67,45 +78,81 @@ SERIES_SCHEMA = T.StructType(
     ]
 )
 
+_OUT_COLS = [f.name for f in CHUNK_SCHEMA.fields]
 
-def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    # vectorized over the whole chunk; zero per-row Python
-    pdf = pdf.sort_values([TS_COL, "text_sha1"], kind="stable")
-    ts = pdf[TS_COL].to_numpy(np.int64)
-    n_chars = pdf["n_chars"].to_numpy(np.int64)
-    value = pdf["value"].to_numpy(np.float64)
-    sha_bytes = np.frombuffer(
-        b"".join(bytes.fromhex(s) for s in pdf["text_sha1"]), dtype=np.uint8
-    )
-    p_ts = codec.encode_column(ts, codec.CODEC_DOD)
-    p_n_chars = codec.encode_column(n_chars, codec.CODEC_DELTA)
-    p_value = codec.encode_column(value, codec.CODEC_XOR)
-    p_sha1 = codec.encode_column(sha_bytes, codec.CODEC_RAW)
-    # signal streams vs the (incompressible, full-entropy) sha1 ledger
-    raw_sig = ts.nbytes + n_chars.nbytes + value.nbytes
-    comp_sig = len(p_ts) + len(p_n_chars) + len(p_value)
-    raw = raw_sig + sha_bytes.nbytes
-    comp = comp_sig + len(p_sha1)
-    sha1 = codec.chunk_sha1(ts, {"n_chars": n_chars, "value": value})
-    return pd.DataFrame(
-        {
-            "url": [pdf["url"].iloc[0]],
-            "chunk_id": [pdf["chunk_id"].iloc[0]],
-            "lang": [pdf["lang"].iloc[0]],
-            "ts_min": [int(ts[0])],
-            "ts_max": [int(ts[-1])],
-            "n_points": [len(ts)],
-            "raw_nbytes": [raw],
-            "comp_nbytes": [comp],
-            "raw_signal_nbytes": [raw_sig],
-            "comp_signal_nbytes": [comp_sig],
-            "sha1": [sha1],
-            "p_ts": [p_ts],
-            "p_n_chars": [p_n_chars],
-            "p_value": [p_value],
-            "p_sha1": [p_sha1],
-        }
-    )
+
+def _encode_block(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Encode every (url, chunk_id) group in a sorted block; one output
+    row per group. Vectorized group detection; per-group work is 4 codec
+    calls on contiguous numpy slices."""
+    n = len(pdf)
+    urls = pdf["url"].to_numpy()
+    cids = pdf["chunk_id"].to_numpy(np.int64)
+    langs = pdf["lang"].to_numpy()
+    ts_all = pdf[TS_COL].to_numpy(np.int64)
+    nch_all = pdf["n_chars"].to_numpy(np.int64)
+    val_all = pdf["value"].to_numpy(np.float64)
+    sha_all = np.frombuffer(
+        bytes.fromhex("".join(pdf["text_sha1"])), dtype=np.uint8
+    ).reshape(n, SHA1_W)
+
+    change = np.flatnonzero((urls[1:] != urls[:-1]) | (cids[1:] != cids[:-1])) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [n]))
+
+    out: dict[str, list] = {c: [] for c in _OUT_COLS}
+    for s, e in zip(starts, ends):
+        ts = ts_all[s:e]
+        nch = nch_all[s:e]
+        val = val_all[s:e]
+        shab = sha_all[s:e].ravel()
+        p_ts = codec.encode_column(ts, codec.CODEC_DOD)
+        p_n_chars = codec.encode_column(nch, codec.CODEC_DELTA)
+        p_value = codec.encode_column(val, codec.CODEC_XOR)
+        p_sha1 = codec.encode_column(shab, codec.CODEC_RAW)
+        raw_sig = ts.nbytes + nch.nbytes + val.nbytes
+        comp_sig = len(p_ts) + len(p_n_chars) + len(p_value)
+        out["url"].append(urls[s])
+        out["chunk_id"].append(cids[s])
+        out["lang"].append(langs[s])
+        out["ts_min"].append(ts[0])
+        out["ts_max"].append(ts[-1])
+        out["n_points"].append(e - s)
+        out["raw_nbytes"].append(raw_sig + shab.nbytes)
+        out["comp_nbytes"].append(comp_sig + len(p_sha1))
+        out["raw_signal_nbytes"].append(raw_sig)
+        out["comp_signal_nbytes"].append(comp_sig)
+        out["sha1"].append(codec.chunk_sha1(ts, {"n_chars": nch, "value": val}))
+        out["p_ts"].append(p_ts)
+        out["p_n_chars"].append(p_n_chars)
+        out["p_value"].append(p_value)
+        out["p_sha1"].append(p_sha1)
+    return pd.DataFrame(out)
+
+
+def _encode_stream(batches):
+    """Streaming group encoder: groups are contiguous (sorted partition);
+    the last group of each batch may continue into the next, so it is
+    buffered and prepended."""
+    buf: pd.DataFrame | None = None
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        if buf is not None:
+            pdf = pd.concat([buf, pdf], ignore_index=True)
+            buf = None
+        last_url = pdf["url"].iat[-1]
+        last_cid = pdf["chunk_id"].iat[-1]
+        tail_mask = (pdf["url"] == last_url) & (pdf["chunk_id"] == last_cid)
+        n_tail = int(tail_mask.sum())
+        if n_tail == len(pdf):
+            buf = pdf
+            continue
+        head = pdf.iloc[: len(pdf) - n_tail]
+        buf = pdf.iloc[len(pdf) - n_tail:]
+        yield _encode_block(head)
+    if buf is not None and not buf.empty:
+        yield _encode_block(buf)
 
 
 def compress_series(series: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
@@ -117,33 +164,56 @@ def compress_series(series: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame
     keyed = series.withColumn(
         "chunk_id", F.floor(F.col(TS_COL) / F.lit(cfg.chunk_duration_us))
     )
-    return keyed.groupBy("url", "chunk_id").applyInPandas(
-        _encode_group, schema=CHUNK_SCHEMA
+    return (
+        keyed.repartition("url", "chunk_id")
+        .sortWithinPartitions("url", "chunk_id", TS_COL, "text_sha1")
+        .mapInPandas(_encode_stream, schema=CHUNK_SCHEMA)
     )
 
 
-def _decode_rows(batches):
-    for pdf in batches:
-        outs = []
-        for row in pdf.itertuples(index=False):  # per-CHUNK, not per-point
-            ts = codec.decode_column(row.p_ts)
-            n_chars = codec.decode_column(row.p_n_chars)
-            value = codec.decode_column(row.p_value)
-            sha = codec.decode_column(row.p_sha1).reshape(-1, SHA1_W)
-            outs.append(
-                pd.DataFrame(
-                    {
-                        "url": np.repeat(row.url, len(ts)),
-                        "lang": np.repeat(row.lang, len(ts)),
-                        TS_COL: ts,
-                        "n_chars": n_chars,
-                        "value": value,
-                        "text_sha1": [h.tobytes().hex() for h in sha],
-                    }
+def _hex_rows(sha_concat: bytes, n: int) -> list[str]:
+    big = sha_concat.hex()
+    return [big[i * 40:(i + 1) * 40] for i in range(n)]
+
+
+def _decode_batch(pdf: pd.DataFrame, verify: bool) -> pd.DataFrame:
+    urls, langs, tss, nchs, vals, shas = [], [], [], [], [], []
+    for row in pdf.itertuples(index=False):  # per-CHUNK, not per-point
+        ts = codec.decode_column(row.p_ts)
+        nch = codec.decode_column(row.p_n_chars)
+        val = codec.decode_column(row.p_value)
+        if verify:
+            got = codec.chunk_sha1(ts, {"n_chars": nch, "value": val})
+            if got != row.sha1:
+                # ≙ "CRITICAL ERROR" hard failure, mtscomp.py:880-888
+                raise RuntimeError(
+                    f"chunk integrity failure url={row.url} "
+                    f"expected sha1={row.sha1} got={got}"
                 )
-            )
-        if outs:
-            yield pd.concat(outs, ignore_index=True)
+        k = len(ts)
+        urls.append(np.repeat(row.url, k))
+        langs.append(np.repeat(row.lang, k))
+        tss.append(ts)
+        nchs.append(nch)
+        vals.append(val)
+        shas.append(codec.decode_column(row.p_sha1))
+    if not tss:
+        return pd.DataFrame(
+            {c.name: pd.Series(dtype=object) for c in SERIES_SCHEMA.fields}
+        )
+    ts_cat = np.concatenate(tss)
+    return pd.DataFrame(
+        {
+            "url": np.concatenate(urls),
+            "lang": np.concatenate(langs),
+            TS_COL: ts_cat,
+            "n_chars": np.concatenate(nchs),
+            "value": np.concatenate(vals),
+            "text_sha1": _hex_rows(
+                np.concatenate(shas).tobytes(), len(ts_cat)
+            ),
+        }
+    )
 
 
 def decompress_chunks(chunks: DataFrame, verify: bool = False) -> DataFrame:
@@ -155,42 +225,14 @@ def decompress_chunks(chunks: DataFrame, verify: bool = False) -> DataFrame:
     mismatch raises (≙ post-write check, mtscomp.py:866-888: tampering
     must be a hard error, tests.py:345-379).
     """
-    cols = [
-        "url", "lang", "sha1", "p_ts", "p_n_chars", "p_value", "p_sha1",
-    ]
-    src = chunks.select(*cols)
+    src = chunks.select(
+        "url", "lang", "sha1", "p_ts", "p_n_chars", "p_value", "p_sha1"
+    )
 
-    if not verify:
-        return src.mapInPandas(_decode_rows, schema=SERIES_SCHEMA)
-
-    def gen_verify(batches):
+    def gen(batches, _verify=verify):
         for pdf in batches:
-            outs = []
-            for row in pdf.itertuples(index=False):
-                ts = codec.decode_column(row.p_ts)
-                n_chars = codec.decode_column(row.p_n_chars)
-                value = codec.decode_column(row.p_value)
-                got = codec.chunk_sha1(ts, {"n_chars": n_chars, "value": value})
-                if got != row.sha1:
-                    # ≙ "CRITICAL ERROR" hard failure, mtscomp.py:880-888
-                    raise RuntimeError(
-                        f"chunk integrity failure url={row.url} "
-                        f"expected sha1={row.sha1} got={got}"
-                    )
-                sha = codec.decode_column(row.p_sha1).reshape(-1, SHA1_W)
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "url": np.repeat(row.url, len(ts)),
-                            "lang": np.repeat(row.lang, len(ts)),
-                            TS_COL: ts,
-                            "n_chars": n_chars,
-                            "value": value,
-                            "text_sha1": [h.tobytes().hex() for h in sha],
-                        }
-                    )
-                )
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+            out = _decode_batch(pdf, _verify)
+            if not out.empty:
+                yield out
 
-    return src.mapInPandas(gen_verify, schema=SERIES_SCHEMA)
+    return src.mapInPandas(gen, schema=SERIES_SCHEMA)
