@@ -1,0 +1,44 @@
+"""Shared spark-submit plumbing for mtslake jobs.
+
+≙ the reference CLI layer (mtscomp/mtsdecomp/mtsdesc/mtschop console
+scripts + _args_to_config, mtscomp.py:1004-1179): argparse → config →
+pipeline. Deployment: ``spark-submit --py-files mtslake.zip
+mtslake/jobs/<job>.py ...``.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import SparkSession
+
+from ..config import EngineConfig, DEFAULT
+
+
+def build_session(app: str, args: argparse.Namespace) -> SparkSession:
+    b = (
+        SparkSession.builder.appName(app)
+        .config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    if args.master:
+        b = b.master(args.master)
+    return b.getOrCreate()
+
+
+def base_parser(desc: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=desc)
+    p.add_argument("--store", required=True, help="engine store root path")
+    p.add_argument("--master", default=None, help="override spark master")
+    p.add_argument("--shuffle-partitions", type=int, default=64)
+    p.add_argument("--chunk-duration-us", type=int, default=None)
+    p.add_argument("--debug", action="store_true")
+    return p
+
+
+def config_from(args: argparse.Namespace) -> EngineConfig:
+    return DEFAULT.with_overrides(chunk_duration_us=args.chunk_duration_us)

@@ -1,0 +1,27 @@
+"""Rollup job: decode chunks → 1m/1h/1d continuous-aggregate tiers.
+
+spark-submit --py-files mtslake.zip mtslake/jobs/rollup.py --store /data/lake
+"""
+
+from __future__ import annotations
+
+import sys
+
+from mtslake.catalog import ChunkStore
+from mtslake.jobs.common import base_parser, build_session
+from mtslake.read import read_range
+from mtslake.rollup import build_all_tiers
+
+
+def main(argv=None) -> None:
+    p = base_parser("mtslake rollup tiers")
+    args = p.parse_args(argv)
+    spark = build_session("mtslake-rollup", args)
+    store = ChunkStore(spark, args.store)
+    decoded = read_range(store)
+    for tier, df in build_all_tiers(decoded).items():
+        df.write.mode("overwrite").parquet(store.path(f"rollup_{tier}"))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,63 @@
+"""Structured Streaming rollup: streamed 1m tier == batch 1m tier, and
+checkpoint restart is a no-op (resume semantics)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mtslake import rollup, streaming
+from mtslake.datagen import generate_pages
+from mtslake.series import pages_to_series
+
+
+@pytest.fixture(scope="module")
+def series_parquet(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("stream_src"))
+    pages = generate_pages(spark, n_urls=12, snapshots_per_url=48, n_hot=1,
+                           hot_factor=5)
+    series = pages_to_series(pages)
+    series.write.mode("overwrite").parquet(d)
+    return d, series
+
+
+def _run(spark, src, out, ck):
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    q = streaming.run_stream_to_parquet(stream, out, ck, tier="1m").start()
+    q.awaitTermination()
+
+
+def test_streaming_equals_batch(spark, series_parquet, tmp_path):
+    src, series = series_parquet
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    _run(spark, src, out, ck)
+    got = spark.read.parquet(out)
+    exp = rollup.rollup_from_series(series, "1m")
+    g = {tuple(r) for r in got.collect()}
+    e = {tuple(r) for r in exp.collect()}
+    # availableNow + append emits only watermark-closed windows; every
+    # emitted window must match batch exactly, and coverage must be
+    # nearly total (only the final open windows may be withheld)
+    assert g <= e
+    assert len(g) >= len(e) - 24
+
+    # restart from checkpoint: nothing new to process -> no duplicates
+    _run(spark, src, out, ck)
+    again = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert again == g
+
+
+def test_streaming_tier_reaggregates_into_batch_1h(spark, series_parquet,
+                                                   tmp_path):
+    src, series = series_parquet
+    out, ck = str(tmp_path / "out1m"), str(tmp_path / "ck1m")
+    _run(spark, src, out, ck)
+    got_1h = rollup.rollup_from_tier(spark.read.parquet(out), "1h")
+    exp_1h = rollup.rollup_from_series(series, "1h")
+    # append mode withholds windows still open at the global watermark;
+    # below a safe cutoff the streamed tier must equal batch EXACTLY
+    max_ts = series.agg(F.max("ts_us")).first()[0]
+    cutoff = max_ts - 2 * 3_600_000_000
+    g = {tuple(r) for r in got_1h.filter(F.col("bucket_us") < cutoff).collect()}
+    e = {tuple(r) for r in exp_1h.filter(F.col("bucket_us") < cutoff).collect()}
+    assert g == e
