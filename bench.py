@@ -32,8 +32,8 @@ def main() -> None:
         sf_num = float(sf)
     except ValueError:
         sf_num = 0.1
-    # pages-table width scales with sf: sf0.1 -> ~2.6M points
-    n_urls = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", str(int(40000 * sf_num))))
+    # pages-table width scales with sf: sf0.1 -> ~1.9M points
+    n_urls = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", str(int(100000 * sf_num))))
 
     from pyspark.sql import SparkSession, functions as F
 
@@ -46,6 +46,10 @@ def main() -> None:
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # local files are single-row-group and tiny vs the 128MB default
+        # split size; decode parallelism must come from finer splits
+        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -69,8 +73,8 @@ def main() -> None:
 
     try:
         pages = generate_pages(
-            spark, n_urls=n_urls, snapshots_per_url=96, n_hot=max(n_urls // 500, 1),
-            hot_factor=20,
+            spark, n_urls=n_urls, snapshots_per_url=192,
+            n_hot=max(n_urls // 500, 1), hot_factor=20,
         )
         series = pages_to_series(pages)
         # materialize the input once so codec timing excludes datagen
@@ -83,13 +87,10 @@ def main() -> None:
         timed("compress_write", lambda: store.write_chunks(chunks, mode="overwrite"))
 
         decoded = read.read_range(store)
-        tiers = rollup.build_all_tiers(decoded)
-
-        def run_rollups():
-            for t, df in tiers.items():
-                df.write.mode("overwrite").parquet(store.path(f"rollup_{t}"))
-
-        timed("decode_rollup_tiers_write", run_rollups)
+        timed(
+            "decode_rollup_tiers_write",
+            lambda: rollup.materialize_tiers(store, decoded),
+        )
 
         # headline random access: 1-day window mid-horizon
         t0p = series.agg(F.min("ts_us")).first()[0]

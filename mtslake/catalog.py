@@ -53,8 +53,19 @@ class ChunkStore:
     def write_chunks(self, chunks: DataFrame, mode: str = "append") -> None:
         """Persist chunk rows + derive the catalog (≙ Writer.write's
         ordered sink + .ch dump, mtscomp.py:425-507 — here two writes,
-        ordering by keys)."""
-        chunks.write.mode(mode).partitionBy("chunk_id").parquet(self.path("chunks"))
+        ordering by keys).
+
+        Rows are clustered on (chunk_id, url-bucket) before the
+        partitioned write so each chunk_id directory gets a bounded
+        number of well-sized files instead of one sliver per shuffle
+        task (small-file storm at scale); the url bucket keeps a single
+        hot day from serializing through one task."""
+        clustered = chunks.repartition(
+            F.col("chunk_id"), F.pmod(F.xxhash64("url"), F.lit(16))
+        )
+        clustered.write.mode(mode).partitionBy("chunk_id").parquet(
+            self.path("chunks")
+        )
         cat = self.spark.read.parquet(self.path("chunks")).select(*CATALOG_COLS)
         cat.write.mode("overwrite").parquet(self.path("catalog"))
 

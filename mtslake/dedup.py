@@ -79,6 +79,9 @@ def minhash_lsh_pairs(
     verification on the candidates (so the threshold is real, not
     probabilistic). Returns (id_a, id_b, jaccard) with id_a < id_b."""
     rows_per_band = n_hashes // bands
+    # minhashing is CPU-bound; don't let a single input split serialize it
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    docs = docs.repartition(par)
     base = docs.select(
         F.col(id_col).alias("_id"), shingles(text_col, shingle_k).alias("_sh")
     ).withColumn("_sig", minhash_signature(F.col("_sh"), n_hashes))
@@ -139,9 +142,11 @@ def simhash64(docs: DataFrame, text_col: str = "text",
               id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash: per-token xxhash64, bit-majority vote weighted by
     term frequency — one explode + one groupBy, all JVM-side."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
     tok = (
-        docs.select(F.col(id_col).alias("_id"),
-                    F.explode(_tokens(text_col)).alias("_t"))
+        docs.repartition(par)
+        .select(F.col(id_col).alias("_id"),
+                F.explode(_tokens(text_col)).alias("_t"))
         .filter(F.col("_t") != "")
         .groupBy("_id", "_t")
         .agg(F.count("*").alias("_w"))

@@ -24,6 +24,7 @@ def build_session(app: str, args: argparse.Namespace) -> SparkSession:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "32m")
     )
     if args.master:
         b = b.master(args.master)

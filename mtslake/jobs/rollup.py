@@ -10,7 +10,7 @@ import sys
 from mtslake.catalog import ChunkStore
 from mtslake.jobs.common import base_parser, build_session
 from mtslake.read import read_range
-from mtslake.rollup import build_all_tiers
+from mtslake.rollup import materialize_tiers
 
 
 def main(argv=None) -> None:
@@ -19,8 +19,7 @@ def main(argv=None) -> None:
     spark = build_session("mtslake-rollup", args)
     store = ChunkStore(spark, args.store)
     decoded = read_range(store)
-    for tier, df in build_all_tiers(decoded).items():
-        df.write.mode("overwrite").parquet(store.path(f"rollup_{tier}"))
+    materialize_tiers(store, decoded)
 
 
 if __name__ == "__main__":

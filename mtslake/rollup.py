@@ -94,3 +94,18 @@ def build_all_tiers(series: DataFrame) -> dict[str, DataFrame]:
     tiers["1h"] = rollup_from_tier(tiers["1m"], "1h")
     tiers["1d"] = rollup_from_tier(tiers["1h"], "1d")
     return tiers
+
+
+def materialize_tiers(store, series: DataFrame) -> None:
+    """Write 1m from raw, then each coarser tier FROM THE WRITTEN finer
+    tier — the expensive decode/scan lineage executes exactly once, and
+    coarser tiers re-aggregate a table ~60× smaller (decimal sums keep
+    them bit-identical to direct aggregation either way)."""
+    rollup_from_series(series, "1m").write.mode("overwrite").parquet(
+        store.path("rollup_1m")
+    )
+    for tier, below in (("1h", "1m"), ("1d", "1h")):
+        lower = store.spark.read.parquet(store.path(f"rollup_{below}"))
+        rollup_from_tier(lower, tier).write.mode("overwrite").parquet(
+            store.path(f"rollup_{tier}")
+        )

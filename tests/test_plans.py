@@ -1,0 +1,81 @@
+"""Physical-plan checks: the optimizations we design for must be
+visible in the plan, not assumed (predicate pushdown into the chunk
+scan, directory-level partition pruning on chunk_id, broadcast joins on
+the probe side)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mtslake import chunk, read
+from mtslake.catalog import ChunkStore
+from mtslake.config import DEFAULT
+from mtslake.datagen import generate_pages
+from mtslake.series import pages_to_series
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    pages = generate_pages(spark, n_urls=10, snapshots_per_url=200, n_hot=1,
+                           hot_factor=2)
+    st = ChunkStore(spark, str(tmp_path_factory.mktemp("planstore")))
+    st.write_chunks(chunk.compress_series(pages_to_series(pages), DEFAULT),
+                    mode="overwrite")
+    return st
+
+
+def test_read_range_pushes_filters_to_scan(store):
+    t0, t1 = 1_704_100_000_000_000, 1_704_200_000_000_000
+    df = read.read_range(store, t0, t1, cfg=DEFAULT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "ts_min" in plan and "ts_max" in plan
+    # chunk_id is a partition column: pruning shows up as PartitionFilters
+    assert "PartitionFilters" in plan
+    assert plan.count("Exchange") == 0, "decode path must be shuffle-free"
+
+
+def test_partition_pruning_reads_fewer_files(spark, store):
+    # count scanned partitions via the pruned plan's partition count
+    all_chunks = store.chunks()
+    n_all = all_chunks.select("chunk_id").distinct().count()
+    t0 = 1_704_067_200_000_000 + 86_400_000_000  # day 2 only
+    pruned = read.read_range(store, t0, t0 + 1000, cfg=DEFAULT)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert n_all > 1
+    assert "PartitionFilters: []" not in plan
+
+
+def test_channel_projection_prunes_payload_columns(store):
+    df = read.read_range(store).select("url", "ts_us")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # full decode still needs payloads, but catalog-only queries must not
+    cat = store.catalog().select("url", "n_points")
+    cplan = cat._jdf.queryExecution().executedPlan().toString()
+    assert "p_value" not in cplan and "p_ts" not in cplan
+
+
+def test_describe_never_touches_payloads(store):
+    plan = store.describe()._jdf.queryExecution().executedPlan().toString()
+    assert "p_ts" not in plan and "p_value" not in plan
+
+
+def test_brute_force_topk_broadcasts_probes(spark, sf_dir):
+    from mtslake.simsearch import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.limit(2).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    out = brute_force_topk(emb, probes, k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+
+
+def test_rollup_is_partial_aggregated(spark, store):
+    from mtslake import rollup
+
+    decoded = read.read_range(store)
+    r = rollup.rollup_from_series(decoded, "1h")
+    plan = r._jdf.queryExecution().executedPlan().toString()
+    # hash aggregate with a partial (map-side) phase before the exchange
+    assert plan.count("HashAggregate") >= 2
