@@ -112,11 +112,13 @@ def main() -> None:
         points_per_sec = n_points / pipeline_sec if pipeline_sec else 0.0
 
         # driver-table queries (events/documents) for cross-round tracking
-        import __spark_entry__ as entry
+        if not os.environ.get("SPARK_GRAFT_BENCH_SKIP_AUX"):
+            import __spark_entry__ as entry
 
-        for qname in ("ts_rollup_1h_codec", "doc_minhash_lsh", "emb_cosine_topk"):
-            fn = entry.queries()[qname]
-            timed(qname, lambda f=fn: f(spark, sf_dir).count())
+            for qname in ("ts_rollup_1h_codec", "doc_minhash_lsh",
+                          "emb_cosine_topk"):
+                fn = entry.queries()[qname]
+                timed(qname, lambda f=fn: f(spark, sf_dir).count())
 
         result = {
             "metric": "rolled_up_points_per_sec",
