@@ -207,7 +207,8 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
     return docs.select(
-        "doc_id", F.md5(norm).alias("fingerprint"), F.length(norm).alias("norm_len")
+        "doc_id", F.md5(norm).alias("fingerprint"),
+        F.length(norm).cast("long").alias("norm_len"),
     )
 
 

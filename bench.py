@@ -86,7 +86,7 @@ def main() -> None:
         chunks = chunk.compress_series(series, DEFAULT)
         timed("compress_write", lambda: store.write_chunks(chunks, mode="overwrite"))
 
-        decoded = read.read_range(store)
+        decoded = read.read_range(store, columns=["value"])
         timed(
             "decode_rollup_tiers_write",
             lambda: rollup.materialize_tiers(store, decoded),

@@ -176,13 +176,20 @@ def _hex_rows(sha_concat: bytes, n: int) -> list[str]:
     return [big[i * 40:(i + 1) * 40] for i in range(n)]
 
 
-def _decode_batch(pdf: pd.DataFrame, verify: bool) -> pd.DataFrame:
-    urls, langs, tss, nchs, vals, shas = [], [], [], [], [], []
+ALL_CHANNELS = ("n_chars", "value", "text_sha1")
+
+
+def _decode_batch(pdf: pd.DataFrame, verify: bool,
+                  channels: tuple[str, ...]) -> pd.DataFrame:
+    want_n = "n_chars" in channels
+    want_v = "value" in channels
+    want_s = "text_sha1" in channels
+    urls, langs, tss, nchs, vals, shas, counts = [], [], [], [], [], [], []
     for row in pdf.itertuples(index=False):  # per-CHUNK, not per-point
         ts = codec.decode_column(row.p_ts)
-        nch = codec.decode_column(row.p_n_chars)
-        val = codec.decode_column(row.p_value)
         if verify:
+            nch = codec.decode_column(row.p_n_chars)
+            val = codec.decode_column(row.p_value)
             got = codec.chunk_sha1(ts, {"n_chars": nch, "value": val})
             if got != row.sha1:
                 # ≙ "CRITICAL ERROR" hard failure, mtscomp.py:880-888
@@ -190,49 +197,85 @@ def _decode_batch(pdf: pd.DataFrame, verify: bool) -> pd.DataFrame:
                     f"chunk integrity failure url={row.url} "
                     f"expected sha1={row.sha1} got={got}"
                 )
-        k = len(ts)
-        urls.append(np.repeat(row.url, k))
-        langs.append(np.repeat(row.lang, k))
+        else:
+            nch = codec.decode_column(row.p_n_chars) if want_n else None
+            val = codec.decode_column(row.p_value) if want_v else None
         tss.append(ts)
-        nchs.append(nch)
-        vals.append(val)
-        shas.append(codec.decode_column(row.p_sha1))
+        counts.append(len(ts))
+        urls.append(row.url)
+        langs.append(row.lang)
+        if want_n:
+            nchs.append(nch)
+        if want_v:
+            vals.append(val)
+        if want_s:
+            shas.append(codec.decode_column(row.p_sha1))
     if not tss:
-        return pd.DataFrame(
-            {c.name: pd.Series(dtype=object) for c in SERIES_SCHEMA.fields}
+        cols = ["url", "lang", TS_COL, *channels]
+        return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
+    counts = np.asarray(counts)
+    # url/lang are per-chunk constants: dictionary-encode instead of
+    # materializing one Python string per POINT (Arrow keeps the
+    # dictionary encoding across the boundary)
+    out = {
+        "url": pd.Categorical(np.repeat(urls, counts)),
+        "lang": pd.Categorical(np.repeat(langs, counts)),
+        TS_COL: np.concatenate(tss),
+    }
+    if want_n:
+        out["n_chars"] = np.concatenate(nchs)
+    if want_v:
+        out["value"] = np.concatenate(vals)
+    if want_s:
+        out["text_sha1"] = _hex_rows(
+            np.concatenate(shas).tobytes(), int(counts.sum())
         )
-    ts_cat = np.concatenate(tss)
-    return pd.DataFrame(
-        {
-            "url": np.concatenate(urls),
-            "lang": np.concatenate(langs),
-            TS_COL: ts_cat,
-            "n_chars": np.concatenate(nchs),
-            "value": np.concatenate(vals),
-            "text_sha1": _hex_rows(
-                np.concatenate(shas).tobytes(), len(ts_cat)
-            ),
-        }
-    )
+    return pd.DataFrame(out)
 
 
-def decompress_chunks(chunks: DataFrame, verify: bool = False) -> DataFrame:
+def decompress_chunks(
+    chunks: DataFrame,
+    verify: bool = False,
+    channels: tuple[str, ...] = ALL_CHANNELS,
+) -> DataFrame:
     """chunk rows → series rows, shuffle-free (mapInPandas).
 
     ≙ Reader.read_chunk → zlib → frombuffer → cumsum (mtscomp.py:602-635)
     + the parallel bulk path Reader.tofile (mtscomp.py:701-743).
+
+    ``channels`` is **projection pushdown into the codec**: only the
+    requested channel payloads are read (Parquet column pruning on the
+    p_* columns) and decoded. The reference decodes whole chunks and
+    selects afterwards (mtscomp.py:835-842); per-channel payload columns
+    make the projection free.
+
     With verify=True each chunk's raw-byte SHA1 is recomputed and any
     mismatch raises (≙ post-write check, mtscomp.py:866-888: tampering
     must be a hard error, tests.py:345-379).
     """
-    src = chunks.select(
-        "url", "lang", "sha1", "p_ts", "p_n_chars", "p_value", "p_sha1"
-    )
+    channels = tuple(c for c in ALL_CHANNELS if c in channels)
+    need = {"url", "lang", "sha1", "p_ts"}
+    if verify or "n_chars" in channels:
+        need.add("p_n_chars")
+    if verify or "value" in channels:
+        need.add("p_value")
+    if "text_sha1" in channels:
+        need.add("p_sha1")
+    src = chunks.select(*sorted(need))
 
-    def gen(batches, _verify=verify):
+    fields = [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField(TS_COL, T.LongType(), False),
+    ]
+    by_name = {f.name: f for f in SERIES_SCHEMA.fields}
+    fields += [by_name[c] for c in channels]
+    schema = T.StructType(fields)
+
+    def gen(batches, _verify=verify, _channels=channels):
         for pdf in batches:
-            out = _decode_batch(pdf, _verify)
+            out = _decode_batch(pdf, _verify, _channels)
             if not out.empty:
                 yield out
 
-    return src.mapInPandas(gen, schema=SERIES_SCHEMA)
+    return src.mapInPandas(gen, schema=schema)

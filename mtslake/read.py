@@ -31,18 +31,22 @@ def read_range(
     cfg: EngineConfig = DEFAULT,
     verify: bool = False,
 ) -> DataFrame:
+    from .chunk import ALL_CHANNELS
+
     pruned = prune_chunks(
         store.chunks(), t0_us, t1_us, url=url, url_prefix=url_prefix, cfg=cfg
     )
-    decoded = decompress_chunks(pruned, verify=verify)
+    # channel projection (≙ r[:, cols], mtscomp.py:835-842) is pushed
+    # INTO the decode: unrequested payload columns are never read from
+    # Parquet nor decoded (the reference decodes whole chunks first)
+    channels = ALL_CHANNELS if columns is None else tuple(
+        c for c in ALL_CHANNELS if c in columns
+    )
+    decoded = decompress_chunks(pruned, verify=verify, channels=channels)
     if t0_us is not None:
         decoded = decoded.filter(F.col(TS_COL) >= int(t0_us))
     if t1_us is not None:
         decoded = decoded.filter(F.col(TS_COL) <= int(t1_us))
-    if columns is not None:
-        # channel projection (≙ r[:, cols], mtscomp.py:835-842) — with
-        # per-channel payload columns this prunes at the Parquet scan
-        decoded = decoded.select("url", TS_COL, *columns)
     return decoded
 
 
