@@ -37,13 +37,19 @@ def run(cpus: int, repeats: int = 2) -> dict:
             ),
         )
         load = _loadavg()
+        # taskset pins the WHOLE process tree (JVM + python workers) to
+        # exactly `cpus` CPUs — the faithful proxy for an executor's CPU
+        # limit. Without it a local[2] JVM leaks onto extra cores via
+        # GC/shuffle/Python-worker threads and inflates the N baseline.
         out = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py")],
+            ["taskset", "-c", f"0-{cpus - 1}", sys.executable,
+             os.path.join(REPO, "bench.py")],
             capture_output=True, text=True, env=env, timeout=3600,
         )
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         r = json.loads(line)
         r["loadavg_at_start"] = load
+        r["pinned_cpus"] = cpus
         if best is None or r["pipeline_sec"] < best["pipeline_sec"]:
             best = r
     return best
