@@ -97,15 +97,21 @@ def build_all_tiers(series: DataFrame) -> dict[str, DataFrame]:
 
 
 def materialize_tiers(store, series: DataFrame) -> None:
-    """Write 1m from raw, then each coarser tier FROM THE WRITTEN finer
-    tier — the expensive decode/scan lineage executes exactly once, and
-    coarser tiers re-aggregate a table ~60× smaller (decimal sums keep
-    them bit-identical to direct aggregation either way)."""
-    rollup_from_series(series, "1m").write.mode("overwrite").parquet(
-        store.path("rollup_1m")
-    )
-    for tier, below in (("1h", "1m"), ("1d", "1h")):
-        lower = store.spark.read.parquet(store.path(f"rollup_{below}"))
-        rollup_from_tier(lower, tier).write.mode("overwrite").parquet(
-            store.path(f"rollup_{tier}")
-        )
+    """Write 1m from raw, then each coarser tier from the finer one —
+    the expensive decode/scan lineage executes exactly once (the finer
+    tier is cached while its successor aggregates from it), and coarser
+    tiers re-aggregate an input ~60× smaller (decimal sums keep them
+    bit-identical to direct aggregation either way)."""
+    one_m = rollup_from_series(series, "1m").persist()
+    try:
+        one_m.write.mode("overwrite").parquet(store.path("rollup_1m"))
+        one_h = rollup_from_tier(one_m, "1h").persist()
+        try:
+            one_h.write.mode("overwrite").parquet(store.path("rollup_1h"))
+            rollup_from_tier(one_h, "1d").write.mode("overwrite").parquet(
+                store.path("rollup_1d")
+            )
+        finally:
+            one_h.unpersist()
+    finally:
+        one_m.unpersist()
