@@ -40,7 +40,9 @@ def main() -> None:
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("mtslake-bench")
-        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
+        # decoupled from cpus: hash-agg partitions must stay small enough
+        # to avoid spill regardless of parallelism level
+        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 64)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))

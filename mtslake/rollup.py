@@ -42,22 +42,52 @@ def bucket_expr(col, tier: str) -> F.Column:
     return (c - F.pmod(c, F.lit(us))).cast("long")
 
 
-def rollup_from_series(series: DataFrame, tier: str) -> DataFrame:
+def rollup_from_series(series: DataFrame, tier: str,
+                       salt: int | None = None) -> DataFrame:
     """raw (url, ts_us, value, lang) → tier aggregates keyed by
-    (url_prefix = host, lang, bucket_us)."""
-    return (
-        series.select(
-            url_prefix(),
-            F.col("lang"),
-            bucket_expr(TS_COL, tier).alias("bucket_us"),
-            F.col("value"),
+    (url_prefix = host, lang, bucket_us).
+
+    ``salt``: two-stage aggregation for hot-key skew (north_rule) — a
+    hot url-prefix's rows first combine under ``salt`` sub-keys
+    (spreading one giant reduce group over the cluster), then the
+    partials merge. EXACT under decimal sums (order-independent), so
+    salted ≡ unsalted bit-for-bit. Leave None to rely on map-side
+    partial aggregation + AQE skew handling alone.
+    """
+    base = series.select(
+        url_prefix(),
+        F.col("lang"),
+        bucket_expr(TS_COL, tier).alias("bucket_us"),
+        F.col("value"),
+    )
+    if salt is None:
+        return (
+            base.groupBy("url_prefix", "lang", "bucket_us")
+            .agg(
+                F.count("*").alias("cnt"),
+                F.min("value").alias("vmin"),
+                F.max("value").alias("vmax"),
+                F.sum(F.col("value").cast("decimal(38,18)")).alias("vsum"),
+            )
+            .withColumn("vsum", F.col("vsum").cast("decimal(38,18)"))
         )
-        .groupBy("url_prefix", "lang", "bucket_us")
+    partial = (
+        base.withColumn("_salt", F.pmod(F.xxhash64("value"), F.lit(salt)))
+        .groupBy("url_prefix", "lang", "bucket_us", "_salt")
         .agg(
             F.count("*").alias("cnt"),
             F.min("value").alias("vmin"),
             F.max("value").alias("vmax"),
             F.sum(F.col("value").cast("decimal(38,18)")).alias("vsum"),
+        )
+    )
+    return (
+        partial.groupBy("url_prefix", "lang", "bucket_us")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+            F.sum("vsum").alias("vsum"),
         )
         .withColumn("vsum", F.col("vsum").cast("decimal(38,18)"))
     )
