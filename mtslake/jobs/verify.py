@@ -24,21 +24,23 @@ def main(argv=None) -> None:
     store = ChunkStore(spark, args.store)
     decoded = read_range(store, verify=True)
     orig = pages_to_series(spark.read.parquet(f"{args.store}/pages"))
-    j = orig.select("url", TS_COL, "value", "n_chars", "text_sha1").join(
-        decoded.select(
-            "url", TS_COL,
-            F.col("value").alias("dv"), F.col("n_chars").alias("dn"),
-            F.col("text_sha1").alias("dsha"),
-        ),
-        ["url", TS_COL],
-        "full_outer",
+    cols = ["url", TS_COL, "value", "n_chars", "text_sha1"]
+
+    # multiset comparison: duplicate warc_ts per url are legal (the
+    # codec preserves them), so an equi-join on (url, ts) would
+    # cross-match; instead count each full row on both sides
+    def counted(df, alias):
+        return df.select(*cols).groupBy(*cols).agg(F.count("*").alias(alias))
+
+    j = counted(orig, "n_orig").join(
+        counted(decoded, "n_dec"), cols, "full_outer"
     )
     bad = j.filter(
-        F.col("value").isNull() | F.col("dv").isNull()
-        | (F.col("value") != F.col("dv")) | (F.col("n_chars") != F.col("dn"))
-        | (F.col("text_sha1") != F.col("dsha"))
+        F.col("n_orig").isNull() | F.col("n_dec").isNull()
+        | (F.col("n_orig") != F.col("n_dec"))
     ).count()
     if bad:
+        # ≙ "CRITICAL ERROR" hard failure, mtscomp.py:880-888
         raise RuntimeError(f"CRITICAL ERROR: {bad} mismatching points")
     print("verify OK")
 

@@ -48,6 +48,9 @@ def drop_chunk_partitions(store: ChunkStore, chunk_ids: list[int]) -> int:
             shutil.rmtree(p)
             dropped += 1
     if dropped:
+        # Spark's global FileStatusCache still lists the deleted files;
+        # refresh so later scans of the path re-list
+        store.spark.catalog.refreshByPath(store.path("chunks"))
         store.rebuild_catalog()
     return dropped
 

@@ -13,7 +13,10 @@ from mtslake.jobs import verify as job_verify
 
 def test_full_job_pipeline(spark, tmp_path):
     store = str(tmp_path / "lake")
-    job_ingest.main(["--store", store, "--n-urls", "20", "--snapshots", "48"])
+    # --hot 0: hot-url amplification would stretch the span past the
+    # 30-day raw retention horizon and make the no-drop assert wrong
+    job_ingest.main(["--store", store, "--n-urls", "20", "--snapshots", "48",
+                     "--hot", "0"])
     pages = spark.read.parquet(f"{store}/pages")
     assert pages.count() > 0
     assert set(pages.columns) == {"url", "warc_ts", "html", "text", "lang"}
