@@ -33,7 +33,7 @@ def run(cpus: int, repeats: int = 2) -> dict:
             # enough parallel work that fixed orchestration costs
             # (job/stage barriers, parquet commits) amortize
             SPARK_GRAFT_BENCH_URLS=os.environ.get(
-                "SPARK_GRAFT_BENCH_URLS", "160000"
+                "SPARK_GRAFT_BENCH_URLS", "80000"
             ),
         )
         load = _loadavg()

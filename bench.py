@@ -85,7 +85,9 @@ def main() -> None:
         )
         n_points = series.count()
 
-        chunks = chunk.compress_series(series, DEFAULT)
+        # series is persisted hash-partitioned by url -> encode can skip
+        # its shuffle (bucketed-table co-location pattern)
+        chunks = chunk.compress_series(series, DEFAULT, pre_partitioned=True)
         timed("compress_write", lambda: store.write_chunks(chunks, mode="overwrite"))
 
         decoded = read.read_range(store, columns=["value"])

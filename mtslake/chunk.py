@@ -155,20 +155,33 @@ def _encode_stream(batches):
         yield _encode_block(buf)
 
 
-def compress_series(series: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+def compress_series(
+    series: DataFrame,
+    cfg: EngineConfig = DEFAULT,
+    pre_partitioned: bool = False,
+) -> DataFrame:
     """series → compressed chunk rows (one row per (url, chunk_id)).
 
     ≙ Writer.write (mtscomp.py:425-507): the ThreadPool becomes Spark
     tasks; ordering becomes keys. Lazy — caller writes via catalog.
+
+    ``pre_partitioned=True`` skips the shuffle when the caller
+    guarantees all rows of a url already share a partition (e.g. the
+    input was just ``repartition(n, "url")``-ed or read from a
+    url-bucketed table): partitioning by url alone co-locates every
+    (url, chunk_id) group, and the partition-local sort makes them
+    contiguous. This is the bucketed-table co-location pattern — at
+    warehouse scale, write the series url-bucketed once and every
+    compress run skips its shuffle.
     """
     keyed = series.withColumn(
         "chunk_id", F.floor(F.col(TS_COL) / F.lit(cfg.chunk_duration_us))
     )
-    return (
-        keyed.repartition("url", "chunk_id")
-        .sortWithinPartitions("url", "chunk_id", TS_COL, "text_sha1")
-        .mapInPandas(_encode_stream, schema=CHUNK_SCHEMA)
-    )
+    if not pre_partitioned:
+        keyed = keyed.repartition("url", "chunk_id")
+    return keyed.sortWithinPartitions(
+        "url", "chunk_id", TS_COL, "text_sha1"
+    ).mapInPandas(_encode_stream, schema=CHUNK_SCHEMA)
 
 
 def _hex_rows(sha_concat: bytes, n: int) -> list[str]:

@@ -106,3 +106,14 @@ def test_text_sha1_invariant_roundtrip(store):
     got = read.read_range(st).select("url", TS_COL, "text_sha1")
     exp = series.select("url", TS_COL, "text_sha1")
     assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+
+def test_pre_partitioned_compress_equivalent(spark, store):
+    """pre_partitioned=True (shuffle-skipping) must produce the same
+    decoded multiset as the default path."""
+    _, series = store
+    from mtslake import chunk as ch
+    pre = series.repartition(4, "url")
+    chunks = ch.compress_series(pre, DEFAULT, pre_partitioned=True)
+    decoded = ch.decompress_chunks(chunks, verify=True)
+    assert _canon(decoded) == _canon(series)
