@@ -287,6 +287,15 @@ def q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, probes, k=5, n_planes=10)
 
 
+def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.4), exact
+    all-pairs variant (the LSH-bucketed scale path is recall-tested in
+    tests/test_trainops.py)."""
+    from mtslake.dedup import embedding_near_dupes
+
+    return embedding_near_dupes(_emb(spark, sf_dir), threshold=0.4)
+
+
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: synthesized binary media → Arrow-batched
     feature extraction (decode kernel stubbed; rows-only)."""
@@ -319,6 +328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_lsh_topk": q_emb_lsh_topk,
+        "emb_near_dup": q_emb_near_dup,
         "mm_features": q_mm_features,
     }
 
@@ -540,5 +550,18 @@ def oracle_sql() -> dict[str, str]:
                             ORDER BY c DESC, vec_id) AS INT) AS rank
                 FROM scored
             ) WHERE rank <= 5
+        """,
+        "emb_near_dup": """
+            WITH e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(b.v, b.v))) >= 0.4
         """,
     }

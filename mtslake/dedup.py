@@ -11,6 +11,9 @@ codegen and scale to 10¹²-doc tables:
                    banded hamming candidates
 * n-gram Jaccard — exact set similarity on shingles (verification and
                    small-scale standalone)
+* embedding-cosine near-dup — pairs whose embedding cosine ≥ threshold;
+                   exact all-pairs for verification, hyperplane-LSH
+                   bucketed candidates + exact verify as the scale path
 
 Scale notes: LSH banding is the classic shuffle shape (explode bands →
 groupBy bucket); hot buckets are bounded by ``max_bucket`` (a bucket
@@ -204,6 +207,71 @@ def simhash_near_dupes(
         )
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_dupes(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 0,
+    dim: int = 64,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ ``threshold``.
+
+    ``n_planes=0`` — exact all-pairs (quadratic; verification / bounded
+    inputs). ``n_planes>0`` — the web-scale path: random-hyperplane
+    bucket equi-join (plus 1-bit-flip multi-probe on one side) generates
+    candidates, exact cosine verifies them, so the threshold is real and
+    only recall is probabilistic. Candidates shuffle on the bucket key;
+    near-dup pairs are overwhelmingly co-bucketed because close vectors
+    agree on most sign bits.
+
+    Returns (id_a, id_b, cos) with id_a < id_b.
+    """
+    from mtslake.simsearch import cosine, hyperplane_signature
+
+    base = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    if n_planes > 0:
+        base = base.withColumn(
+            "_sig", hyperplane_signature(F.col("_v"), n_planes, dim)
+        )
+        a = base.select(
+            "_id", "_v",
+            F.explode(
+                F.array(
+                    F.col("_sig"),
+                    *[F.col("_sig").bitwiseXOR(F.lit(1 << b))
+                      for b in range(n_planes)],
+                )
+            ).alias("bucket"),
+        ).alias("a")
+        b = base.withColumnRenamed("_sig", "bucket").alias("b")
+        cand = (
+            a.join(
+                b, (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a._id") < F.col("b._id"))
+            )
+            .select(
+                F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
+                F.col("a._v").alias("_va"), F.col("b._v").alias("_vb"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        a, b = base.alias("a"), base.alias("b")
+        cand = a.join(b, F.col("a._id") < F.col("b._id")).select(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
+            F.col("a._v").alias("_va"), F.col("b._v").alias("_vb"),
+        )
+    return (
+        cand.withColumn("cos", cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
 
 

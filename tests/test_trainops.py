@@ -78,6 +78,22 @@ def test_simhash_near_dupes(spark, docs):
     assert len(planted_pairs & got) >= 6  # simhash is approximate
 
 
+def test_embedding_near_dup_exact_and_lsh(spark, emb):
+    # plant exact-duplicate embeddings (cosine == 1) under new ids
+    planted = emb.limit(6).withColumn("vec_id", F.col("vec_id") + 100000)
+    both = emb.unionByName(planted)
+    exact = dedup.embedding_near_dupes(both, threshold=0.95)
+    got = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    planted_pairs = {(i, i + 100000) for i in range(6)}
+    assert planted_pairs <= got
+    # LSH path: verified candidates => no false positives vs exact,
+    # and identical vectors share every bucket => planted recall is total
+    lsh = dedup.embedding_near_dupes(both, threshold=0.95, n_planes=10)
+    lsh_got = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
+    assert lsh_got <= got
+    assert planted_pairs <= lsh_got
+
+
 # -- textops --------------------------------------------------------------
 
 def test_lang_id_marker_votes(spark):
