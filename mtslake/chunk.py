@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
@@ -130,29 +131,121 @@ def _encode_block(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
+_PA_CHUNK_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("chunk_id", pa.int64()),
+        ("lang", pa.string()),
+        ("ts_min", pa.int64()),
+        ("ts_max", pa.int64()),
+        ("n_points", pa.int32()),
+        ("raw_nbytes", pa.int64()),
+        ("comp_nbytes", pa.int64()),
+        ("raw_signal_nbytes", pa.int64()),
+        ("comp_signal_nbytes", pa.int64()),
+        ("sha1", pa.string()),
+        ("p_ts", pa.binary()),
+        ("p_n_chars", pa.binary()),
+        ("p_value", pa.binary()),
+        ("p_sha1", pa.binary()),
+    ]
+)
+
+
+def _binary_flat(arr: pa.Array, n: int) -> np.ndarray:
+    """Zero-copy view of a BinaryArray's packed value bytes (each value
+    SHA1_W bytes), honoring array offset/slices."""
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)
+    start = int(offsets[arr.offset])
+    end = int(offsets[arr.offset + n])
+    return np.frombuffer(arr.buffers()[2], dtype=np.uint8)[start:end]
+
+
+def _encode_block_arrow(t: pa.Table) -> pa.RecordBatch:
+    """Arrow-native twin of _encode_block: url/lang stay in Arrow
+    buffers (one .as_py() per GROUP, never per row), sha1 bytes are a
+    zero-copy view. Same codec calls → bit-identical payloads."""
+    t = t.combine_chunks()
+    n = t.num_rows
+    url = t.column("url").chunk(0)
+    lang = t.column("lang").chunk(0)
+    cids = t.column("chunk_id").chunk(0).to_numpy()
+    ts_all = t.column("ts_us").chunk(0).to_numpy()
+    nch_all = t.column("n_chars").chunk(0).to_numpy()
+    val_all = t.column("value").chunk(0).to_numpy()
+    sha_all = _binary_flat(t.column("sha_bin").chunk(0), n).reshape(n, SHA1_W)
+
+    urlneq = pa.compute.not_equal(
+        url.slice(1), url.slice(0, n - 1)
+    ).to_numpy(zero_copy_only=False)
+    change = np.flatnonzero(urlneq | (cids[1:] != cids[:-1])) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [n]))
+
+    out: dict[str, list] = {c: [] for c in _OUT_COLS}
+    for s, e in zip(starts, ends):
+        ts = ts_all[s:e]
+        nch = nch_all[s:e]
+        val = val_all[s:e]
+        shab = sha_all[s:e].ravel()
+        p_ts = codec.encode_column(ts, codec.CODEC_DOD)
+        p_n_chars = codec.encode_column(nch, codec.CODEC_DELTA)
+        p_value = codec.encode_column(val, codec.CODEC_XOR)
+        p_sha1 = codec.encode_column(shab, codec.CODEC_RAW)
+        raw_sig = ts.nbytes + nch.nbytes + val.nbytes
+        comp_sig = len(p_ts) + len(p_n_chars) + len(p_value)
+        out["url"].append(url[int(s)].as_py())
+        out["chunk_id"].append(int(cids[s]))
+        out["lang"].append(lang[int(s)].as_py())
+        out["ts_min"].append(int(ts[0]))
+        out["ts_max"].append(int(ts[-1]))
+        out["n_points"].append(int(e - s))
+        out["raw_nbytes"].append(raw_sig + shab.nbytes)
+        out["comp_nbytes"].append(comp_sig + len(p_sha1))
+        out["raw_signal_nbytes"].append(raw_sig)
+        out["comp_signal_nbytes"].append(comp_sig)
+        out["sha1"].append(codec.chunk_sha1(ts, {"n_chars": nch, "value": val}))
+        out["p_ts"].append(p_ts)
+        out["p_n_chars"].append(p_n_chars)
+        out["p_value"].append(p_value)
+        out["p_sha1"].append(p_sha1)
+    return pa.RecordBatch.from_pydict(out, schema=_PA_CHUNK_SCHEMA)
+
+
 def _encode_stream(batches):
-    """Streaming group encoder: groups are contiguous (sorted partition);
-    the last group of each batch may continue into the next, so it is
-    buffered and prepended."""
-    buf: pd.DataFrame | None = None
-    for pdf in batches:
-        if pdf.empty:
+    """Streaming group encoder over Arrow RecordBatches (mapInArrow):
+    groups are contiguous (sorted partition); the last group of each
+    batch may continue into the next, so it is buffered and prepended.
+
+    Arrow-native on purpose: a pandas handoff materializes one Python
+    object per row for every string column (url + sha1 = tens of
+    millions of allocations per task wave), which serializes on the
+    kernel allocator well before 32 cores. Keeping rows in Arrow
+    buffers makes the encode stage scale with cores."""
+    buf: pa.Table | None = None
+    for rb in batches:
+        if rb.num_rows == 0:
             continue
+        t = pa.Table.from_batches([rb])
         if buf is not None:
-            pdf = pd.concat([buf, pdf], ignore_index=True)
+            t = pa.concat_tables([buf, t]).combine_chunks()
             buf = None
-        last_url = pdf["url"].iat[-1]
-        last_cid = pdf["chunk_id"].iat[-1]
-        tail_mask = (pdf["url"] == last_url) & (pdf["chunk_id"] == last_cid)
-        n_tail = int(tail_mask.sum())
-        if n_tail == len(pdf):
-            buf = pdf
+        n = t.num_rows
+        url = t.column("url")
+        cid = t.column("chunk_id")
+        # sorted input → the last group is a suffix run
+        tail_mask = pa.compute.and_(
+            pa.compute.equal(url, url[n - 1]),
+            pa.compute.equal(cid, cid[n - 1]),
+        )
+        n_tail = pa.compute.sum(tail_mask).as_py()
+        if n_tail == n:
+            buf = t
             continue
-        head = pdf.iloc[: len(pdf) - n_tail]
-        buf = pdf.iloc[len(pdf) - n_tail:]
-        yield _encode_block(head)
-    if buf is not None and not buf.empty:
-        yield _encode_block(buf)
+        buf = t.slice(n - n_tail)
+        yield _encode_block_arrow(t.slice(0, n - n_tail))
+    if buf is not None and buf.num_rows:
+        yield _encode_block_arrow(buf)
 
 
 def compress_series(
@@ -176,12 +269,19 @@ def compress_series(
     """
     keyed = series.withColumn(
         "chunk_id", F.floor(F.col(TS_COL) / F.lit(cfg.chunk_duration_us))
-    )
+    ).withColumn(
+        # sha1 crosses the Arrow boundary as 20 raw bytes, not 40 hex
+        # chars: half the IPC bytes and no per-row Python strings; the
+        # sort tiebreak is order-identical (lowercase hex ≅ byte order)
+        "sha_bin", F.unhex("text_sha1")
+    ).drop("text_sha1")
     if not pre_partitioned:
         keyed = keyed.repartition("url", "chunk_id")
     return keyed.sortWithinPartitions(
-        "url", "chunk_id", TS_COL, "text_sha1"
-    ).mapInPandas(_encode_stream, schema=CHUNK_SCHEMA)
+        "url", "chunk_id", TS_COL, "sha_bin"
+    ).select(
+        "url", "lang", TS_COL, "n_chars", "value", "sha_bin", "chunk_id"
+    ).mapInArrow(_encode_stream, schema=CHUNK_SCHEMA)
 
 
 def _hex_rows(sha_concat: bytes, n: int) -> list[str]:

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .config import TIER_US
+from .config import DEFAULT, EngineConfig, TIER_US
 from .series import url_prefix
 
 TIER_DURATION = {"1m": "1 minute", "1h": "1 hour", "1d": "1 day"}
@@ -55,6 +55,118 @@ def streaming_rollup(
             "cnt", "vmin", "vmax",
             F.col("vsum").cast("decimal(38,18)").alias("vsum"),
         )
+    )
+
+
+def streaming_compress(
+    series_stream: DataFrame,
+    cfg: EngineConfig = DEFAULT,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    the streaming sibling of ``chunk.compress_series``.
+
+    Per-url ``GroupState`` buffers raw points; once the event-time
+    watermark passes a chunk's end boundary the chunk is *sealed* with
+    the exact batch codec (``chunk._encode_block``), so a sealed
+    streaming chunk is **bit-identical** — payloads, sha1, stats — to
+    what the batch path would produce for the same points (the
+    streaming analogue of the reference's ordered chunk writer,
+    mtscomp.py:425-507, where "closed" was implicit in file order).
+
+    An event-time timeout is armed at the earliest open chunk's end
+    boundary, so urls that stop receiving data still flush as the
+    global watermark advances. Rows later than the watermark are
+    dropped by Spark before they reach the state handler — the
+    streaming retention horizon. State stays bounded: at most one open
+    chunk's points per url (plus any not-yet-sealed recent chunks).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from . import chunk as chunk_mod
+    from .series import TS_COL
+
+    dur = cfg.chunk_duration_us
+    cols = ["lang", TS_COL, "n_chars", "value", "text_sha1"]
+
+    with_ts = series_stream.withColumn(
+        "event_ts", F.timestamp_micros(F.col(TS_COL))
+    ).withWatermark("event_ts", watermark)
+
+    def seal(key, pdfs, state):
+        url = key[0]
+        parts = []
+        if state.exists:
+            ts, nch, val, sha, lang0 = state.get
+            parts.append(pd.DataFrame({
+                "lang": lang0, TS_COL: pd.Series(ts, dtype="int64"),
+                "n_chars": pd.Series(nch, dtype="int64"),
+                "value": pd.Series(val, dtype="float64"),
+                "text_sha1": sha,
+            }))
+        parts += [p[cols] for p in pdfs if len(p)]
+        if not parts:
+            state.remove()
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        closed_below = wm_us // dur  # chunk ids < this are sealed
+        pdf["chunk_id"] = pdf[TS_COL] // dur
+        pdf = pdf.sort_values(
+            ["chunk_id", TS_COL, "text_sha1"], kind="mergesort",
+            ignore_index=True,
+        )
+        closed = pdf[pdf["chunk_id"] < closed_below]
+        open_ = pdf[pdf["chunk_id"] >= closed_below]
+        if len(open_):
+            state.update((
+                open_[TS_COL].tolist(), open_["n_chars"].tolist(),
+                open_["value"].tolist(), open_["text_sha1"].tolist(),
+                str(open_["lang"].iat[0]),
+            ))
+            next_seal_ms = ((int(open_["chunk_id"].iat[0]) + 1) * dur) // 1000
+            state.setTimeoutTimestamp(
+                max(next_seal_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        else:
+            state.remove()
+        if len(closed):
+            blk = closed.copy()
+            blk["url"] = url
+            yield chunk_mod._encode_block(
+                blk[["url", "chunk_id", "lang", TS_COL,
+                     "n_chars", "value", "text_sha1"]]
+            )
+
+    return with_ts.groupBy("url").applyInPandasWithState(
+        seal,
+        outputStructType=chunk_mod.CHUNK_SCHEMA,
+        stateStructType=(
+            f"{TS_COL} array<long>, n_chars array<long>, "
+            "value array<double>, text_sha1 array<string>, lang string"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def run_compress_stream_to_parquet(
+    series_stream: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    cfg: EngineConfig = DEFAULT,
+    watermark: str = "0 seconds",
+):
+    """writeStream of sealed streaming chunks (append = sealed-only);
+    restart resumes from the checkpoint without re-emitting."""
+    sealed = streaming_compress(series_stream, cfg, watermark)
+    return (
+        sealed.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
     )
 
 

@@ -1,10 +1,16 @@
 """Structured Streaming rollup: streamed 1m tier == batch 1m tier, and
-checkpoint restart is a no-op (resume semantics)."""
+checkpoint restart is a no-op (resume semantics). Stateful streaming
+chunk encoder: sealed chunks bit-identical to the batch codec."""
+
+import glob
+import os
+import shutil
 
 import pytest
 from pyspark.sql import functions as F
 
-from mtslake import rollup, streaming
+from mtslake import chunk, rollup, streaming
+from mtslake.config import DEFAULT, US_PER_HOUR
 from mtslake.datagen import generate_pages
 from mtslake.series import pages_to_series
 
@@ -45,6 +51,54 @@ def test_streaming_equals_batch(spark, series_parquet, tmp_path):
     _run(spark, src, out, ck)
     again = {tuple(r) for r in spark.read.parquet(out).collect()}
     assert again == g
+
+
+def test_stateful_streaming_compress_bit_identical(spark, series_parquet,
+                                                   tmp_path):
+    """applyInPandasWithState chunk sealer: every chunk sealed by the
+    stream equals the batch-encoded chunk byte for byte, and the sealed
+    set is exactly the chunks closed by the watermark after batch 1."""
+    _, series = series_parquet
+    cfg = DEFAULT.with_overrides(chunk_duration_us=US_PER_HOUR)
+
+    # two micro-batches in time order: split the series at the median ts
+    split = series.approxQuantile("ts_us", [0.5], 0.0)[0]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, part in enumerate([
+        series.filter(F.col("ts_us") < split),
+        series.filter(F.col("ts_us") >= split),
+    ]):
+        d = str(tmp_path / f"stage{i}")
+        part.coalesce(1).write.parquet(d)
+        f = glob.glob(f"{d}/part-*.parquet")[0]
+        dst = f"{src}/{i:02d}.parquet"
+        shutil.move(f, dst)
+        os.utime(dst, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
+
+    stream = spark.readStream.schema(series.schema).option(
+        "maxFilesPerTrigger", "1").parquet(src)
+    out, ck = str(tmp_path / "chunks"), str(tmp_path / "ck")
+    q = streaming.run_compress_stream_to_parquet(stream, out, ck, cfg).start()
+    q.awaitTermination()
+
+    got = spark.read.parquet(out)
+    batch = chunk.compress_series(series, cfg)
+    # the trailing no-data micro-batch advances the watermark to the
+    # global max event time (ms precision) and fires the event-time
+    # timeouts: exactly the chunks strictly below it are sealed —
+    # including straddle chunks merged across micro-batch state
+    wm_us = (series.agg(F.max("ts_us")).first()[0] // 1000) * 1000
+    expected = batch.filter(F.col("chunk_id") < wm_us // US_PER_HOUR)
+    g = {tuple(r) for r in got.collect()}
+    e = {tuple(r) for r in expected.collect()}
+    assert g == e
+    assert len(g) > 0
+
+    # restart from checkpoint: nothing new -> no duplicate chunks
+    q = streaming.run_compress_stream_to_parquet(stream, out, ck, cfg).start()
+    q.awaitTermination()
+    assert {tuple(r) for r in spark.read.parquet(out).collect()} == g
 
 
 def test_streaming_tier_reaggregates_into_batch_1h(spark, series_parquet,
