@@ -287,6 +287,63 @@ def q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, probes, k=5, n_planes=10)
 
 
+def q_rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational agg evidence (TPC-H Q1 shape): hash agg with partial
+    aggregation + whole-stage codegen; DECIMAL sums for order-exact
+    oracle equality."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    # narrow decimals: the (18,6)x(9,6) product is exact (scale 12,
+    # precision well under 38) in BOTH engines — wide decimals would
+    # hit engine-specific overflow rounding and break oracle equality
+    price = F.col("l_extendedprice").cast("decimal(18,6)")
+    disc1 = (F.lit(1).cast("decimal(8,6)")
+             - F.col("l_discount").cast("decimal(8,6)"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+            .cast("decimal(38,6)").alias("sum_qty"),
+            F.sum(price).cast("decimal(38,6)").alias("sum_price"),
+            F.sum((price * disc1).cast("decimal(30,12)"))
+            .cast("decimal(38,12)").alias("sum_disc_price"),
+        )
+    )
+
+
+def q_rel_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational join evidence: broadcast the small dim (supplier) into
+    the fact scan — no fact-side shuffle for the join; top-10 revenue."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    sup = spark.read.parquet(os.path.join(sf_dir, "supplier.parquet"))
+    price = F.col("l_extendedprice").cast("decimal(18,6)")
+    disc1 = (F.lit(1).cast("decimal(8,6)")
+             - F.col("l_discount").cast("decimal(8,6)"))
+    rev = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.sum((price * disc1).cast("decimal(30,12)"))
+            .cast("decimal(38,12)").alias("revenue")
+        )
+    )
+    return rev.orderBy(F.desc("revenue"), F.asc("s_suppkey")).limit(10)
+
+
+def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (seeded coarse quantizer, n_probe cells, exact re-rank;
+    rows-only — approximate by design, recall-tested in pytest)."""
+    from mtslake.simsearch import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    probes = (
+        emb.orderBy("vec_id").limit(3)
+        .select(F.col("vec_id").alias("probe_id"),
+                F.col("embedding").alias("probe_vec"))
+    )
+    return ivf_topk(emb, probes, k=5, n_cells=8, n_probe=4)
+
+
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine ≥ 0.4), exact
     all-pairs variant (the LSH-bucketed scale path is recall-tested in
@@ -328,7 +385,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_lsh_topk": q_emb_lsh_topk,
+        "emb_ivf_topk": q_emb_ivf_topk,
         "emb_near_dup": q_emb_near_dup,
+        "rel_pricing_summary": q_rel_pricing_summary,
+        "rel_top_suppliers": q_rel_top_suppliers,
         "mm_features": q_mm_features,
     }
 
@@ -550,6 +610,28 @@ def oracle_sql() -> dict[str, str]:
                             ORDER BY c DESC, vec_id) AS INT) AS rank
                 FROM scored
             ) WHERE rank <= 5
+        """,
+        "rel_pricing_summary": """
+            SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+                   SUM(CAST(l_quantity AS DECIMAL(18,6)))
+                       ::DECIMAL(38,6) AS sum_qty,
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+                       ::DECIMAL(38,6) AS sum_price,
+                   SUM((CAST(l_extendedprice AS DECIMAL(18,6))
+                        * (CAST(1 AS DECIMAL(8,6))
+                           - CAST(l_discount AS DECIMAL(8,6))))
+                       ::DECIMAL(30,12))::DECIMAL(38,12) AS sum_disc_price
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "rel_top_suppliers": """
+            SELECT s_suppkey, s_name,
+                   SUM((CAST(l_extendedprice AS DECIMAL(18,6))
+                        * (CAST(1 AS DECIMAL(8,6))
+                           - CAST(l_discount AS DECIMAL(8,6))))
+                       ::DECIMAL(30,12))::DECIMAL(38,12) AS revenue
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_suppkey, s_name
+            ORDER BY revenue DESC, s_suppkey ASC LIMIT 10
         """,
         "emb_near_dup": """
             WITH e AS (

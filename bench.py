@@ -45,6 +45,13 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 64)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # comparable plans across parallelism levels: coalesce to a
+        # SIZE target, not to the core count, so a scaling run compares
+        # identical physical plans (parallelismFirst would hand the
+        # low-core level fewer, better-amortized tasks)
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -73,7 +80,23 @@ def main() -> None:
         timings[name] = round(time.monotonic() - t0, 3)
         return out
 
+    def _warm_workers():
+        # Python worker pool warm-up: 2*cpus trivial Arrow tasks force
+        # worker spawn + numpy/pandas/codec imports BEFORE timing (a
+        # long-running service runs with warm, reused workers — ~1.5s
+        # of imports × 32 workers inside the timed region would measure
+        # process bootstrap, not the engine). Workers are reused
+        # (spark.python.worker.reuse defaults true).
+        def _imp(it):
+            from mtslake import chunk as _c  # noqa: F401  (pulls np/pd/pa)
+            for b in it:
+                yield b
+        spark.range(cpus * 2).repartition(cpus * 2).mapInArrow(
+            _imp, "id long"
+        ).count()
+
     try:
+        _warm_workers()
         pages = generate_pages(
             spark, n_urls=n_urls, snapshots_per_url=192,
             n_hot=max(n_urls // 500, 1), hot_factor=20,

@@ -4,21 +4,24 @@ Spark shape (SURVEY §3.1): the reference's thread-pool chunk loop
 (Writer.compress_batch, mtscomp.py:399-423) becomes
 
     series → repartition(url, chunk_id) → sortWithinPartitions
-           → mapInPandas(streaming group encoder) → chunks table
+           → mapInArrow(streaming group encoder) → chunks table
 
 and the read path (Reader.read_chunk, mtscomp.py:602-635) becomes a
 shuffle-free ``mapInPandas(decode)`` over pruned chunk rows — each chunk
 row is independently addressable and expands to its points without any
 repartition.
 
-Why mapInPandas and not groupBy().applyInPandas: the semantics are the
+Why mapInArrow and not groupBy().applyInPandas: the semantics are the
 same (hash-partition on the group key guarantees co-location; the sort
 makes groups contiguous), but applyInPandas pays one Python invocation
 plus one single-row DataFrame per GROUP, while web-scale chunks are
 small (10²-10⁴ points) and enormous in number — per-group overhead
 dominated the profile by >5×. The streaming encoder amortizes to one
-Python call and two DataFrames per ARROW BATCH, carrying the (possibly
-split) last group over batch boundaries.
+Python call per ARROW BATCH, carrying the (possibly split) last group
+over batch boundaries. Arrow (not pandas) because a pandas handoff
+materializes one Python object per row per string column — tens of
+millions of allocations per task wave that serialize on the kernel
+allocator before 32 cores; Arrow buffers cross zero-copy.
 
 * chunk identity is the key ``(url, chunk_id = floor(ts_us / dur))``
   (≙ chunk_bounds, mtscomp.py:324-339) — the reference's "write in

@@ -88,6 +88,76 @@ def hyperplane_signature(vec_col, n_planes: int = 16, dim: int = 64) -> F.Column
     return sig
 
 
+def _lit_vec(v) -> F.Column:
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN — the inverted-file sibling of ``lsh_topk``.
+
+    Coarse quantizer: ``n_cells`` deterministic centroids (the vectors
+    with the smallest ``xxhash64(id)`` — a seeded sample, no training
+    loop, so results are reproducible). Every vector is assigned
+    JVM-side to its max-cosine centroid (the inverted lists); a probe
+    searches its ``n_probe`` best cells and re-ranks exactly. With
+    ``n_probe == n_cells`` this degrades gracefully to exact search.
+    At scale the assignment is a narrow column — the embedding table
+    shuffles once on ``cell`` (or is written cell-partitioned once and
+    every query prunes to its probed cells).
+    """
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    cents = [
+        r["_v"]
+        for r in e.withColumn("_h", F.xxhash64("vec_id"))
+        .orderBy("_h", "vec_id").limit(n_cells).collect()
+    ]
+
+    def cell_scores(col) -> F.Column:
+        return F.array(*[cosine(col, _lit_vec(c)) for c in cents])
+
+    sc = cell_scores(F.col("_v"))
+    assigned = e.withColumn(
+        "cell", F.array_position(sc, F.array_max(sc)).cast("int")
+    )
+
+    p = probes.select(
+        "probe_id", F.col("probe_vec").cast("array<double>").alias("_p")
+    )
+    psc = cell_scores(F.col("_p"))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.lit(len(cents))),
+        lambda i: F.struct(
+            F.element_at(psc, i).alias("s"), i.alias("i")
+        ),
+    )
+    top = F.slice(F.reverse(F.array_sort(pairs)), 1, min(n_probe, len(cents)))
+    p = p.withColumn(
+        "cell", F.explode(F.transform(top, lambda st: st["i"].cast("int")))
+    )
+
+    cand = assigned.join(F.broadcast(p), "cell").filter(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    cand = cand.withColumn("cos", cosine(F.col("_v"), F.col("_p")))
+    w = W.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     probes: DataFrame,

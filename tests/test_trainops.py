@@ -165,6 +165,20 @@ def test_lsh_topk_recall(spark, emb):
     assert recall >= 0.5, f"LSH recall {recall} too low"
 
 
+def test_ivf_topk_full_probe_exact_and_partial_recall(spark, emb):
+    probes = _probes(emb, 4)
+    exact = simsearch.brute_force_topk(emb, probes, k=5)
+    e = {(r["probe_id"], r["vec_id"], r["rank"]) for r in exact.collect()}
+    # probing every cell must reproduce exact top-k (plumbing correct)
+    full = simsearch.ivf_topk(emb, probes, k=5, n_cells=8, n_probe=8)
+    assert {(r["probe_id"], r["vec_id"], r["rank"]) for r in full.collect()} == e
+    # partial probe: approximate but useful recall on uniform data
+    part = simsearch.ivf_topk(emb, probes, k=5, n_cells=8, n_probe=4)
+    a = {(r["probe_id"], r["vec_id"]) for r in part.collect()}
+    recall = len({(p, v) for (p, v, _) in e} & a) / len(e)
+    assert recall >= 0.4, f"IVF recall {recall} too low"
+
+
 # -- multimodal -------------------------------------------------------------
 
 def test_multimodal_pipeline(spark, docs):
