@@ -71,6 +71,46 @@ def test_range_read_pruning_and_trim(store):
     assert _canon(got) == _canon(exp)
 
 
+def test_randomized_range_oracle(store):
+    """≙ the reference's randomized slice oracle (tests.py:246-299):
+    seeded random + degenerate time ranges, every read_range result
+    (pruned scan → decode → trim) must equal the uncompressed oracle
+    on values bit-for-bit."""
+    import numpy as np
+
+    st, series = store
+    pdf = series.toPandas()
+    lo, hi = int(pdf[TS_COL].min()), int(pdf[TS_COL].max())
+    span = hi - lo
+    rng = np.random.default_rng(42)
+    ranges = []
+    for _ in range(30):  # randomized windows, mixed widths
+        a = int(rng.integers(lo - span // 10, hi + span // 10))
+        b = a + int(rng.integers(0, span // 2))
+        ranges.append((a, b))
+    exact_ts = int(pdf[TS_COL].iloc[17])
+    ranges += [
+        (hi + 1, hi + span),      # fully after horizon -> empty
+        (lo - span, lo - 1),      # fully before horizon -> empty
+        (hi, lo),                 # inverted -> empty
+        (exact_ts, exact_ts),     # zero-width on an existing point
+        (lo, hi),                 # full horizon
+        (lo, lo),                 # boundary point
+    ]
+    for t0, t1 in ranges:
+        got = {
+            tuple(r)
+            for r in read.read_range(st, t0, t1)
+            .select("url", TS_COL, "n_chars", "value").collect()
+        }
+        sub = pdf[(pdf[TS_COL] >= t0) & (pdf[TS_COL] <= t1)]
+        exp = {
+            (r.url, int(r.ts_us), int(r.n_chars), float(r.value))
+            for r in sub.itertuples(index=False)
+        }
+        assert got == exp, f"range ({t0},{t1}): {len(got)} vs {len(exp)}"
+
+
 def test_url_filtered_read(store):
     st, series = store
     url = series.select("url").first()[0]
