@@ -148,6 +148,23 @@ def test_text_sha1_invariant_roundtrip(store):
     assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
 
 
+@pytest.mark.parametrize("dur_us", [
+    60_000_000,            # 1 min  (tiny chunks, many groups)
+    3_600_000_000,         # 1 hour
+    86_400_000_000,        # 1 day  (default)
+    7 * 86_400_000_000,    # 1 week (few huge chunks, ragged tail)
+])
+def test_chunk_duration_sweep_roundtrip(spark, store, dur_us):
+    """≙ reference chunk_duration sweep (tests.py:499-501): the codec
+    round-trips bit-exact at every chunking granularity."""
+    _, series = store
+    cfg = DEFAULT.with_overrides(chunk_duration_us=dur_us)
+    decoded = chunk.decompress_chunks(
+        chunk.compress_series(series, cfg), verify=True
+    )
+    assert _canon(decoded) == _canon(series)
+
+
 def test_pre_partitioned_compress_equivalent(spark, store):
     """pre_partitioned=True (shuffle-skipping) must produce the same
     decoded multiset as the default path."""
