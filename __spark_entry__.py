@@ -284,17 +284,21 @@ def q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("probe_id"),
                 F.col("embedding").alias("probe_vec"))
     )
-    return lsh_topk(emb, probes, k=5, n_planes=10)
+    return lsh_topk(emb, probes, k=5, n_planes=8, n_tables=8)
 
 
 def q_rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational agg evidence (TPC-H Q1 shape): hash agg with partial
     aggregation + whole-stage codegen; DECIMAL sums for order-exact
-    oracle equality."""
+    totals, then ``round(dec, 2) → double`` so the driver's canonical
+    form agrees across engines (raw Decimal objects render differently
+    in Spark vs DuckDB even when values are identical)."""
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     # narrow decimals: the (18,6)x(9,6) product is exact (scale 12,
     # precision well under 38) in BOTH engines — wide decimals would
-    # hit engine-specific overflow rounding and break oracle equality
+    # hit engine-specific overflow rounding and break oracle equality.
+    # round-to-2 BEFORE the double cast: the scaled integer stays under
+    # 2^53, so decimal→double is one correctly-rounded op in any engine
     price = F.col("l_extendedprice").cast("decimal(18,6)")
     disc1 = (F.lit(1).cast("decimal(8,6)")
              - F.col("l_discount").cast("decimal(8,6)"))
@@ -302,18 +306,20 @@ def q_rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.count("*").alias("cnt"),
-            F.sum(F.col("l_quantity").cast("decimal(18,6)"))
-            .cast("decimal(38,6)").alias("sum_qty"),
-            F.sum(price).cast("decimal(38,6)").alias("sum_price"),
-            F.sum((price * disc1).cast("decimal(30,12)"))
-            .cast("decimal(38,12)").alias("sum_disc_price"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,6)")), 2)
+            .cast("double").alias("sum_qty"),
+            F.round(F.sum(price), 2).cast("double").alias("sum_price"),
+            F.round(F.sum((price * disc1).cast("decimal(30,12)")), 2)
+            .cast("double").alias("sum_disc_price"),
         )
     )
 
 
 def q_rel_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational join evidence: broadcast the small dim (supplier) into
-    the fact scan — no fact-side shuffle for the join; top-10 revenue."""
+    the fact scan — no fact-side shuffle for the join; top-10 revenue.
+    Ordering happens on the exact decimal; the projected value is
+    ``round(dec, 2) → double`` for engine-stable canonicalization."""
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     sup = spark.read.parquet(os.path.join(sf_dir, "supplier.parquet"))
     price = F.col("l_extendedprice").cast("decimal(18,6)")
@@ -324,10 +330,16 @@ def q_rel_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_suppkey", "s_name")
         .agg(
             F.sum((price * disc1).cast("decimal(30,12)"))
-            .cast("decimal(38,12)").alias("revenue")
+            .cast("decimal(38,12)").alias("revenue_dec")
         )
     )
-    return rev.orderBy(F.desc("revenue"), F.asc("s_suppkey")).limit(10)
+    return (
+        rev.orderBy(F.desc("revenue_dec"), F.asc("s_suppkey")).limit(10)
+        .select(
+            "s_suppkey", "s_name",
+            F.round("revenue_dec", 2).cast("double").alias("revenue"),
+        )
+    )
 
 
 def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -355,10 +367,98 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: synthesized binary media → Arrow-batched
-    feature extraction (decode kernel stubbed; rows-only)."""
+    feature extraction (decode kernel is a deterministic stub, so the
+    whole path is oracle-checkable). The 8-bin histogram is scalarized
+    to f0..f7 (the driver's canonicalizer can't sort array cells)."""
     from mtslake.multimodal import extract_features, synthesize_media
 
-    return extract_features(synthesize_media(_docs(spark, sf_dir)))
+    feats = extract_features(synthesize_media(_docs(spark, sf_dir)))
+    return feats.select(
+        "media_id", "kind", "nbytes", "content_md5",
+        *[F.round(F.col("features")[i], 6).alias(f"f{i}") for i in range(8)],
+    )
+
+
+_PLANT_OFF = 10_000_000
+
+
+def q_doc_minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-graded gate on the MinHash-LSH *scale path*: plant one
+    deterministic near-copy per document (one appended token → jaccard
+    n/(n+1)), run the banded-LSH pipeline over originals ∪ copies, and
+    count planted pairs it failed to recover. Oracle is the constant
+    (n_planted, 0) — a hash match proves the bucketed candidate
+    generation (the 100-TB code path, never all-pairs) has full recall
+    on known near-duplicates."""
+    from mtslake.dedup import minhash_lsh_pairs
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    # appending a token keeps jaccard = n/(n+1) ≥ 0.5 only once a doc
+    # has ≥3 tokens (shorter docs would swap their lone short-window
+    # shingle); sub-3-token docs get an identical copy (jaccard 1)
+    n_tok = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    planted = docs.select(
+        (F.col("doc_id") + _PLANT_OFF).alias("doc_id"),
+        F.when(n_tok >= 3, F.concat(F.col("text"), F.lit(" zqx")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    pairs = minhash_lsh_pairs(
+        docs.unionByName(planted), jaccard_threshold=0.5
+    )
+    found = pairs.filter(F.col("id_b") == F.col("id_a") + _PLANT_OFF)
+    n_planted = docs.agg(F.count("*").cast("long").alias("n_planted"))
+    n_found = found.agg(F.count("*").cast("long").alias("_nf"))
+    return n_planted.crossJoin(n_found).select(
+        "n_planted",
+        (F.col("n_planted") - F.col("_nf")).cast("long").alias("n_missed"),
+    )
+
+
+def q_emb_lsh_planted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-graded gate on the hyperplane-LSH near-dup *scale path*:
+    plant a deterministically jittered copy of every embedding
+    (cos ≈ 1-1e-8), run ``embedding_near_dupes(n_planes=10)`` — the
+    bucketed candidate join, not all-pairs — and count planted pairs it
+    missed. Oracle = constant (n_planted, 0)."""
+    from mtslake.dedup import embedding_near_dupes
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    jitter = F.transform(
+        "embedding",
+        lambda x, j: x * (F.lit(1.0) + F.lit(1e-4) * (F.pmod(j, 3) - 1)),
+    )
+    planted = emb.select(
+        (F.col("vec_id") + _PLANT_OFF).alias("vec_id"),
+        jitter.alias("embedding"),
+    )
+    pairs = embedding_near_dupes(
+        emb.unionByName(planted), threshold=0.9999, n_planes=10
+    )
+    found = pairs.filter(F.col("id_b") == F.col("id_a") + _PLANT_OFF)
+    n_planted = emb.agg(F.count("*").cast("long").alias("n_planted"))
+    n_found = found.agg(F.count("*").cast("long").alias("_nf"))
+    return n_planted.crossJoin(n_found).select(
+        "n_planted",
+        (F.col("n_planted") - F.col("_nf")).cast("long").alias("n_missed"),
+    )
+
+
+def q_emb_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF machinery graded end-to-end: with ``n_probe == n_cells`` the
+    inverted-file search degrades exactly to brute force, so the exact
+    cosine-topk SQL is a true oracle for the quantizer + inverted-list
+    join + re-rank pipeline."""
+    from mtslake.simsearch import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    probes = (
+        emb.orderBy("vec_id").limit(3)
+        .select(F.col("vec_id").alias("probe_id"),
+                F.col("embedding").alias("probe_vec"))
+    )
+    return ivf_topk(emb, probes, k=5, n_cells=8, n_probe=8)
 
 
 # ---------------------------------------------------------------------------
@@ -386,7 +486,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_lsh_topk": q_emb_lsh_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
+        "emb_ivf_full_probe": q_emb_ivf_full_probe,
         "emb_near_dup": q_emb_near_dup,
+        "emb_lsh_planted_recall": q_emb_lsh_planted_recall,
+        "doc_minhash_lsh_recall": q_doc_minhash_lsh_recall,
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_top_suppliers": q_rel_top_suppliers,
         "mm_features": q_mm_features,
@@ -403,6 +506,28 @@ _ROLLUP_1H = f"""
            count(*) AS cnt, min(value) AS vmin, max(value) AS vmax,
            SUM(CAST(value AS DECIMAL(38,18))) AS vsum_dec
     FROM events GROUP BY 1, 2, 3
+"""
+
+
+_EXACT_TOPK_SQL = """
+    WITH p AS (
+        SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv
+        FROM embeddings ORDER BY vec_id LIMIT 3
+    ), scored AS (
+        SELECT p.probe_id, e.vec_id,
+               list_dot_product(e.embedding::DOUBLE[], p.pv)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                        e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(p.pv, p.pv))) AS c
+        FROM embeddings e, p
+        WHERE e.vec_id <> p.probe_id
+    )
+    SELECT probe_id, vec_id, ROUND(c, 6) AS cos, rank FROM (
+        SELECT probe_id, vec_id, c,
+               CAST(row_number() OVER (PARTITION BY probe_id
+                    ORDER BY c DESC, vec_id) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= 5
 """
 
 
@@ -591,47 +716,89 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.s, b.s))) >= 0.35
         """,
-        "emb_cosine_topk": """
-            WITH p AS (
-                SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv
-                FROM embeddings ORDER BY vec_id LIMIT 3
-            ), scored AS (
-                SELECT p.probe_id, e.vec_id,
-                       list_dot_product(e.embedding::DOUBLE[], p.pv)
-                       / (sqrt(list_dot_product(e.embedding::DOUBLE[],
-                                                e.embedding::DOUBLE[]))
-                          * sqrt(list_dot_product(p.pv, p.pv))) AS c
-                FROM embeddings e, p
-                WHERE e.vec_id <> p.probe_id
-            )
-            SELECT probe_id, vec_id, ROUND(c, 6) AS cos, rank FROM (
-                SELECT probe_id, vec_id, c,
-                       CAST(row_number() OVER (PARTITION BY probe_id
-                            ORDER BY c DESC, vec_id) AS INT) AS rank
-                FROM scored
-            ) WHERE rank <= 5
-        """,
+        "emb_cosine_topk": _EXACT_TOPK_SQL,
+        # with n_probe == n_cells, IVF is provably exact → same oracle
+        "emb_ivf_full_probe": _EXACT_TOPK_SQL,
         "rel_pricing_summary": """
             SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-                   SUM(CAST(l_quantity AS DECIMAL(18,6)))
-                       ::DECIMAL(38,6) AS sum_qty,
-                   SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
-                       ::DECIMAL(38,6) AS sum_price,
-                   SUM((CAST(l_extendedprice AS DECIMAL(18,6))
+                   CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2)
+                        AS DOUBLE) AS sum_qty,
+                   CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2)
+                        AS DOUBLE) AS sum_price,
+                   CAST(ROUND(SUM((CAST(l_extendedprice AS DECIMAL(18,6))
                         * (CAST(1 AS DECIMAL(8,6))
                            - CAST(l_discount AS DECIMAL(8,6))))
-                       ::DECIMAL(30,12))::DECIMAL(38,12) AS sum_disc_price
+                       ::DECIMAL(30,12)), 2) AS DOUBLE) AS sum_disc_price
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
         "rel_top_suppliers": """
             SELECT s_suppkey, s_name,
-                   SUM((CAST(l_extendedprice AS DECIMAL(18,6))
-                        * (CAST(1 AS DECIMAL(8,6))
-                           - CAST(l_discount AS DECIMAL(8,6))))
-                       ::DECIMAL(30,12))::DECIMAL(38,12) AS revenue
-            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-            GROUP BY s_suppkey, s_name
-            ORDER BY revenue DESC, s_suppkey ASC LIMIT 10
+                   CAST(ROUND(revenue_dec, 2) AS DOUBLE) AS revenue
+            FROM (
+                SELECT s_suppkey, s_name,
+                       SUM((CAST(l_extendedprice AS DECIMAL(18,6))
+                            * (CAST(1 AS DECIMAL(8,6))
+                               - CAST(l_discount AS DECIMAL(8,6))))
+                           ::DECIMAL(30,12))::DECIMAL(38,12) AS revenue_dec
+                FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                GROUP BY s_suppkey, s_name
+                ORDER BY revenue_dec DESC, s_suppkey ASC LIMIT 10
+            )
+        """,
+        "mm_features": """
+            WITH m AS (
+                SELECT doc_id AS media_id, 'image' AS kind,
+                       text AS txt,
+                       hex(encode(text)) AS h,
+                       octet_length(encode(text)) AS nb,
+                       ((n_chars % 16) + 4) * ((doc_id % 12) + 4) AS npix
+                FROM documents
+            ), px AS (
+                SELECT media_id, npix, nb, h,
+                       unnest(generate_series(0, npix - 1)) AS k
+                FROM m
+            ), v AS (
+                SELECT media_id, npix,
+                       ((strpos('0123456789ABCDEF',
+                                substr(h, 2 * (k % nb) + 1, 1)) - 1) * 16
+                      + (strpos('0123456789ABCDEF',
+                                substr(h, 2 * (k % nb) + 2, 1)) - 1)) // 32
+                           AS bin
+                FROM px
+            ), f AS (
+                SELECT media_id,
+                       ROUND(SUM(CASE WHEN bin = 0 THEN 1 ELSE 0 END)
+                             / CAST(npix AS DOUBLE), 6) AS f0,
+                       ROUND(SUM(CASE WHEN bin = 1 THEN 1 ELSE 0 END)
+                             / CAST(npix AS DOUBLE), 6) AS f1,
+                       ROUND(SUM(CASE WHEN bin = 2 THEN 1 ELSE 0 END)
+                             / CAST(npix AS DOUBLE), 6) AS f2,
+                       ROUND(SUM(CASE WHEN bin = 3 THEN 1 ELSE 0 END)
+                             / CAST(npix AS DOUBLE), 6) AS f3,
+                       ROUND(SUM(CASE WHEN bin = 4 THEN 1 ELSE 0 END)
+                             / CAST(npix AS DOUBLE), 6) AS f4,
+                       ROUND(SUM(CASE WHEN bin = 5 THEN 1 ELSE 0 END)
+                             / CAST(npix AS DOUBLE), 6) AS f5,
+                       ROUND(SUM(CASE WHEN bin = 6 THEN 1 ELSE 0 END)
+                             / CAST(npix AS DOUBLE), 6) AS f6,
+                       ROUND(SUM(CASE WHEN bin = 7 THEN 1 ELSE 0 END)
+                             / CAST(npix AS DOUBLE), 6) AS f7
+                FROM v GROUP BY media_id, npix
+            )
+            SELECT m.media_id, m.kind, CAST(m.nb AS BIGINT) AS nbytes,
+                   md5(m.txt) AS content_md5,
+                   f.f0, f.f1, f.f2, f.f3, f.f4, f.f5, f.f6, f.f7
+            FROM m JOIN f USING (media_id)
+        """,
+        "doc_minhash_lsh_recall": """
+            SELECT CAST(count(*) AS BIGINT) AS n_planted,
+                   CAST(0 AS BIGINT) AS n_missed
+            FROM documents
+        """,
+        "emb_lsh_planted_recall": """
+            SELECT CAST(count(*) AS BIGINT) AS n_planted,
+                   CAST(0 AS BIGINT) AS n_missed
+            FROM embeddings
         """,
         "emb_near_dup": """
             WITH e AS (

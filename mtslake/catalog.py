@@ -59,19 +59,40 @@ class ChunkStore:
         partitioned write so each chunk_id directory gets a bounded
         number of well-sized files instead of one sliver per shuffle
         task (small-file storm at scale); the url bucket keeps a single
-        hot day from serializing through one task."""
+        hot day from serializing through one task.
+
+        Catalog maintenance is **incremental**: catalog rows are derived
+        from the incoming batch (cached once — the encode lineage runs
+        exactly once, never twice) and appended to a catalog that is
+        itself partitioned by chunk_id. An append therefore does O(batch)
+        work — it never re-reads or rewrites pre-existing chunk or
+        catalog partitions (at 100 TB a nightly ingest must not rescan
+        all history). ``rebuild_catalog`` remains as a repair tool."""
         clustered = chunks.repartition(
             F.col("chunk_id"), F.pmod(F.xxhash64("url"), F.lit(16))
-        )
-        clustered.write.mode(mode).partitionBy("chunk_id").parquet(
-            self.path("chunks")
-        )
-        cat = self.spark.read.parquet(self.path("chunks")).select(*CATALOG_COLS)
-        cat.write.mode("overwrite").parquet(self.path("catalog"))
+        ).persist()
+        try:
+            clustered.write.mode(mode).partitionBy("chunk_id").parquet(
+                self.path("chunks")
+            )
+            # catalog rows are tiny (one per chunk): coalesce per write so
+            # each batch adds O(1) files per touched partition, not one
+            # sliver per shuffle task
+            cat = clustered.select(*CATALOG_COLS).coalesce(1)
+            cat.write.mode(mode).partitionBy("chunk_id").parquet(
+                self.path("catalog")
+            )
+        finally:
+            clustered.unpersist()
 
     def rebuild_catalog(self) -> None:
+        """Repair tool: re-derive the whole catalog from the chunks
+        table (O(table) — not part of the ingest path)."""
         cat = self.chunks().select(*CATALOG_COLS)
-        cat.write.mode("overwrite").parquet(self.path("catalog"))
+        cat.write.mode("overwrite").partitionBy("chunk_id").parquet(
+            self.path("catalog")
+        )
+        self.spark.catalog.refreshByPath(self.path("catalog"))
 
     # -- read -------------------------------------------------------------
 

@@ -58,12 +58,20 @@ def minhash_signature(shingle_col, n_hashes: int = 64) -> F.Column:
     """n independent minhashes: min over shingles of xxhash64(s, seed).
 
     Seeding by a second literal column gives n independent hash
-    families without any Python."""
+    families without any Python.
+
+    The seed MUST be closed over via a factory, not a defaulted second
+    lambda parameter: pyspark binds a two-parameter transform lambda as
+    ``(element, index)``, which would silently replace every family's
+    seed with the array index and collapse all n families into one
+    (degenerate banding — planted-recall gated in the driver contract).
+    """
+
+    def fam(seed: int):
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
     sigs = [
-        F.array_min(
-            F.transform(shingle_col, lambda s, seed=i: F.xxhash64(s, F.lit(seed)))
-        )
-        for i in range(n_hashes)
+        F.array_min(F.transform(shingle_col, fam(i))) for i in range(n_hashes)
     ]
     return F.array(*sigs)
 

@@ -44,7 +44,8 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("kind", T.StringType(), False),
         T.StructField("nbytes", T.LongType(), False),
         T.StructField("content_sha1", T.StringType(), False),
-        T.StructField("features", T.ArrayType(T.FloatType()), False),
+        T.StructField("content_md5", T.StringType(), False),
+        T.StructField("features", T.ArrayType(T.DoubleType()), False),
     ]
 )
 
@@ -74,15 +75,18 @@ def extract_features(media: DataFrame, n_features: int = 8) -> DataFrame:
 
     def gen(batches):
         for pdf in batches:
-            feats, shas, sizes = [], [], []
+            feats, shas, md5s, sizes = [], [], [], []
             for payload, meta in zip(pdf["payload"], pdf["meta"]):
                 w = int(meta["width"] or 8) if meta is not None else 8
                 h = int(meta["height"] or 8) if meta is not None else 8
                 img = _decode_image_bytes(payload, w, h).astype(np.float64)
                 hist, _ = np.histogram(img, bins=n_features, range=(0, 256))
                 tot = max(hist.sum(), 1)
-                feats.append((hist / tot).astype(np.float32).tolist())
+                # float64 on purpose: count/total is an exact double on
+                # any engine, so features are oracle-comparable
+                feats.append((hist / tot).tolist())
                 shas.append(hashlib.sha1(payload).hexdigest())
+                md5s.append(hashlib.md5(payload).hexdigest())
                 sizes.append(len(payload))
             yield pd.DataFrame(
                 {
@@ -90,6 +94,7 @@ def extract_features(media: DataFrame, n_features: int = 8) -> DataFrame:
                     "kind": pdf["kind"],
                     "nbytes": sizes,
                     "content_sha1": shas,
+                    "content_md5": md5s,
                     "features": feats,
                 }
             )

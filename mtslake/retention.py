@@ -24,42 +24,62 @@ from pyspark.sql import functions as F
 from .catalog import ChunkStore
 from .config import EngineConfig, DEFAULT
 
-_PART_RE = re.compile(r"^chunk_id=(-?\d+)$")
-
-
-def list_chunk_partitions(store: ChunkStore) -> list[int]:
-    root = store.path("chunks")
+def _list_partitions(root: str, key: str) -> list[int]:
     if not os.path.isdir(root):
         return []
+    pat = re.compile("^" + re.escape(key) + r"=(-?\d+)$")
     out = []
     for d in os.listdir(root):
-        m = _PART_RE.match(d)
+        m = pat.match(d)
         if m:
             out.append(int(m.group(1)))
     return sorted(out)
 
 
+def list_chunk_partitions(store: ChunkStore) -> list[int]:
+    return _list_partitions(store.path("chunks"), "chunk_id")
+
+
 def drop_chunk_partitions(store: ChunkStore, chunk_ids: list[int]) -> int:
-    """Metadata-only drop of whole chunk_id partitions."""
+    """Metadata-only drop of whole chunk_id partitions.
+
+    The catalog is partitioned by chunk_id in lockstep with the chunks
+    table (catalog.write_chunks), so expiring a chunk also expires its
+    catalog rows by directory drop — O(dropped), never a catalog
+    rebuild (which would rescan the whole chunks table)."""
     dropped = 0
     for cid in chunk_ids:
         p = os.path.join(store.path("chunks"), f"chunk_id={cid}")
         if os.path.isdir(p):
             shutil.rmtree(p)
             dropped += 1
+        cp = os.path.join(store.path("catalog"), f"chunk_id={cid}")
+        if os.path.isdir(cp):
+            shutil.rmtree(cp)
     if dropped:
         # Spark's global FileStatusCache still lists the deleted files;
         # refresh so later scans of the path re-list
         store.spark.catalog.refreshByPath(store.path("chunks"))
-        store.rebuild_catalog()
+        store.spark.catalog.refreshByPath(store.path("catalog"))
     return dropped
 
 
 def apply_retention(
     store: ChunkStore, now_us: int, cfg: EngineConfig = DEFAULT
 ) -> dict[str, int]:
-    """Expire raw chunks past the raw horizon and rollup rows past their
-    tier horizons. Safe to re-run (idempotent no-op)."""
+    """Expire raw chunks past the raw horizon and rollup partitions past
+    their tier horizons. Safe to re-run (idempotent no-op).
+
+    Tier retention is **partition-granular** (like the raw tier): a
+    rollup partition is dropped only once its entire span is past the
+    horizon, so rows linger at most one ``ROLLUP_PART_US[tier]`` beyond
+    it — the price of making retention a metadata-only directory drop
+    instead of a full tier rewrite (at 100 TB a nightly retention run
+    must not rewrite every surviving row). The expired-row count scans
+    only the doomed partitions (partition-pruned), never the survivors.
+    """
+    from .rollup import ROLLUP_PART_US
+
     stats: dict[str, int] = {}
     cutoff_chunk = (now_us - cfg.retention_us["raw"]) // cfg.chunk_duration_us
     expired = [c for c in list_chunk_partitions(store) if c < cutoff_chunk]
@@ -67,20 +87,27 @@ def apply_retention(
 
     for tier in cfg.tiers:
         name = f"rollup_{tier}"
+        stats[f"{tier}_partitions_dropped"] = 0
+        stats[f"{tier}_rows_expired"] = 0
         if not store.has(name):
-            stats[f"{tier}_rows_expired"] = 0
             continue
+        part_us = ROLLUP_PART_US[tier]
         cutoff_ts = now_us - cfg.retention_us[tier]
-        df = store.spark.read.parquet(store.path(name))
-        keep = df.filter(F.col("bucket_us") >= F.lit(int(cutoff_ts)))
-        n_before = df.count()
-        n_after = keep.count()
-        if n_after < n_before:
-            tmp = store.path(name + "_tmp")
-            keep.write.mode("overwrite").parquet(tmp)
-            shutil.rmtree(store.path(name))
-            os.rename(tmp, store.path(name))
-        stats[f"{tier}_rows_expired"] = n_before - n_after
+        doomed = [
+            p for p in _list_partitions(store.path(name), "part_id")
+            if (p + 1) * part_us <= cutoff_ts
+        ]
+        if not doomed:
+            continue
+        # one count over ONLY the partitions being dropped (pruned scan)
+        stats[f"{tier}_rows_expired"] = (
+            store.spark.read.parquet(store.path(name))
+            .filter(F.col("part_id").isin(doomed)).count()
+        )
+        for p in doomed:
+            shutil.rmtree(os.path.join(store.path(name), f"part_id={p}"))
+        store.spark.catalog.refreshByPath(store.path(name))
+        stats[f"{tier}_partitions_dropped"] = len(doomed)
     return stats
 
 

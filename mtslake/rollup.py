@@ -126,21 +126,43 @@ def build_all_tiers(series: DataFrame) -> dict[str, DataFrame]:
     return tiers
 
 
+# tier table partition granularity (retention = partition drop, never a
+# table rewrite): fine tiers partition daily, coarser tiers coarser so
+# file counts stay sane at decade horizons
+ROLLUP_PART_US = {
+    "1m": 24 * 3_600_000_000,           # 1 day  → ≤1440 buckets/part/key
+    "1h": 30 * 24 * 3_600_000_000,      # 30 days
+    "1d": 360 * 24 * 3_600_000_000,     # ~1 year
+}
+
+
+def with_part_id(rolled: DataFrame, tier: str) -> F.Column:
+    return rolled.withColumn(
+        "part_id", F.floor(F.col("bucket_us") / F.lit(ROLLUP_PART_US[tier]))
+    )
+
+
+def _write_tier(store, rolled: DataFrame, tier: str) -> None:
+    with_part_id(rolled, tier).write.mode("overwrite").partitionBy(
+        "part_id"
+    ).parquet(store.path(f"rollup_{tier}"))
+
+
 def materialize_tiers(store, series: DataFrame) -> None:
     """Write 1m from raw, then each coarser tier from the finer one —
     the expensive decode/scan lineage executes exactly once (the finer
     tier is cached while its successor aggregates from it), and coarser
     tiers re-aggregate an input ~60× smaller (decimal sums keep them
-    bit-identical to direct aggregation either way)."""
+    bit-identical to direct aggregation either way). Each tier is
+    partitioned by a coarse time bucket (``part_id``) so tier retention
+    is a metadata-only partition drop, like the chunks table."""
     one_m = rollup_from_series(series, "1m").persist()
     try:
-        one_m.write.mode("overwrite").parquet(store.path("rollup_1m"))
+        _write_tier(store, one_m, "1m")
         one_h = rollup_from_tier(one_m, "1h").persist()
         try:
-            one_h.write.mode("overwrite").parquet(store.path("rollup_1h"))
-            rollup_from_tier(one_h, "1d").write.mode("overwrite").parquet(
-                store.path("rollup_1d")
-            )
+            _write_tier(store, one_h, "1h")
+            _write_tier(store, rollup_from_tier(one_h, "1d"), "1d")
         finally:
             one_h.unpersist()
     finally:

@@ -62,20 +62,29 @@ def brute_force_topk(
     )
 
 
-def hyperplane_signature(vec_col, n_planes: int = 16, dim: int = 64) -> F.Column:
+def hyperplane_signature(
+    vec_col, n_planes: int = 16, dim: int = 64, plane_offset: int = 0
+) -> F.Column:
     """n_planes sign bits: plane p's component j is ±1 from the parity
-    of xxhash64(p*dim+j) — deterministic, no stored model."""
+    of xxhash64((p+plane_offset)*dim+j) — deterministic, no stored
+    model. ``plane_offset`` selects an independent plane family (used
+    for multi-table LSH)."""
+    # seed closure via factory — a two-parameter transform lambda would
+    # bind (element, index), not the intended plane id (see
+    # dedup.minhash_signature)
+    def plane_sign(p: int):
+        return lambda j: F.when(
+            F.pmod(F.xxhash64(j + F.lit((p + plane_offset) * dim)), 2) == 0,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0))
+
     sig = F.lit(0).cast("long")
     for p in range(n_planes):
         proj = F.aggregate(
             F.zip_with(
                 vec_col,
                 F.transform(
-                    F.sequence(F.lit(0), F.lit(dim - 1)),
-                    lambda j, p=p: F.when(
-                        F.pmod(F.xxhash64(j + F.lit(p * dim)), 2) == 0,
-                        F.lit(1.0),
-                    ).otherwise(F.lit(-1.0)),
+                    F.sequence(F.lit(0), F.lit(dim - 1)), plane_sign(p)
                 ),
                 lambda x, s: x * s,
             ),
@@ -162,35 +171,69 @@ def lsh_topk(
     embeddings: DataFrame,
     probes: DataFrame,
     k: int = 10,
-    n_planes: int = 12,
+    n_planes: int = 8,
+    n_tables: int = 8,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN: candidates share the probe's hyperplane bucket (plus all
-    1-bit-flip neighbor buckets — multi-probe), exact cosine re-rank."""
+    """ANN via multi-table hyperplane LSH: ``n_tables`` independent
+    signature families of ``n_planes`` bits each; candidates share a
+    probe's bucket in ANY table (plus all 1-bit-flip neighbor buckets —
+    multi-probe), then exact cosine re-rank.
+
+    One table has recall p^m per neighbor (p = 1 - θ/π); L independent
+    tables lift it to 1-(1-p^m)^L — the standard memory-for-recall LSH
+    trade. The big side explodes ×L on (table, bucket) and equi-joins;
+    at warehouse scale the exploded table is written bucket-partitioned
+    once and every probe batch prunes to its ~L·(m+1) buckets."""
     e = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
-    ).withColumn("bucket", hyperplane_signature(F.col("_v"), n_planes, dim))
+    ).select(
+        "vec_id", "_v",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(t).alias("table"),
+                    hyperplane_signature(
+                        F.col("_v"), n_planes, dim, plane_offset=t * n_planes
+                    ).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ])
+        ).alias("_tb"),
+    ).select("vec_id", "_v", "_tb.table", "_tb.bucket")
 
     p = probes.select(
         "probe_id", F.col("probe_vec").cast("array<double>").alias("_p")
-    ).withColumn("_sig", hyperplane_signature(F.col("_p"), n_planes, dim))
-    # multi-probe: own bucket + every 1-bit flip
-    p = p.select(
+    ).select(
         "probe_id", "_p",
         F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(t).alias("table"),
+                    hyperplane_signature(
+                        F.col("_p"), n_planes, dim, plane_offset=t * n_planes
+                    ).alias("sig0"),
+                )
+                for t in range(n_tables)
+            ])
+        ).alias("_tb"),
+    ).select("probe_id", "_p", "_tb.table", F.col("_tb.sig0").alias("_sig0"))
+    # multi-probe: own bucket + every 1-bit flip, per table
+    p = p.select(
+        "probe_id", "_p", "table",
+        F.explode(
             F.array(
-                F.col("_sig"),
-                *[
-                    F.col("_sig").bitwiseXOR(F.lit(1 << b))
-                    for b in range(n_planes)
-                ],
+                F.col("_sig0"),
+                *[F.col("_sig0").bitwiseXOR(F.lit(1 << b))
+                  for b in range(n_planes)],
             )
         ).alias("bucket"),
     )
-    cand = e.join(F.broadcast(p), "bucket").filter(
+
+    cand = e.join(F.broadcast(p), ["table", "bucket"]).filter(
         F.col("vec_id") != F.col("probe_id")
     )
     cand = cand.withColumn("cos", cosine(F.col("_v"), F.col("_p"))).dropDuplicates(

@@ -143,3 +143,95 @@ def test_checkpoint_resume_idempotent(spark, series, tmp_path):
     assert read.read_range(st).count() == series.count()
     # lineage covers every unit
     assert job.lineage().select("unit").distinct().count() == res["units_total"]
+
+
+def _file_state(root):
+    import os
+    out = {}
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            if f.startswith("part-"):
+                p = os.path.join(dirpath, f)
+                st = os.stat(p)
+                out[p] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def test_incremental_catalog_append_leaves_history_untouched(
+    spark, series, tmp_path
+):
+    """An append derives catalog rows from the incoming batch only:
+    pre-existing chunk AND catalog partition files must be byte- and
+    mtime-identical afterwards (no O(table) rebuild per ingest)."""
+    st = ChunkStore(spark, str(tmp_path / "store"))
+    early = series.filter(F.pmod(F.xxhash64("url"), 2) == 0)
+    late = series.filter(F.pmod(F.xxhash64("url"), 2) == 1)
+    assert early.count() > 0 and late.count() > 0
+    st.write_chunks(chunk.compress_series(early, DEFAULT), mode="overwrite")
+    before_chunks = _file_state(st.path("chunks"))
+    before_cat = _file_state(st.path("catalog"))
+    assert before_chunks and before_cat
+    st.write_chunks(chunk.compress_series(late, DEFAULT), mode="append")
+    after_chunks = _file_state(st.path("chunks"))
+    after_cat = _file_state(st.path("catalog"))
+    for p, sig in before_chunks.items():
+        assert after_chunks.get(p) == sig, f"chunk file rewritten: {p}"
+    for p, sig in before_cat.items():
+        assert after_cat.get(p) == sig, f"catalog file rewritten: {p}"
+    assert len(after_cat) > len(before_cat)
+    # catalog stays consistent with the chunks table
+    assert (
+        st.catalog().count()
+        == st.chunks().count()
+    )
+    # and equals what a full rebuild would produce
+    cat_rows = _rows(st.catalog().select("url", "chunk_id", "n_points", "sha1"))
+    st.rebuild_catalog()
+    assert cat_rows == _rows(
+        st.catalog().select("url", "chunk_id", "n_points", "sha1")
+    )
+
+
+def test_tier_retention_drops_partitions_not_rows(spark, series, tmp_path):
+    """Tier retention = partition drop: surviving rollup files are
+    untouched (mtime+size identical — the SHA1-identity analogue of the
+    chop property), expired counts come from doomed partitions only."""
+    st = ChunkStore(spark, str(tmp_path / "store"))
+    rollup.materialize_tiers(st, series)
+    now = series.agg(F.max(TS_COL)).first()[0]
+    one_m = st.path("rollup_1m")
+    parts = retention._list_partitions(one_m, "part_id")
+    assert len(parts) > 2, "fixture must span several daily partitions"
+    # horizon that dooms all but the last two daily partitions
+    keep_days = 2
+    cfg = DEFAULT.with_overrides(
+        retention_us={
+            **DEFAULT.retention_us,
+            "1m": now - parts[-keep_days] * rollup.ROLLUP_PART_US["1m"],
+        }
+    )
+    doomed = [
+        p for p in parts
+        if (p + 1) * rollup.ROLLUP_PART_US["1m"]
+        <= now - cfg.retention_us["1m"]
+    ]
+    expected_rows = (
+        spark.read.parquet(one_m).filter(F.col("part_id").isin(doomed)).count()
+    )
+    survivors_before = {
+        p: s for p, s in _file_state(one_m).items()
+        if not any(f"part_id={d}/" in p or p.endswith(f"part_id={d}") for d in doomed)
+    }
+    stats = retention.apply_retention(st, now_us=now, cfg=cfg)
+    assert stats["1m_partitions_dropped"] == len(doomed) > 0
+    assert stats["1m_rows_expired"] == expected_rows > 0
+    left = retention._list_partitions(one_m, "part_id")
+    assert left == [p for p in parts if p not in doomed]
+    survivors_after = {
+        p: s for p, s in _file_state(one_m).items()
+    }
+    assert survivors_before == survivors_after
+    # idempotent re-run
+    stats2 = retention.apply_retention(st, now_us=now, cfg=cfg)
+    assert stats2["1m_partitions_dropped"] == 0
+    assert stats2["1m_rows_expired"] == 0

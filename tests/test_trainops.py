@@ -158,7 +158,7 @@ def test_brute_force_topk_matches_numpy(spark, emb):
 def test_lsh_topk_recall(spark, emb):
     probes = _probes(emb, 5)
     exact = simsearch.brute_force_topk(emb, probes, k=5)
-    approx = simsearch.lsh_topk(emb, probes, k=5, n_planes=10)
+    approx = simsearch.lsh_topk(emb, probes, k=5, n_planes=8, n_tables=8)
     e = {(r["probe_id"], r["vec_id"]) for r in exact.collect()}
     a = {(r["probe_id"], r["vec_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
