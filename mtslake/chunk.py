@@ -85,7 +85,31 @@ SERIES_SCHEMA = T.StructType(
 _OUT_COLS = [f.name for f in CHUNK_SCHEMA.fields]
 
 
-def _encode_block(pdf: pd.DataFrame) -> pd.DataFrame:
+def _segment_runs(starts, ends, max_points: int | None):
+    """Split group runs longer than ``max_points`` into segments — the
+    ``hot_chunk_points`` guard: a pathological (url, chunk_id) with
+    hundreds of millions of points encodes as bounded segment rows
+    instead of one task-OOMing group. Segments share the chunk key;
+    decode is row-independent, so readers are unaffected (the chunk
+    simply has several payload rows, like the reference's fixed-size
+    chunk_bounds splitting one recording into many chunks)."""
+    if not max_points:
+        return starts, ends
+    if int(np.max(ends - starts)) <= max_points:
+        return starts, ends
+    s2: list[int] = []
+    e2: list[int] = []
+    for s, e in zip(starts, ends):
+        while e - s > max_points:
+            s2.append(int(s))
+            e2.append(int(s) + max_points)
+            s = s + max_points
+        s2.append(int(s))
+        e2.append(int(e))
+    return np.asarray(s2), np.asarray(e2)
+
+
+def _encode_block(pdf: pd.DataFrame, max_points: int | None = None) -> pd.DataFrame:
     """Encode every (url, chunk_id) group in a sorted block; one output
     row per group. Vectorized group detection; per-group work is 4 codec
     calls on contiguous numpy slices."""
@@ -103,6 +127,7 @@ def _encode_block(pdf: pd.DataFrame) -> pd.DataFrame:
     change = np.flatnonzero((urls[1:] != urls[:-1]) | (cids[1:] != cids[:-1])) + 1
     starts = np.concatenate(([0], change))
     ends = np.concatenate((change, [n]))
+    starts, ends = _segment_runs(starts, ends, max_points)
 
     out: dict[str, list] = {c: [] for c in _OUT_COLS}
     for s, e in zip(starts, ends):
@@ -157,14 +182,28 @@ _PA_CHUNK_SCHEMA = pa.schema(
 
 def _binary_flat(arr: pa.Array, n: int) -> np.ndarray:
     """Zero-copy view of a BinaryArray's packed value bytes (each value
-    SHA1_W bytes), honoring array offset/slices."""
+    SHA1_W bytes), honoring array offset/slices.
+
+    The view assumes 32-bit offsets (pa.binary()) and no nulls; with
+    ``spark.sql.execution.arrow.useLargeVarTypes=true`` the column
+    arrives as large_binary (64-bit offsets) and the raw buffer read
+    would silently misalign — fail loudly instead."""
+    if arr.type != pa.binary():
+        raise TypeError(
+            f"sha_bin must be pa.binary() (got {arr.type}); disable "
+            "spark.sql.execution.arrow.useLargeVarTypes for this job"
+        )
+    if arr.null_count:
+        raise ValueError("sha_bin contains nulls (malformed text_sha1 hex?)")
     offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)
     start = int(offsets[arr.offset])
     end = int(offsets[arr.offset + n])
     return np.frombuffer(arr.buffers()[2], dtype=np.uint8)[start:end]
 
 
-def _encode_block_arrow(t: pa.Table) -> pa.RecordBatch:
+def _encode_block_arrow(
+    t: pa.Table, max_points: int | None = None
+) -> pa.RecordBatch:
     """Arrow-native twin of _encode_block: url/lang stay in Arrow
     buffers (one .as_py() per GROUP, never per row), sha1 bytes are a
     zero-copy view. Same codec calls → bit-identical payloads."""
@@ -184,6 +223,7 @@ def _encode_block_arrow(t: pa.Table) -> pa.RecordBatch:
     change = np.flatnonzero(urlneq | (cids[1:] != cids[:-1])) + 1
     starts = np.concatenate(([0], change))
     ends = np.concatenate((change, [n]))
+    starts, ends = _segment_runs(starts, ends, max_points)
 
     out: dict[str, list] = {c: [] for c in _OUT_COLS}
     for s, e in zip(starts, ends):
@@ -215,7 +255,7 @@ def _encode_block_arrow(t: pa.Table) -> pa.RecordBatch:
     return pa.RecordBatch.from_pydict(out, schema=_PA_CHUNK_SCHEMA)
 
 
-def _encode_stream(batches):
+def _encode_stream(batches, max_points: int | None = None):
     """Streaming group encoder over Arrow RecordBatches (mapInArrow):
     groups are contiguous (sorted partition); the last group of each
     batch may continue into the next, so it is buffered and prepended.
@@ -246,9 +286,9 @@ def _encode_stream(batches):
             buf = t
             continue
         buf = t.slice(n - n_tail)
-        yield _encode_block_arrow(t.slice(0, n - n_tail))
+        yield _encode_block_arrow(t.slice(0, n - n_tail), max_points)
     if buf is not None and buf.num_rows:
-        yield _encode_block_arrow(buf)
+        yield _encode_block_arrow(buf, max_points)
 
 
 def compress_series(
@@ -280,11 +320,14 @@ def compress_series(
     ).drop("text_sha1")
     if not pre_partitioned:
         keyed = keyed.repartition("url", "chunk_id")
+    from functools import partial
+
+    encode = partial(_encode_stream, max_points=cfg.hot_chunk_points)
     return keyed.sortWithinPartitions(
         "url", "chunk_id", TS_COL, "sha_bin"
     ).select(
         "url", "lang", TS_COL, "n_chars", "value", "sha_bin", "chunk_id"
-    ).mapInArrow(_encode_stream, schema=CHUNK_SCHEMA)
+    ).mapInArrow(encode, schema=CHUNK_SCHEMA)
 
 
 def _hex_rows(sha_concat: bytes, n: int) -> list[str]:

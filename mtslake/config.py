@@ -2,13 +2,18 @@
 
 Mirrors the reference's layered defaults (DEFAULT_CONFIG,
 mtscomp.py:46-57, merged with ``~/.mtscomp`` and kwargs in
-mtscomp.py:186-209) as a plain dataclass + kwargs override — Spark-side
-knobs travel via ``spark.conf`` / ``spark-submit --conf``.
+mtscomp.py:186-209) as a plain dataclass + two override layers:
+persisted site defaults (a JSON file, ≙ ``~/.mtscomp`` read/write,
+mtscomp.py:186-209) and per-call kwargs — non-None kwargs win over the
+file, the file wins over code defaults. Spark-side knobs travel via
+``spark.conf`` / ``spark-submit --conf``.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+import json
+import os
+from dataclasses import dataclass, field, fields, replace
 
 US_PER_SECOND = 1_000_000
 US_PER_MINUTE = 60 * US_PER_SECOND
@@ -46,6 +51,55 @@ class EngineConfig:
         mtscomp.py:186-209 — non-None values win)."""
         clean = {k: v for k, v in kwargs.items() if v is not None}
         return replace(self, **clean)
+
+    @classmethod
+    def load(cls, path: str | None = None, **kwargs) -> "EngineConfig":
+        """Layered load (≙ read_config, mtscomp.py:186-200):
+        code defaults ← persisted file ← non-None kwargs."""
+        return cls().with_overrides(**read_persisted(path)).with_overrides(
+            **kwargs
+        )
+
+
+def config_path(path: str | None = None) -> str:
+    """Site-default file: $MTSLAKE_CONFIG or ~/.mtslake (JSON),
+    ≙ CONFIG_PATH = ~/.mtscomp."""
+    return path or os.environ.get(
+        "MTSLAKE_CONFIG", os.path.expanduser("~/.mtslake")
+    )
+
+
+_FIELD_NAMES = {f.name for f in fields(EngineConfig)}
+
+
+def read_persisted(path: str | None = None) -> dict:
+    p = config_path(path)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        raw = json.load(f)
+    out = {k: v for k, v in raw.items() if k in _FIELD_NAMES and v is not None}
+    if "tiers" in out:
+        out["tiers"] = tuple(out["tiers"])
+    return out
+
+
+def write_persisted(path: str | None = None, **kwargs) -> dict:
+    """Persist site defaults (≙ write_config / ``--set-default``,
+    mtscomp.py:203-209, 1080-1081): merge kwargs over the current file
+    and write back; unknown keys are rejected loudly."""
+    bad = set(kwargs) - _FIELD_NAMES
+    if bad:
+        raise KeyError(f"unknown config keys: {sorted(bad)}")
+    merged = {**read_persisted(path),
+              **{k: v for k, v in kwargs.items() if v is not None}}
+    if "tiers" in merged:
+        merged["tiers"] = list(merged["tiers"])
+    p = config_path(path)
+    os.makedirs(os.path.dirname(p) or ".", exist_ok=True)
+    with open(p, "w") as f:
+        json.dump(merged, f, indent=2, sort_keys=True)
+    return merged
 
 
 DEFAULT = EngineConfig()

@@ -9,10 +9,11 @@ mtslake/jobs/<job>.py ...``.
 from __future__ import annotations
 
 import argparse
+import json
 
 from pyspark.sql import SparkSession
 
-from ..config import EngineConfig, DEFAULT
+from ..config import EngineConfig, write_persisted
 
 
 def build_session(app: str, args: argparse.Namespace) -> SparkSession:
@@ -37,9 +38,24 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--master", default=None, help="override spark master")
     p.add_argument("--shuffle-partitions", type=int, default=64)
     p.add_argument("--chunk-duration-us", type=int, default=None)
+    p.add_argument(
+        "--set-default", action="append", default=[], metavar="KEY=JSON",
+        help="persist an engine default to the site config file "
+        "(≙ mtscomp --set-default, mtscomp.py:1080-1081), e.g. "
+        "--set-default chunk_duration_us=3600000000",
+    )
     p.add_argument("--debug", action="store_true")
     return p
 
 
 def config_from(args: argparse.Namespace) -> EngineConfig:
-    return DEFAULT.with_overrides(chunk_duration_us=args.chunk_duration_us)
+    """Layered config: code defaults ← persisted site file
+    (~/.mtslake / $MTSLAKE_CONFIG) ← CLI flags; --set-default writes
+    the file first so the new default applies to this run too."""
+    if getattr(args, "set_default", None):
+        kv = {}
+        for item in args.set_default:
+            k, _, v = item.partition("=")
+            kv[k] = json.loads(v)
+        write_persisted(**kv)
+    return EngineConfig.load(chunk_duration_us=args.chunk_duration_us)

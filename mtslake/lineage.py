@@ -117,9 +117,30 @@ class ResumableCompressJob:
                 self.store.path("chunks")
             )
             wall = int((time.monotonic() - t0) * 1000)
+            # this read prunes to the batch's partitions only — unit
+            # stats, catalog maintenance, and the automatic post-write
+            # check all do O(batch) work, never O(table)
+            written = self.store.chunks().filter(
+                F.col("chunk_id").isin([int(u) for u in batch])
+            )
+            # incremental catalog: dynamic partition overwrite replaces
+            # exactly this batch's catalog partitions (idempotent on
+            # re-run, like the chunk write itself)
+            from .catalog import CATALOG_COLS
+
+            written.select(*CATALOG_COLS).coalesce(1).write.mode(
+                "overwrite"
+            ).partitionBy("chunk_id").parquet(self.store.path("catalog"))
+            if self.cfg.check_after_compress:
+                # ≙ automatic integrity check after compression
+                # (mtscomp.py:497-506): decode what was just written,
+                # recomputing each chunk's SHA1 — a mismatch raises
+                # inside the decode tasks and fails the job
+                from .chunk import decompress_chunks
+
+                decompress_chunks(written, verify=True).count()
             stats = (
-                self.store.chunks()
-                .filter(F.col("chunk_id").isin([int(u) for u in batch]))
+                written
                 .groupBy("chunk_id")
                 .agg(
                     F.count("*").alias("n_chunks"),
@@ -143,7 +164,6 @@ class ResumableCompressJob:
             ]
             self._mark_done(batch, meta)
             n_done += len(batch)
-        self.store.rebuild_catalog()
         return {
             "job_id": self.job_id,
             "units_total": len(all_units),

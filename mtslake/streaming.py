@@ -98,9 +98,13 @@ def streaming_compress(
         url = key[0]
         parts = []
         if state.exists:
-            ts, nch, val, sha, lang0 = state.get
+            # lang is restored PER ROW (array<string> in state): a url
+            # whose lang varies across buffered rows must seal exactly
+            # what the batch encoder would see (bit-identity guarantee)
+            ts, nch, val, sha, langs = state.get
             parts.append(pd.DataFrame({
-                "lang": lang0, TS_COL: pd.Series(ts, dtype="int64"),
+                "lang": pd.Series(langs, dtype=object),
+                TS_COL: pd.Series(ts, dtype="int64"),
                 "n_chars": pd.Series(nch, dtype="int64"),
                 "value": pd.Series(val, dtype="float64"),
                 "text_sha1": sha,
@@ -123,7 +127,7 @@ def streaming_compress(
             state.update((
                 open_[TS_COL].tolist(), open_["n_chars"].tolist(),
                 open_["value"].tolist(), open_["text_sha1"].tolist(),
-                str(open_["lang"].iat[0]),
+                open_["lang"].tolist(),
             ))
             next_seal_ms = ((int(open_["chunk_id"].iat[0]) + 1) * dur) // 1000
             state.setTimeoutTimestamp(
@@ -136,7 +140,8 @@ def streaming_compress(
             blk["url"] = url
             yield chunk_mod._encode_block(
                 blk[["url", "chunk_id", "lang", TS_COL,
-                     "n_chars", "value", "text_sha1"]]
+                     "n_chars", "value", "text_sha1"]],
+                cfg.hot_chunk_points,
             )
 
     return with_ts.groupBy("url").applyInPandasWithState(
@@ -144,7 +149,8 @@ def streaming_compress(
         outputStructType=chunk_mod.CHUNK_SCHEMA,
         stateStructType=(
             f"{TS_COL} array<long>, n_chars array<long>, "
-            "value array<double>, text_sha1 array<string>, lang string"
+            "value array<double>, text_sha1 array<string>, "
+            "lang array<string>"
         ),
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,

@@ -30,3 +30,11 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(autouse=True)
+def _isolate_persisted_config(tmp_path, monkeypatch):
+    """Point the persisted-config layer at a per-test path so site
+    defaults written by one test never leak into another (or into the
+    developer's real ~/.mtslake)."""
+    monkeypatch.setenv("MTSLAKE_CONFIG", str(tmp_path / "mtslake.json"))

@@ -27,3 +27,54 @@ def test_frozen():
 
     with pytest.raises(dataclasses.FrozenInstanceError):
         DEFAULT.chunk_duration_us = 1  # type: ignore[misc]
+
+
+def test_persisted_defaults_roundtrip(tmp_path, monkeypatch):
+    """defaults ← persisted file ← kwargs (≙ read_config/write_config,
+    mtscomp.py:186-209): the file layer survives process boundaries."""
+    from mtslake import config as C
+
+    p = str(tmp_path / "site.json")
+    monkeypatch.setenv("MTSLAKE_CONFIG", p)
+    assert C.read_persisted() == {}
+    C.write_persisted(chunk_duration_us=3_600_000_000, hot_chunk_points=99)
+    c = EngineConfig.load()
+    assert c.chunk_duration_us == 3_600_000_000
+    assert c.hot_chunk_points == 99
+    # kwargs beat the file; None kwargs are ignored
+    c2 = EngineConfig.load(chunk_duration_us=60_000_000, hot_chunk_points=None)
+    assert c2.chunk_duration_us == 60_000_000 and c2.hot_chunk_points == 99
+    # second write merges, not replaces
+    C.write_persisted(hot_chunk_points=7)
+    assert EngineConfig.load().chunk_duration_us == 3_600_000_000
+    assert EngineConfig.load().hot_chunk_points == 7
+
+
+def test_persisted_unknown_key_rejected(tmp_path, monkeypatch):
+    import pytest
+
+    from mtslake import config as C
+
+    monkeypatch.setenv("MTSLAKE_CONFIG", str(tmp_path / "site.json"))
+    with pytest.raises(KeyError):
+        C.write_persisted(not_a_knob=1)
+
+
+def test_set_default_cli_flag(tmp_path, monkeypatch):
+    """--set-default persists AND applies to the same run
+    (≙ mtscomp --set-default, mtscomp.py:1080-1081)."""
+    from mtslake.jobs.common import base_parser, config_from
+
+    monkeypatch.setenv("MTSLAKE_CONFIG", str(tmp_path / "site.json"))
+    args = base_parser("t").parse_args(
+        ["--store", "/x", "--set-default", "chunk_duration_us=3600000000"]
+    )
+    assert config_from(args).chunk_duration_us == 3_600_000_000
+    # sticky for the next invocation without the flag
+    args2 = base_parser("t").parse_args(["--store", "/x"])
+    assert config_from(args2).chunk_duration_us == 3_600_000_000
+    # CLI override still beats the persisted default
+    args3 = base_parser("t").parse_args(
+        ["--store", "/x", "--chunk-duration-us", "60000000"]
+    )
+    assert config_from(args3).chunk_duration_us == 60_000_000

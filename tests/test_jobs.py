@@ -62,3 +62,96 @@ def test_verify_job_fails_on_tamper(spark, tmp_path):
     shutil.move(f"{store}/chunks_bad", f"{store}/chunks")
     with pytest.raises(Exception):
         job_verify.main(["--store", store])
+
+
+def test_describe_chop_decompress_jobs(spark, tmp_path, capsys):
+    """CLI parity for mtsdesc / mtschop / mtsdecomp
+    (mtscomp.py:1085-1179)."""
+    from mtslake.jobs import chop as job_chop
+    from mtslake.jobs import decompress as job_decompress
+    from mtslake.jobs import describe as job_describe
+
+    store = str(tmp_path / "lake3")
+    job_ingest.main(["--store", store, "--n-urls", "6", "--snapshots", "24",
+                     "--hot", "0"])
+    job_compress.main(["--store", store, "--job-id", "t3"])
+
+    job_describe.main(["--store", store])
+    out = capsys.readouterr().out
+    assert "n_chunks" in out and "ratio" in out
+
+    # decompress sink honors check_after_decompress (on by default)
+    dec_path = str(tmp_path / "decoded")
+    job_decompress.main(["--store", store, "--out", dec_path])
+    assert "check=on" in capsys.readouterr().out
+    decoded = spark.read.parquet(dec_path)
+    orig = spark.read.parquet(f"{store}/chunks")
+    assert decoded.count() == orig.agg(F.sum("n_points")).first()[0]
+
+    # chop: drop the upper half of chunk ids, payloads untouched
+    from mtslake import retention as R
+    from mtslake.catalog import ChunkStore
+
+    st = ChunkStore(spark, store)
+    parts = R.list_chunk_partitions(st)
+    cut = parts[len(parts) // 2]
+    job_chop.main(["--store", store, "--keep-chunks-before", str(cut)])
+    assert R.list_chunk_partitions(st) == [p for p in parts if p < cut]
+
+
+def test_check_after_compress_knob(spark, tmp_path, monkeypatch):
+    """The knob must actually drive the automatic post-write decode
+    check (≙ mtscomp.py:497-506) — observe the call, both ways."""
+    from mtslake import chunk as chunk_mod
+    from mtslake import lineage as lineage_mod
+    from mtslake.catalog import ChunkStore
+    from mtslake.config import DEFAULT
+    from mtslake.datagen import generate_pages
+    from mtslake.series import pages_to_series
+
+    calls = []
+    real = chunk_mod.decompress_chunks
+
+    def spy(df, verify=False, **kw):
+        calls.append(verify)
+        return real(df, verify=verify, **kw)
+
+    monkeypatch.setattr(chunk_mod, "decompress_chunks", spy)
+    series = pages_to_series(
+        generate_pages(spark, n_urls=4, snapshots_per_url=12)
+    )
+    st = ChunkStore(spark, str(tmp_path / "lk_on"))
+    lineage_mod.ResumableCompressJob(
+        st, "on", DEFAULT.with_overrides(check_after_compress=True)
+    ).run(series)
+    assert calls and all(v is True for v in calls)
+
+    calls.clear()
+    st2 = ChunkStore(spark, str(tmp_path / "lk_off"))
+    lineage_mod.ResumableCompressJob(
+        st2, "off", DEFAULT.with_overrides(check_after_compress=False)
+    ).run(series)
+    assert calls == []
+
+
+def test_hot_chunk_points_segments_and_roundtrips(spark):
+    """hot_chunk_points caps points per encoded chunk row: a hot
+    (url, chunk_id) encodes as several segment rows (bounded encoder
+    memory), and the decode is bit-identical to the unsegmented path."""
+    from mtslake import chunk as chunk_mod
+    from mtslake.config import DEFAULT
+    from mtslake.datagen import generate_pages
+    from mtslake.series import pages_to_series
+
+    series = pages_to_series(
+        generate_pages(spark, n_urls=3, snapshots_per_url=200)
+    )
+    cfg = DEFAULT.with_overrides(hot_chunk_points=40)
+    seg = chunk_mod.compress_series(series, cfg)
+    assert seg.agg(F.max("n_points")).first()[0] <= 40
+    key_rows = seg.groupBy("url", "chunk_id").count()
+    assert key_rows.agg(F.max("count")).first()[0] > 1
+    dec = {tuple(r) for r in chunk_mod.decompress_chunks(seg).collect()}
+    ref = {tuple(r) for r in chunk_mod.decompress_chunks(
+        chunk_mod.compress_series(series, DEFAULT)).collect()}
+    assert dec == ref
