@@ -120,11 +120,15 @@ def main() -> None:
         eff = (results[hi]["value"] / results[lo]["value"]) / scale
         ceil = results[lo]["machine_probe_sec"] / results[hi][
             "machine_probe_sec"]
+        # engine-relative ratio is reported UNCAPPED: >1.0 means the
+        # engine scaled better than the pure-CPU probe predicted (the
+        # probe is an estimate of the host ceiling, not a tight bound)
         pairs.append(
             f"- **local[{lo}] → local[{hi}] ({scale:.0f}×): engine "
             f"efficiency {eff:.3f}**; machine ceiling at the same pinning "
             f"{ceil:.3f} (pure-CPU probe, constant work per worker) → "
-            f"engine-relative {min(eff / ceil, 1.0):.3f}"
+            f"engine-relative {eff / ceil:.3f}"
+            + (" (probe is not a tight ceiling here)" if eff > ceil else "")
         )
 
     raw = "\n".join(json.dumps(results[c]) for c in levels)

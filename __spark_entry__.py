@@ -504,7 +504,7 @@ _ROLLUP_1H = f"""
     SELECT {_PREFIX} AS url_prefix, 'en' AS lang,
            epoch_us(ts) - epoch_us(ts) % {_HOUR_US} AS bucket_us,
            count(*) AS cnt, min(value) AS vmin, max(value) AS vmax,
-           SUM(CAST(value AS DECIMAL(38,18))) AS vsum_dec
+           SUM(CAST(value AS DECIMAL(18,15))) AS vsum_dec
     FROM events GROUP BY 1, 2, 3
 """
 
@@ -542,9 +542,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT {_PREFIX} AS url_prefix, 'en' AS lang,
                    epoch_us(ts) - epoch_us(ts) % {US_PER_DAY} AS bucket_us,
                    count(*) AS cnt, min(value) AS vmin, max(value) AS vmax,
-                   ROUND(CAST(SUM(CAST(value AS DECIMAL(38,18)))
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(18,15)))
                        AS DOUBLE), 6) AS vsum,
-                   ROUND(CAST(SUM(CAST(value AS DECIMAL(38,18))) AS DOUBLE)
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(18,15))) AS DOUBLE)
                        / count(*), 6) AS vmean
             FROM events GROUP BY 1, 2, 3
         """,

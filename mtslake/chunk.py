@@ -323,8 +323,20 @@ def compress_series(
     from functools import partial
 
     encode = partial(_encode_stream, max_points=cfg.hot_chunk_points)
-    return keyed.sortWithinPartitions(
-        "url", "chunk_id", TS_COL, "sha_bin"
+    # NUMERIC sort key instead of url: web urls share a long common
+    # prefix ("https://..."), so Spark's 8-byte string prefix comparator
+    # degenerates and every comparison walks the full url bytes — the
+    # sort, not the codec, then dominates the encode stage. Sorting on
+    # (xxhash64(url), chunk_id, ts) keeps every comparison in numeric
+    # prefix registers. Correctness does not depend on the hash being
+    # collision-free: the ENCODER splits groups on real url equality,
+    # so a 64-bit collision (P ≈ 1e-14 per partition) merely yields an
+    # extra chunk row for the same (url, chunk_id) — a layout the store
+    # already supports (hot-chunk segmentation). Group ORDER becomes
+    # hash order, which nothing downstream observes (chunk rows are an
+    # unordered table).
+    return keyed.withColumn("_gh", F.xxhash64("url")).sortWithinPartitions(
+        "_gh", "chunk_id", TS_COL, "sha_bin"
     ).select(
         "url", "lang", TS_COL, "n_chars", "value", "sha_bin", "chunk_id"
     ).mapInArrow(encode, schema=CHUNK_SCHEMA)

@@ -56,6 +56,9 @@ _DTYPE_CODES = {
     "float32": 8, "float64": 9,
 }
 _CODE_DTYPES = {v: np.dtype(k) for k, v in _DTYPE_CODES.items()}
+# keyed by dtype object: np.dtype.name string-builds on every access
+# (measurably hot — encode_column runs per chunk per channel)
+_DTYPE_OBJ_CODES = {np.dtype(k): v for k, v in _DTYPE_CODES.items()}
 
 # header: magic(4) version(1) codec(1) dtype(1) width(1) n(8) = 16 bytes
 _HEADER = struct.Struct("<4sBBBBQ")
@@ -134,7 +137,8 @@ def encode_column(arr: np.ndarray, codec: int | None = None) -> bytes:
     if arr.ndim != 1:
         raise ValueError("encode_column expects a 1-D array")
     dt = arr.dtype
-    if dt.name not in _DTYPE_CODES:
+    dtcode = _DTYPE_OBJ_CODES.get(dt)
+    if dtcode is None:
         raise TypeError(f"unsupported dtype {dt}")
     if codec is None:
         codec = CODEC_XOR if dt.kind == "f" else CODEC_DELTA
@@ -206,7 +210,7 @@ def encode_column(arr: np.ndarray, codec: int | None = None) -> bytes:
     else:
         raise ValueError(f"unknown codec {codec}")
 
-    header = _HEADER.pack(MAGIC, VERSION, codec, _DTYPE_CODES[dt.name], width, n)
+    header = _HEADER.pack(MAGIC, VERSION, codec, dtcode, width, n)
     return header + body
 
 

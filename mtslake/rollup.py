@@ -13,14 +13,19 @@ Two exactness decisions:
   conversions in the hot path). ≙ the reference's implicit-time chunk
   bounds ``i // chunk_size`` (mtscomp.py:324-339).
 * **Decimal sums.** Tiers carry ``(cnt, vmin, vmax, vsum)`` — never a
-  mean (SURVEY §7 risk 4) — and ``vsum`` is ``DECIMAL(38,18)``: double
-  sums are not associative, so a re-aggregated double sum would differ
-  in the last bits from a direct sum and break the north_rule's
-  "rolled-up points identical at every tier". Decimal addition is exact
-  and order-independent — tier equality holds bit-for-bit under any
-  shuffle layout. (38,18) leaves 20 integer digits: headroom for
-  |v|≲10³ over 10¹² rows. ``vmean = vsum/cnt`` is derived at query
-  time.
+  mean (SURVEY §7 risk 4): double sums are not associative, so a
+  re-aggregated double sum would differ in the last bits from a direct
+  sum and break the north_rule's "rolled-up points identical at every
+  tier". Decimal addition is exact and order-independent — tier
+  equality holds bit-for-bit under any shuffle layout.
+
+  Input values are quantized to ``DECIMAL(18,15)`` — precision ≤ 18
+  keeps every per-row cast and unsafe-row slot **long-backed** (Spark's
+  compact decimal path; a (38,18) cast allocates a BigDecimal per row
+  and measurably dominates the rollup profile at 10⁷+ rows). The
+  aggregate is stored as ``DECIMAL(38,18)`` (exact widening) so tier
+  schemas keep 20 integer digits of headroom for |v|≲10³ over 10¹²
+  rows. ``vmean = vsum/cnt`` is derived at query time.
 """
 
 from __future__ import annotations
@@ -32,6 +37,10 @@ from .series import TS_COL, url_prefix
 
 # finer -> coarser re-aggregation order
 TIER_BELOW = {"1h": "1m", "1d": "1h"}
+
+# input quantization for the exact sum: precision ≤ 18 → long-backed
+# per-row decimals (see module docstring)
+VSUM_IN = "decimal(18,15)"
 
 AGG_COLS = ["cnt", "vmin", "vmax", "vsum"]
 
@@ -67,7 +76,7 @@ def rollup_from_series(series: DataFrame, tier: str,
                 F.count("*").alias("cnt"),
                 F.min("value").alias("vmin"),
                 F.max("value").alias("vmax"),
-                F.sum(F.col("value").cast("decimal(38,18)")).alias("vsum"),
+                F.sum(F.col("value").cast(VSUM_IN)).alias("vsum"),
             )
             .withColumn("vsum", F.col("vsum").cast("decimal(38,18)"))
         )
@@ -78,7 +87,7 @@ def rollup_from_series(series: DataFrame, tier: str,
             F.count("*").alias("cnt"),
             F.min("value").alias("vmin"),
             F.max("value").alias("vmax"),
-            F.sum(F.col("value").cast("decimal(38,18)")).alias("vsum"),
+            F.sum(F.col("value").cast(VSUM_IN)).alias("vsum"),
         )
     )
     return (

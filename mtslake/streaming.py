@@ -47,7 +47,9 @@ def streaming_rollup(
             F.count("*").alias("cnt"),
             F.min("value").alias("vmin"),
             F.max("value").alias("vmax"),
-            F.sum(F.col("value").cast("decimal(38,18)")).alias("vsum"),
+            # same input quantization as batch rollups (rollup.VSUM_IN)
+            # so streaming 1m tiles re-aggregate bit-identically
+            F.sum(F.col("value").cast("decimal(18,15)")).alias("vsum"),
         )
         .select(
             "url_prefix", "lang",
