@@ -385,12 +385,20 @@ def _decode_batch(pdf: pd.DataFrame, verify: bool,
         cols = ["url", "lang", TS_COL, *channels]
         return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
     counts = np.asarray(counts)
+
     # url/lang are per-chunk constants: dictionary-encode instead of
     # materializing one Python string per POINT (Arrow keeps the
-    # dictionary encoding across the boundary)
+    # dictionary encoding across the boundary). Factorize the PER-CHUNK
+    # lists and repeat the integer codes — pd.Categorical over the
+    # expanded point-level strings would hash n_points values instead
+    # of n_chunks (measured ~15% of decode wall at 70-point chunks).
+    def _cat(values: list) -> pd.Categorical:
+        codes, cats = pd.factorize(np.asarray(values, dtype=object))
+        return pd.Categorical.from_codes(np.repeat(codes, counts), cats)
+
     out = {
-        "url": pd.Categorical(np.repeat(urls, counts)),
-        "lang": pd.Categorical(np.repeat(langs, counts)),
+        "url": _cat(urls),
+        "lang": _cat(langs),
         TS_COL: np.concatenate(tss),
     }
     if want_n:

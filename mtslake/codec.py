@@ -78,10 +78,12 @@ def _zigzag(v: np.ndarray) -> np.ndarray:
 
 
 def _unzigzag(z: np.ndarray) -> np.ndarray:
-    neg = (z & np.uint64(1)).astype(bool)
-    half = z >> np.uint64(1)
-    out = np.where(neg, ~half, half)
-    return out.view(np.int64) if out.dtype == np.uint64 else out.astype(np.int64)
+    # branchless: (z >> 1) ^ -(z & 1)  — two temporaries instead of
+    # four (bool mask + where) — decode runs per chunk, so constant
+    # factors matter at 10⁵+ chunks per task
+    return ((z >> np.uint64(1)) ^ (np.uint64(0) - (z & np.uint64(1)))).view(
+        np.int64
+    )
 
 
 def _downcast(z: np.ndarray) -> tuple[np.ndarray, int]:
