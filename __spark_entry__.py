@@ -192,6 +192,87 @@ def q_ts_step_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- doc_* --------------------------------------------------------------
 
+def q_ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (≙ DuckDB ASOF JOIN, the oracle): every event matched
+    to the latest per-url hourly summary at or before it. Spark lacks a
+    native as-of join; this drives the union + window-LOCF composition
+    in mtslake/asof.py end-to-end against a true ASOF JOIN oracle."""
+    from mtslake.asof import asof_join
+
+    series = events_to_series(_events(spark, sf_dir)).select(
+        "url", TS_COL, "value"
+    )
+    hourly = (
+        series.groupBy(
+            "url",
+            (F.col(TS_COL) - F.pmod(F.col(TS_COL), F.lit(_HOUR_US)))
+            .cast("long").alias("_h"),
+        )
+        .agg(F.count("*").cast("long").alias("h_cnt"))
+        .select("url", F.col("_h").alias(TS_COL), "h_cnt")
+    )
+    joined = asof_join(series, hourly, key="url", ts=TS_COL,
+                       right_cols=["h_cnt"])
+    return joined.select("url", TS_COL, "value", "h_cnt_r", "ts_us_r")
+
+
+def q_ts_stream_rollup_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming graded with a TRUE SQL oracle: the events
+    series replayed through readStream → watermark → tumbling 1m agg →
+    append-mode parquet sink (availableNow). Append mode only emits
+    windows sealed by the final watermark (= max event time at
+    watermark 0s), so both sides restrict to buckets ending a full
+    bucket before max(ts) — a deterministic, semantics-independent
+    emitted set. Hash match proves the streaming aggregate is
+    bit-identical to the batch rollup over the same rows."""
+    import tempfile
+
+    from mtslake.streaming import run_stream_to_parquet
+
+    series = events_to_series(_events(spark, sf_dir))
+    tmp = tempfile.mkdtemp(prefix="mtslake_stream_contract_")
+    src, out, ck = (os.path.join(tmp, d) for d in ("src", "out", "ck"))
+    series.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(series.schema).parquet(src)
+    q = run_stream_to_parquet(
+        stream, out, ck, tier="1m", watermark="0 seconds"
+    ).start()
+    q.awaitTermination()
+    max_ts = int(series.agg(F.max(TS_COL)).first()[0])
+    rolled = spark.read.parquet(out).filter(
+        F.col("bucket_us") + 2 * 60_000_000 <= F.lit(max_ts)
+    )
+    return rolled.select(
+        "url_prefix", "lang", "bucket_us", "cnt", "vmin", "vmax",
+        F.round(F.col("vsum").cast("double"), 6).alias("vsum"),
+    )
+
+
+def q_doc_simhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup machinery graded: plant an identical copy of
+    every document — its simhash is bit-equal (hamming 0), so the
+    pigeonhole band join MUST surface every planted pair. Oracle is the
+    constant (n_planted, 0)."""
+    from mtslake.dedup import simhash64, simhash_near_dupes
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = docs.select(
+        (F.col("doc_id") + _PLANT_OFF).alias("doc_id"), "text"
+    )
+    sims = simhash64(docs.unionByName(planted))
+    pairs = simhash_near_dupes(sims, max_hamming=3)
+    found = pairs.filter(
+        (F.col("id_b") == F.col("id_a") + _PLANT_OFF)
+        & (F.col("hamming") == 0)
+    )
+    n_planted = docs.agg(F.count("*").cast("long").alias("n_planted"))
+    n_found = found.agg(F.count("*").cast("long").alias("_nf"))
+    return n_planted.crossJoin(n_found).select(
+        "n_planted",
+        (F.col("n_planted") - F.col("_nf")).cast("long").alias("n_missed"),
+    )
+
+
 def q_doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: md5-hash groupBy, keep the lowest doc_id."""
     docs = _docs(spark, sf_dir)
@@ -475,6 +556,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_verify_roundtrip": q_ts_verify_roundtrip,
         "ts_hot_urls_topk": q_ts_hot_urls_topk,
         "ts_step_read": q_ts_step_read,
+        "ts_asof_join": q_ts_asof_join,
+        "ts_stream_rollup_1m": q_ts_stream_rollup_1m,
+        "doc_simhash_planted": q_doc_simhash_planted,
         "doc_dedup_exact": q_doc_dedup_exact,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_token_count": q_doc_token_count,
@@ -617,6 +701,38 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY ts) - 1 AS rn
                 FROM events
             ) WHERE rn % 5 = 0
+        """,
+        "ts_asof_join": f"""
+            WITH s AS (
+                SELECT {_URL} AS url, epoch_us(ts) AS ts_us, value
+                FROM events
+            ), r AS (
+                SELECT url,
+                       ts_us - ts_us % {_HOUR_US} AS r_ts,
+                       count(*) AS h_cnt
+                FROM s GROUP BY 1, 2
+            )
+            SELECT s.url, s.ts_us, s.value,
+                   r.h_cnt AS h_cnt_r, r.r_ts AS ts_us_r
+            FROM s ASOF LEFT JOIN r
+              ON s.url = r.url AND s.ts_us >= r.r_ts
+        """,
+        "ts_stream_rollup_1m": f"""
+            WITH m AS (SELECT max(epoch_us(ts)) AS mx FROM events)
+            SELECT {_PREFIX} AS url_prefix, 'en' AS lang,
+                   epoch_us(ts) - epoch_us(ts) % 60000000 AS bucket_us,
+                   count(*) AS cnt, min(value) AS vmin, max(value) AS vmax,
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(18,15)))
+                       AS DOUBLE), 6) AS vsum
+            FROM events, m
+            WHERE epoch_us(ts) - epoch_us(ts) % 60000000
+                  + 2 * 60000000 <= m.mx
+            GROUP BY 1, 2, 3
+        """,
+        "doc_simhash_planted": """
+            SELECT CAST(count(*) AS BIGINT) AS n_planted,
+                   CAST(0 AS BIGINT) AS n_missed
+            FROM documents
         """,
         "doc_dedup_exact": """
             SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id,
