@@ -460,6 +460,16 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing graded end-to-end: every 10th 64-byte
+    frame of each synthesized payload, verified by a numeric per-frame
+    byte checksum the oracle recomputes from hex nibbles."""
+    from mtslake.multimodal import sample_frames, synthesize_media
+
+    frames = sample_frames(synthesize_media(_docs(spark, sf_dir)), every_n=10)
+    return frames.select("media_id", "frame_idx", "frame_nbytes", "byte_sum")
+
+
 _PLANT_OFF = 10_000_000
 
 
@@ -577,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_top_suppliers": q_rel_top_suppliers,
         "mm_features": q_mm_features,
+        "mm_frame_sample": q_mm_frame_sample,
     }
 
 
@@ -905,6 +916,32 @@ def oracle_sql() -> dict[str, str]:
                    md5(m.txt) AS content_md5,
                    f.f0, f.f1, f.f2, f.f3, f.f4, f.f5, f.f6, f.f7
             FROM m JOIN f USING (media_id)
+        """,
+        "mm_frame_sample": """
+            WITH m AS (
+                SELECT doc_id AS media_id, hex(encode(text)) AS h,
+                       octet_length(encode(text)) // 64 AS nf
+                FROM documents
+            ), fr AS (
+                SELECT media_id, h,
+                       unnest(generate_series(0, nf - 1, 10)) AS frame_idx
+                FROM m WHERE nf > 0
+            ), b AS (
+                SELECT media_id, frame_idx, h,
+                       unnest(generate_series(0, 63)) AS k
+                FROM fr
+            )
+            SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+                   CAST(64 AS INT) AS frame_nbytes,
+                   CAST(SUM(
+                       (strpos('0123456789ABCDEF',
+                               substr(h, 2 * (frame_idx * 64 + k) + 1, 1))
+                        - 1) * 16
+                     + (strpos('0123456789ABCDEF',
+                               substr(h, 2 * (frame_idx * 64 + k) + 2, 1))
+                        - 1)
+                   ) AS BIGINT) AS byte_sum
+            FROM b GROUP BY media_id, frame_idx
         """,
         "doc_minhash_lsh_recall": """
             SELECT CAST(count(*) AS BIGINT) AS n_planted,

@@ -137,27 +137,39 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
 
 def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame sampling for video payloads: emit one row per kept frame
-    (frame framing is a fixed-size stub: 64-byte frames)."""
+    (frame framing is a fixed-size stub: 64-byte frames). ``byte_sum``
+    is a frame checksum computed in the kernel — numeric, so the whole
+    sampling path is oracle-comparable without binary canonicalization."""
     schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
             T.StructField("frame_idx", T.IntegerType(), False),
             T.StructField("frame", T.BinaryType(), False),
+            T.StructField("frame_nbytes", T.IntegerType(), False),
+            T.StructField("byte_sum", T.LongType(), False),
         ]
     )
     FRAME = 64
 
     def gen(batches):
         for pdf in batches:
-            ids, idxs, frames = [], [], []
+            ids, idxs, frames, sizes, sums = [], [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 n = len(payload) // FRAME
                 for i in range(0, n, every_n):
+                    fr = payload[i * FRAME:(i + 1) * FRAME]
                     ids.append(mid)
                     idxs.append(i)
-                    frames.append(payload[i * FRAME:(i + 1) * FRAME])
+                    frames.append(fr)
+                    sizes.append(len(fr))
+                    sums.append(
+                        int(np.frombuffer(fr, dtype=np.uint8).sum())
+                    )
             yield pd.DataFrame(
-                {"media_id": ids, "frame_idx": idxs, "frame": frames}
+                {
+                    "media_id": ids, "frame_idx": idxs, "frame": frames,
+                    "frame_nbytes": sizes, "byte_sum": sums,
+                }
             )
 
     return media.mapInPandas(gen, schema=schema)
