@@ -109,7 +109,12 @@ def _segment_runs(starts, ends, max_points: int | None):
     return np.asarray(s2), np.asarray(e2)
 
 
-def _encode_block(pdf: pd.DataFrame, max_points: int | None = None) -> pd.DataFrame:
+def _encode_block(
+    pdf: pd.DataFrame,
+    max_points: int | None = None,
+    comp_level: int = 1,
+    do_time_diff: bool = True,
+) -> pd.DataFrame:
     """Encode every (url, chunk_id) group in a sorted block; one output
     row per group. Vectorized group detection; per-group work is 4 codec
     calls on contiguous numpy slices."""
@@ -128,6 +133,9 @@ def _encode_block(pdf: pd.DataFrame, max_points: int | None = None) -> pd.DataFr
     starts = np.concatenate(([0], change))
     ends = np.concatenate((change, [n]))
     starts, ends = _segment_runs(starts, ends, max_points)
+    # ≙ do_time_diff=False (mtscomp.py:55): raw-codec timestamps; decode
+    # is unaffected because payload headers carry the codec id
+    ts_codec = codec.CODEC_DOD if do_time_diff else codec.CODEC_RAW
 
     out: dict[str, list] = {c: [] for c in _OUT_COLS}
     for s, e in zip(starts, ends):
@@ -135,10 +143,10 @@ def _encode_block(pdf: pd.DataFrame, max_points: int | None = None) -> pd.DataFr
         nch = nch_all[s:e]
         val = val_all[s:e]
         shab = sha_all[s:e].ravel()
-        p_ts = codec.encode_column(ts, codec.CODEC_DOD)
-        p_n_chars = codec.encode_column(nch, codec.CODEC_DELTA)
-        p_value = codec.encode_column(val, codec.CODEC_XOR)
-        p_sha1 = codec.encode_column(shab, codec.CODEC_RAW)
+        p_ts = codec.encode_column(ts, ts_codec, comp_level)
+        p_n_chars = codec.encode_column(nch, codec.CODEC_DELTA, comp_level)
+        p_value = codec.encode_column(val, codec.CODEC_XOR, comp_level)
+        p_sha1 = codec.encode_column(shab, codec.CODEC_RAW, comp_level)
         raw_sig = ts.nbytes + nch.nbytes + val.nbytes
         comp_sig = len(p_ts) + len(p_n_chars) + len(p_value)
         out["url"].append(urls[s])
@@ -202,7 +210,10 @@ def _binary_flat(arr: pa.Array, n: int) -> np.ndarray:
 
 
 def _encode_block_arrow(
-    t: pa.Table, max_points: int | None = None
+    t: pa.Table,
+    max_points: int | None = None,
+    comp_level: int = 1,
+    do_time_diff: bool = True,
 ) -> pa.RecordBatch:
     """Arrow-native twin of _encode_block: url/lang stay in Arrow
     buffers (one .as_py() per GROUP, never per row), sha1 bytes are a
@@ -224,6 +235,9 @@ def _encode_block_arrow(
     starts = np.concatenate(([0], change))
     ends = np.concatenate((change, [n]))
     starts, ends = _segment_runs(starts, ends, max_points)
+    # ≙ do_time_diff=False (mtscomp.py:55): raw-codec timestamps; decode
+    # is unaffected because payload headers carry the codec id
+    ts_codec = codec.CODEC_DOD if do_time_diff else codec.CODEC_RAW
 
     out: dict[str, list] = {c: [] for c in _OUT_COLS}
     for s, e in zip(starts, ends):
@@ -231,10 +245,10 @@ def _encode_block_arrow(
         nch = nch_all[s:e]
         val = val_all[s:e]
         shab = sha_all[s:e].ravel()
-        p_ts = codec.encode_column(ts, codec.CODEC_DOD)
-        p_n_chars = codec.encode_column(nch, codec.CODEC_DELTA)
-        p_value = codec.encode_column(val, codec.CODEC_XOR)
-        p_sha1 = codec.encode_column(shab, codec.CODEC_RAW)
+        p_ts = codec.encode_column(ts, ts_codec, comp_level)
+        p_n_chars = codec.encode_column(nch, codec.CODEC_DELTA, comp_level)
+        p_value = codec.encode_column(val, codec.CODEC_XOR, comp_level)
+        p_sha1 = codec.encode_column(shab, codec.CODEC_RAW, comp_level)
         raw_sig = ts.nbytes + nch.nbytes + val.nbytes
         comp_sig = len(p_ts) + len(p_n_chars) + len(p_value)
         out["url"].append(url[int(s)].as_py())
@@ -255,7 +269,12 @@ def _encode_block_arrow(
     return pa.RecordBatch.from_pydict(out, schema=_PA_CHUNK_SCHEMA)
 
 
-def _encode_stream(batches, max_points: int | None = None):
+def _encode_stream(
+    batches,
+    max_points: int | None = None,
+    comp_level: int = 1,
+    do_time_diff: bool = True,
+):
     """Streaming group encoder over Arrow RecordBatches (mapInArrow):
     groups are contiguous (sorted partition); the last group of each
     batch may continue into the next, so it is buffered and prepended.
@@ -286,9 +305,11 @@ def _encode_stream(batches, max_points: int | None = None):
             buf = t
             continue
         buf = t.slice(n - n_tail)
-        yield _encode_block_arrow(t.slice(0, n - n_tail), max_points)
+        yield _encode_block_arrow(
+            t.slice(0, n - n_tail), max_points, comp_level, do_time_diff
+        )
     if buf is not None and buf.num_rows:
-        yield _encode_block_arrow(buf, max_points)
+        yield _encode_block_arrow(buf, max_points, comp_level, do_time_diff)
 
 
 def compress_series(
@@ -322,7 +343,12 @@ def compress_series(
         keyed = keyed.repartition("url", "chunk_id")
     from functools import partial
 
-    encode = partial(_encode_stream, max_points=cfg.hot_chunk_points)
+    encode = partial(
+        _encode_stream,
+        max_points=cfg.hot_chunk_points,
+        comp_level=cfg.comp_level,
+        do_time_diff=cfg.do_time_diff,
+    )
     # NUMERIC sort key instead of url: web urls share a long common
     # prefix ("https://..."), so Spark's 8-byte string prefix comparator
     # degenerates and every comparison walks the full url bytes — the

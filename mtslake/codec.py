@@ -129,11 +129,15 @@ def _unshuffle_bytes(b: bytes, n: int, dtype: np.dtype) -> np.ndarray:
 # per-stream encoders
 # ---------------------------------------------------------------------------
 
-def encode_column(arr: np.ndarray, codec: int | None = None) -> bytes:
+def encode_column(
+    arr: np.ndarray, codec: int | None = None, level: int = _ZLEVEL
+) -> bytes:
     """Encode a 1-D array into a framed, compressed payload.
 
     codec defaults: floats -> CODEC_XOR, int64 -> CODEC_DELTA, other
     ints -> CODEC_DELTA. Pass CODEC_DOD for timestamp-like columns.
+    ``level`` is the zlib entropy-stage level (≙ comp_level,
+    mtscomp.py:50); decode never needs it (payloads self-describe).
     """
     arr = np.asarray(arr)
     if arr.ndim != 1:
@@ -147,7 +151,7 @@ def encode_column(arr: np.ndarray, codec: int | None = None) -> bytes:
     n = arr.size
 
     if codec == CODEC_RAW:
-        body = zlib.compress(arr.tobytes(), _ZLEVEL)
+        body = zlib.compress(arr.tobytes(), level)
         width = dt.itemsize
     elif codec in (CODEC_DELTA, CODEC_DOD):
         if dt.kind == "f":
@@ -165,7 +169,7 @@ def encode_column(arr: np.ndarray, codec: int | None = None) -> bytes:
         raw = struct.pack("<B", len(anchors))
         raw += b"".join(struct.pack("<q", a) for a in anchors)
         raw += _shuffle_bytes(zc)
-        body = zlib.compress(raw, _ZLEVEL)
+        body = zlib.compress(raw, level)
     elif codec in (CODEC_XOR, CODEC_XOR_RAW):
         if dt.kind != "f":
             raise TypeError("CODEC_XOR is for float dtypes")
@@ -190,10 +194,10 @@ def encode_column(arr: np.ndarray, codec: int | None = None) -> bytes:
             streams = []
             for i in range(width):
                 plane = shuffled[i * n:(i + 1) * n]
-                probe = zlib.compress(plane[:512], _ZLEVEL)
+                probe = zlib.compress(plane[:512], level)
                 comp = None
                 if len(probe) < 0.90 * min(len(plane), 512):
-                    comp = zlib.compress(plane, _ZLEVEL)
+                    comp = zlib.compress(plane, level)
                 if comp is not None and len(comp) < 0.9 * len(plane):
                     bitmap |= 1 << i
                     streams.append(comp)
@@ -204,7 +208,7 @@ def encode_column(arr: np.ndarray, codec: int | None = None) -> bytes:
             )
             codec = CODEC_XOR_PLANES
         elif codec == CODEC_XOR:
-            body = zlib.compress(shuffled, _ZLEVEL)
+            body = zlib.compress(shuffled, level)
             if len(body) > 0.97 * len(shuffled):
                 codec, body = CODEC_XOR_RAW, shuffled
         else:

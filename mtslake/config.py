@@ -27,8 +27,13 @@ class EngineConfig:
     # mtscomp.py:51,324-339). Web snapshots are sparse/irregular, so the
     # chunk unit is wall-clock time, default 1 day of events per chunk.
     chunk_duration_us: int = US_PER_DAY
-    # entropy stage (≙ compression_algorithm='zlib', comp_level=-1,
-    # mtscomp.py:49-50) is fixed zlib inside codec.py
+    # entropy stage (≙ algorithm='zlib' + comp_level, mtscomp.py:49-50).
+    # Default 1, not the reference's -1(=6): the delta/xor/shuffle stages
+    # do the heavy lifting, so higher zlib levels buy ~nothing at 3-6x
+    # the CPU (measured in BENCH/profile_encode.py)
+    comp_level: int = 1
+    # ≙ do_time_diff (mtscomp.py:55): False stores timestamps raw-codec
+    do_time_diff: bool = True
     check_after_compress: bool = True  # ≙ mtscomp.py:56
     check_after_decompress: bool = True  # ≙ mtscomp.py:57
     # rollup tiers (north_rule: 1m/1h/1d continuous aggregates)

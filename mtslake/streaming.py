@@ -144,6 +144,8 @@ def streaming_compress(
                 blk[["url", "chunk_id", "lang", TS_COL,
                      "n_chars", "value", "text_sha1"]],
                 cfg.hot_chunk_points,
+                cfg.comp_level,
+                cfg.do_time_diff,
             )
 
     return with_ts.groupBy("url").applyInPandasWithState(

@@ -78,3 +78,47 @@ def test_set_default_cli_flag(tmp_path, monkeypatch):
         ["--store", "/x", "--chunk-duration-us", "60000000"]
     )
     assert config_from(args3).chunk_duration_us == 60_000_000
+
+
+def test_comp_level_and_do_time_diff_knobs(tmp_path):
+    """comp_level reaches the entropy stage; do_time_diff=False stores
+    raw-codec timestamps — both decode bit-exactly (payload headers are
+    self-describing, ≙ mtscomp config knobs :49-55)."""
+    import numpy as np
+
+    from mtslake import codec
+
+    ts = (np.arange(5000, dtype=np.int64) * 1_000_003
+          + np.arange(5000, dtype=np.int64) % 7)
+    p1 = codec.encode_column(ts, codec.CODEC_DOD, level=1)
+    p9 = codec.encode_column(ts, codec.CODEC_DOD, level=9)
+    assert len(p9) <= len(p1)
+    assert (codec.decode_column(p1) == ts).all()
+    assert (codec.decode_column(p9) == ts).all()
+    raw = codec.encode_column(ts, codec.CODEC_RAW)
+    assert (codec.decode_column(raw) == ts).all()
+    assert len(raw) != len(p1)
+
+
+def test_engine_knobs_thread_into_encoder(spark):
+    from pyspark.sql import functions as F
+
+    from mtslake import chunk
+    from mtslake.config import DEFAULT
+    from mtslake.datagen import generate_pages
+    from mtslake.series import pages_to_series
+
+    series = pages_to_series(
+        generate_pages(spark, n_urls=4, snapshots_per_url=48)
+    ).cache()
+    base = chunk.compress_series(series, DEFAULT)
+    no_diff = chunk.compress_series(
+        series, DEFAULT.with_overrides(do_time_diff=False)
+    )
+    sz = base.agg(F.sum("comp_signal_nbytes")).first()[0]
+    sz_no = no_diff.agg(F.sum("comp_signal_nbytes")).first()[0]
+    assert sz_no != sz  # knob observably changes the encoding
+    # and the round trip stays bit-exact either way
+    a = {tuple(r) for r in chunk.decompress_chunks(base).collect()}
+    b = {tuple(r) for r in chunk.decompress_chunks(no_diff).collect()}
+    assert a == b
