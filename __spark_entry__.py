@@ -248,6 +248,51 @@ def q_ts_stream_rollup_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_stream_compress_seal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful streaming operator graded end-to-end: the
+    applyInPandasWithState chunk sealer replays the events series,
+    seals every chunk strictly below the final watermark (= max event
+    time at ms precision, deterministic), and the decoded sealed points
+    are verified bit-exactly against the raw series via a full-outer
+    multiset join. Oracle = the SQL count of exactly those raw rows,
+    plus a constant zero mismatches."""
+    import tempfile
+
+    from mtslake.streaming import run_compress_stream_to_parquet
+
+    series = events_to_series(_events(spark, sf_dir))
+    tmp = tempfile.mkdtemp(prefix="mtslake_seal_contract_")
+    src, out, ck = (os.path.join(tmp, d) for d in ("src", "out", "ck"))
+    series.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(series.schema).parquet(src)
+    q = run_compress_stream_to_parquet(
+        stream, out, ck, DEFAULT, watermark="0 seconds"
+    ).start()
+    q.awaitTermination()
+
+    wm_us = (int(series.agg(F.max(TS_COL)).first()[0]) // 1000) * 1000
+    cutoff_chunk = wm_us // US_PER_DAY
+    raw = series.filter(
+        F.floor(F.col(TS_COL) / F.lit(US_PER_DAY)) < cutoff_chunk
+    ).select("url", TS_COL, "n_chars", "value")
+    decoded = _chunk.decompress_chunks(spark.read.parquet(out)).select(
+        "url", TS_COL,
+        F.col("n_chars").alias("d_n_chars"), F.col("value").alias("d_value"),
+    )
+    j = raw.join(decoded, ["url", TS_COL], "full_outer")
+    return j.agg(
+        F.count("*").alias("n_points"),
+        F.sum(
+            F.when(
+                F.col("n_chars").isNull() | F.col("d_n_chars").isNull()
+                | (F.col("n_chars") != F.col("d_n_chars"))
+                | (F.col("value") != F.col("d_value")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_mismatch"),
+    )
+
+
 def q_doc_simhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup machinery graded: plant an identical copy of
     every document — its simhash is bit-equal (hamming 0), so the
@@ -568,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_step_read": q_ts_step_read,
         "ts_asof_join": q_ts_asof_join,
         "ts_stream_rollup_1m": q_ts_stream_rollup_1m,
+        "ts_stream_compress_seal": q_ts_stream_compress_seal,
         "doc_simhash_planted": q_doc_simhash_planted,
         "doc_dedup_exact": q_doc_dedup_exact,
         "doc_fingerprint": q_doc_fingerprint,
@@ -739,6 +785,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE epoch_us(ts) - epoch_us(ts) % 60000000
                   + 2 * 60000000 <= m.mx
             GROUP BY 1, 2, 3
+        """,
+        "ts_stream_compress_seal": f"""
+            WITH m AS (
+                SELECT (max(epoch_us(ts)) // 1000) * 1000 AS wm FROM events
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_points,
+                   CAST(0 AS BIGINT) AS n_mismatch
+            FROM events, m
+            WHERE epoch_us(ts) // {US_PER_DAY} < m.wm // {US_PER_DAY}
         """,
         "doc_simhash_planted": """
             SELECT CAST(count(*) AS BIGINT) AS n_planted,
