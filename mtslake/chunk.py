@@ -27,9 +27,11 @@ allocator before 32 cores; Arrow buffers cross zero-copy.
   (≙ chunk_bounds, mtscomp.py:324-339) — the reference's "write in
   chunk order" barrier (mtscomp.py:473-474) disappears because identity
   lives in keys, not file offsets.
-* rows are sorted ``(url, chunk_id, ts_us, text_sha1)`` before encoding
-  — the codec is order-sensitive; the sha1 tiebreak makes duplicate
-  timestamps deterministic (web-data reality the reference never faces).
+* rows are sorted ``(xxhash64(url), chunk_id, ts_us, text_sha1)``
+  before encoding — the codec is order-sensitive; the sha1 tiebreak
+  makes duplicate timestamps deterministic (web-data reality the
+  reference never faces). The leading key is numeric on purpose: see
+  ``compress_series``.
 * per-chunk SHA1 of the raw bytes is carried in the row (≙ the .ch
   running sha1 ledger, mtscomp.py:321-322,481-483).
 * skew stays bounded: a hot url never forms one giant group because the

@@ -92,7 +92,13 @@ class ResumableCompressJob:
 
     def run(self, series: DataFrame, fail_after_batches: int | None = None) -> dict:
         """Process all pending units; fail_after_batches simulates a
-        mid-job kill (tests). Returns run metrics."""
+        mid-job kill (tests). Returns run metrics.
+
+        The per-batch ``series.filter(unit ∈ batch)`` re-scans the
+        source ONLY when the source is not partitioned on time: against
+        a date-partitioned pages/series table (the warehouse layout)
+        the chunk-unit predicate is a partition filter and each batch
+        reads just its own partitions."""
         spark = self.spark
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         all_units = self.plan_units(series)

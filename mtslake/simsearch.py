@@ -101,6 +101,100 @@ def _lit_vec(v) -> F.Column:
     return F.array(*[F.lit(float(x)) for x in v])
 
 
+def _seeded_centroids(e: DataFrame, n_cells: int) -> list:
+    """Deterministic coarse quantizer: the vectors with the smallest
+    xxhash64(id) — a seeded sample, no training loop (reproducible)."""
+    return [
+        r["_v"]
+        for r in e.withColumn("_h", F.xxhash64("vec_id"))
+        .orderBy("_h", "vec_id").limit(n_cells).collect()
+    ]
+
+
+def _cell_scores(col, cents) -> F.Column:
+    return F.array(*[cosine(col, _lit_vec(c)) for c in cents])
+
+
+def _probe_cells(p: DataFrame, cents, n_probe: int) -> DataFrame:
+    """One row per (probe, probed cell): the n_probe best cells by
+    probe-to-centroid cosine."""
+    psc = _cell_scores(F.col("_p"), cents)
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.lit(len(cents))),
+        lambda i: F.struct(F.element_at(psc, i).alias("s"), i.alias("i")),
+    )
+    top = F.slice(F.reverse(F.array_sort(pairs)), 1, min(n_probe, len(cents)))
+    return p.withColumn(
+        "cell", F.explode(F.transform(top, lambda st: st["i"].cast("int")))
+    )
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF layout for 100-TB search: the embedding
+    table written ONCE partitioned by its assigned cell, centroids in a
+    JSON sidecar. Every later probe batch reads only its probed cell
+    partitions (directory-level pruning — the inverted-list read is
+    O(probed cells), never a full scan; plan-asserted in
+    tests/test_plans.py)."""
+    import json
+    import os
+
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    cents = _seeded_centroids(e, n_cells)
+    sc = _cell_scores(F.col("_v"), cents)
+    assigned = e.withColumn(
+        "cell", F.array_position(sc, F.array_max(sc)).cast("int")
+    )
+    assigned.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path)
+    with open(os.path.join(path, "_centroids.json"), "w") as f:
+        json.dump(cents, f)
+
+
+def ivf_search(
+    spark,
+    path: str,
+    probes: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Search a ``build_ivf_index`` store: probed cells prune the
+    partitioned scan; exact cosine re-rank inside candidates. Same
+    result contract as ``ivf_topk`` over the same quantizer."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_centroids.json")) as f:
+        cents = json.load(f)
+    p = probes.select(
+        "probe_id", F.col("probe_vec").cast("array<double>").alias("_p")
+    )
+    p = _probe_cells(p, cents, n_probe)
+    cells = sorted({r["cell"] for r in p.select("cell").distinct().collect()})
+    # cell ∈ probed-set is a PARTITION filter on the store layout
+    store = spark.read.parquet(path).filter(F.col("cell").isin(cells))
+    cand = store.join(F.broadcast(p), "cell").filter(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    cand = cand.withColumn("cos", cosine(F.col("_v"), F.col("_p")))
+    w = W.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     probes: DataFrame,
@@ -126,16 +220,8 @@ def ivf_topk(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
-    cents = [
-        r["_v"]
-        for r in e.withColumn("_h", F.xxhash64("vec_id"))
-        .orderBy("_h", "vec_id").limit(n_cells).collect()
-    ]
-
-    def cell_scores(col) -> F.Column:
-        return F.array(*[cosine(col, _lit_vec(c)) for c in cents])
-
-    sc = cell_scores(F.col("_v"))
+    cents = _seeded_centroids(e, n_cells)
+    sc = _cell_scores(F.col("_v"), cents)
     assigned = e.withColumn(
         "cell", F.array_position(sc, F.array_max(sc)).cast("int")
     )
@@ -143,17 +229,7 @@ def ivf_topk(
     p = probes.select(
         "probe_id", F.col("probe_vec").cast("array<double>").alias("_p")
     )
-    psc = cell_scores(F.col("_p"))
-    pairs = F.transform(
-        F.sequence(F.lit(1), F.lit(len(cents))),
-        lambda i: F.struct(
-            F.element_at(psc, i).alias("s"), i.alias("i")
-        ),
-    )
-    top = F.slice(F.reverse(F.array_sort(pairs)), 1, min(n_probe, len(cents)))
-    p = p.withColumn(
-        "cell", F.explode(F.transform(top, lambda st: st["i"].cast("int")))
-    )
+    p = _probe_cells(p, cents, n_probe)
 
     cand = assigned.join(F.broadcast(p), "cell").filter(
         F.col("vec_id") != F.col("probe_id")

@@ -193,3 +193,22 @@ def test_multimodal_pipeline(spark, docs):
     frames = multimodal.sample_frames(media, every_n=2)
     assert frames.count() > 0
     assert frames.filter(F.length("frame") != 64).count() == 0
+
+
+def test_ivf_index_store_prunes_and_matches(spark, emb, tmp_path):
+    """The persisted IVF layout: cell-partitioned store + sidecar
+    centroids. Search must (a) equal the in-memory ivf_topk over the
+    same quantizer, and (b) prune the scan to the probed cell
+    partitions (PartitionFilters in the plan — the O(probed cells)
+    inverted-list read that makes IVF viable at 100 TB)."""
+    path = str(tmp_path / "ivf_store")
+    simsearch.build_ivf_index(emb, path, n_cells=8)
+    probes = _probes(emb, 3)
+    got = simsearch.ivf_search(spark, path, probes, k=5, n_probe=3)
+    exp = simsearch.ivf_topk(emb, probes, k=5, n_cells=8, n_probe=3)
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in exp.collect()}
+
+    # the probes-side embeddings scan legitimately has no partition
+    # filter; the STORE scan must carry one on cell
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan
