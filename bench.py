@@ -1,7 +1,7 @@
 """Benchmark harness — prints ONE JSON line.
 
 Primary metric (BASELINE.json): **rolled-up points/sec** through the
-full pipeline — series → compress (applyInPandas codec) → chunk store →
+full pipeline — series → compress (mapInArrow codec) → chunk store →
 decode (mapInPandas) → 1m/1h/1d rollup tiers — on a deterministic
 pages table shaped per input_hint, at a scale tied to the sf dir,
 plus per-query timings for the headline operators.

@@ -136,12 +136,16 @@ def build_all_tiers(series: DataFrame) -> dict[str, DataFrame]:
 
 
 # tier table partition granularity (retention = partition drop, never a
-# table rewrite): fine tiers partition daily, coarser tiers coarser so
-# file counts stay sane at decade horizons
+# table rewrite). Granularity trades retention precision for write cost:
+# every partitionBy value multiplies output files and planned-write sort
+# work (measured: daily 1m partitions cost ~2x a flat write; weekly
+# ~1.3x), while retention only needs horizon/granularity ≈ 10-50
+# partitions per tier. Weekly/monthly/yearly keeps both sane at decade
+# horizons.
 ROLLUP_PART_US = {
-    "1m": 24 * 3_600_000_000,           # 1 day  → ≤1440 buckets/part/key
-    "1h": 30 * 24 * 3_600_000_000,      # 30 days
-    "1d": 360 * 24 * 3_600_000_000,     # ~1 year
+    "1m": 7 * 24 * 3_600_000_000,       # 1 week  (90 d horizon → ~13 parts)
+    "1h": 30 * 24 * 3_600_000_000,      # 30 days (365 d horizon → ~12)
+    "1d": 360 * 24 * 3_600_000_000,     # ~1 year (10 y horizon → ~10)
 }
 
 

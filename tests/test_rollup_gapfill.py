@@ -192,10 +192,15 @@ def test_incremental_catalog_append_leaves_history_untouched(
     )
 
 
-def test_tier_retention_drops_partitions_not_rows(spark, series, tmp_path):
+def test_tier_retention_drops_partitions_not_rows(
+    spark, series, tmp_path, monkeypatch
+):
     """Tier retention = partition drop: surviving rollup files are
     untouched (mtime+size identical — the SHA1-identity analogue of the
-    chop property), expired counts come from doomed partitions only."""
+    chop property), expired counts come from doomed partitions only.
+    Daily 1m partitions here so the small fixture spans several — the
+    machinery under test is granularity-independent."""
+    monkeypatch.setitem(rollup.ROLLUP_PART_US, "1m", 24 * 3_600_000_000)
     st = ChunkStore(spark, str(tmp_path / "store"))
     rollup.materialize_tiers(st, series)
     now = series.agg(F.max(TS_COL)).first()[0]
