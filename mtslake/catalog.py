@@ -129,6 +129,30 @@ class ChunkStore:
         )
 
 
+def save_series_bucketed(
+    series: DataFrame, table: str, n_buckets: int = 64
+) -> None:
+    """Write the series table url-bucketed (Spark native bucketing).
+
+    The warehouse co-location pattern for the 100-TB compress path: pay
+    the url shuffle ONCE at ingest; every later ``compress_series(...,
+    pre_partitioned=True)`` over ``spark.table(table)`` is shuffle-free
+    because a bucketed scan hands each bucket's files to exactly one
+    task (plan-asserted in tests/test_plans.py)."""
+    (
+        series.write.mode("overwrite").format("parquet")
+        .bucketBy(n_buckets, "url")
+        .saveAsTable(table)
+    )
+
+
+def compress_bucketed(spark: SparkSession, table: str, cfg=DEFAULT):
+    """Shuffle-free compress over a ``save_series_bucketed`` table."""
+    from .chunk import compress_series
+
+    return compress_series(spark.table(table), cfg, pre_partitioned=True)
+
+
 def prune_chunks(
     chunks: DataFrame,
     t0_us: int | None = None,

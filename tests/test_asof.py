@@ -62,3 +62,46 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     npt.assert_array_equal(
         exp["px"].to_numpy(), got["px_r"].to_numpy(dtype=float)
     )
+
+
+def test_asof_join_randomized_vs_merge_asof(spark):
+    """Seeded randomized oracle: many keys, duplicate timestamps on the
+    left, irregular right-side gaps — must match pandas.merge_asof
+    (direction='backward', allow_exact_matches=True) per key."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    lrows, rrows = [], []
+    for k in range(20):
+        key = f"k{k}"
+        lts = np.sort(rng.integers(0, 10_000, rng.integers(5, 60)))
+        if len(lts) > 3:  # force duplicate left timestamps
+            lts[1] = lts[2]
+        rts = np.sort(
+            rng.choice(np.arange(0, 10_000), rng.integers(0, 20),
+                       replace=False)
+        )
+        lrows += [(key, int(t)) for t in lts]
+        rrows += [(key, int(t), float(t) * 0.5 + k) for t in rts]
+    left = spark.createDataFrame(lrows, "url string, ts_us long")
+    right = spark.createDataFrame(rrows, "url string, ts_us long, px double")
+
+    got = asof_join(left, right).toPandas()
+
+    lp = pd.DataFrame(lrows, columns=["url", "ts_us"]).sort_values(
+        ["ts_us", "url"], kind="mergesort", ignore_index=True)
+    rp = pd.DataFrame(rrows, columns=["url", "ts_us", "px"]).sort_values(
+        ["ts_us", "url"], kind="mergesort", ignore_index=True)
+    exp = pd.merge_asof(
+        lp, rp, on="ts_us", by="url", direction="backward",
+        allow_exact_matches=True, suffixes=("", "_r"),
+    )
+
+    def canon(df, pxcol):
+        return sorted(
+            (r["url"], int(r["ts_us"]),
+             None if pd.isna(r[pxcol]) else float(r[pxcol]))
+            for _, r in df.iterrows()
+        )
+
+    assert canon(got, "px_r") == canon(exp, "px")

@@ -79,3 +79,25 @@ def test_rollup_is_partial_aggregated(spark, store):
     plan = r._jdf.queryExecution().executedPlan().toString()
     # hash aggregate with a partial (map-side) phase before the exchange
     assert plan.count("HashAggregate") >= 2
+
+
+def test_bucketed_series_compress_is_shuffle_free(spark, tmp_path):
+    """The warehouse co-location pattern: compress over a url-bucketed
+    table must plan ZERO exchanges (the ingest-time bucketing replaces
+    the per-run repartition), and decode to exactly what the shuffling
+    path produces."""
+    from mtslake.catalog import compress_bucketed, save_series_bucketed
+
+    pages = generate_pages(spark, n_urls=8, snapshots_per_url=48)
+    series = pages_to_series(pages)
+    save_series_bucketed(series, "t_series_bucketed", n_buckets=8)
+    try:
+        bucketed = compress_bucketed(spark, "t_series_bucketed", DEFAULT)
+        plan = bucketed._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 0, plan
+        normal = chunk.compress_series(series, DEFAULT)
+        a = {tuple(r) for r in chunk.decompress_chunks(bucketed).collect()}
+        b = {tuple(r) for r in chunk.decompress_chunks(normal).collect()}
+        assert a == b
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_series_bucketed")
