@@ -515,6 +515,23 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select("media_id", "frame_idx", "frame_nbytes", "byte_sum")
 
 
+def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing graded end-to-end: nearest-neighbor resize to
+    8x8 through the Arrow kernel, then the 8-bin byte histogram of the
+    resized payload (the oracle recomputes the sampled pixel indices
+    from hex nibbles). nbytes must be exactly 64."""
+    from mtslake.multimodal import (
+        extract_features, resize_images, synthesize_media,
+    )
+
+    resized = resize_images(synthesize_media(_docs(spark, sf_dir)), 8, 8)
+    feats = extract_features(resized)
+    return feats.select(
+        "media_id", "nbytes",
+        *[F.round(F.col("features")[i], 6).alias(f"f{i}") for i in range(8)],
+    )
+
+
 _PLANT_OFF = 10_000_000
 
 
@@ -634,6 +651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_top_suppliers": q_rel_top_suppliers,
         "mm_features": q_mm_features,
         "mm_frame_sample": q_mm_frame_sample,
+        "mm_resize": q_mm_resize,
     }
 
 
@@ -997,6 +1015,39 @@ def oracle_sql() -> dict[str, str]:
                         - 1)
                    ) AS BIGINT) AS byte_sum
             FROM b GROUP BY media_id, frame_idx
+        """,
+        "mm_resize": """
+            WITH m AS (
+                SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+                       octet_length(encode(text)) AS nb,
+                       ((n_chars % 16) + 4) AS w, ((doc_id % 12) + 4) AS ht
+                FROM documents
+            ), px AS (
+                SELECT media_id, hx, nb, w, ht,
+                       unnest(generate_series(0, 63)) AS k
+                FROM m
+            ), v AS (
+                SELECT media_id,
+                       ((strpos('0123456789ABCDEF', substr(hx,
+                            2 * ((((k // 8) * ht // 8) * w
+                                  + ((k % 8) * w // 8)) % nb) + 1, 1)) - 1)
+                        * 16
+                      + (strpos('0123456789ABCDEF', substr(hx,
+                            2 * ((((k // 8) * ht // 8) * w
+                                  + ((k % 8) * w // 8)) % nb) + 2, 1)) - 1)
+                       ) // 32 AS bin
+                FROM px
+            )
+            SELECT media_id, CAST(64 AS BIGINT) AS nbytes,
+                   ROUND(SUM(CASE WHEN bin = 0 THEN 1 ELSE 0 END) / 64.0, 6) AS f0,
+                   ROUND(SUM(CASE WHEN bin = 1 THEN 1 ELSE 0 END) / 64.0, 6) AS f1,
+                   ROUND(SUM(CASE WHEN bin = 2 THEN 1 ELSE 0 END) / 64.0, 6) AS f2,
+                   ROUND(SUM(CASE WHEN bin = 3 THEN 1 ELSE 0 END) / 64.0, 6) AS f3,
+                   ROUND(SUM(CASE WHEN bin = 4 THEN 1 ELSE 0 END) / 64.0, 6) AS f4,
+                   ROUND(SUM(CASE WHEN bin = 5 THEN 1 ELSE 0 END) / 64.0, 6) AS f5,
+                   ROUND(SUM(CASE WHEN bin = 6 THEN 1 ELSE 0 END) / 64.0, 6) AS f6,
+                   ROUND(SUM(CASE WHEN bin = 7 THEN 1 ELSE 0 END) / 64.0, 6) AS f7
+            FROM v GROUP BY media_id
         """,
         "doc_minhash_lsh_recall": """
             SELECT CAST(count(*) AS BIGINT) AS n_planted,

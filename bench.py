@@ -57,6 +57,10 @@ def main() -> None:
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bigger Arrow batches amortize the per-batch Python round-trip
+        # in the mapInArrow encoder (~8% encode-stage win vs the 10k
+        # default, measured min-of-3)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         # local files are single-row-group and tiny vs the 128MB default
         # split size; decode parallelism must come from finer splits
         .config("spark.sql.files.maxPartitionBytes", "4m")
