@@ -271,11 +271,17 @@ def q_ts_stream_compress_seal(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
 
     wm_us = (int(series.agg(F.max(TS_COL)).first()[0]) // 1000) * 1000
-    cutoff_chunk = wm_us // US_PER_DAY
+    # (wm-1)//day, not wm//day: when the watermark lands EXACTLY on a
+    # day boundary, the boundary chunk's event-time timeout
+    # (timeout == watermark) may not fire under strict comparison —
+    # chunks below (wm-1)//day are provably sealed either way, so both
+    # sides verify exactly that deterministic set
+    cutoff_chunk = (wm_us - 1) // US_PER_DAY
     raw = series.filter(
         F.floor(F.col(TS_COL) / F.lit(US_PER_DAY)) < cutoff_chunk
     ).select("url", TS_COL, "n_chars", "value")
-    decoded = _chunk.decompress_chunks(spark.read.parquet(out)).select(
+    sealed = spark.read.parquet(out).filter(F.col("chunk_id") < cutoff_chunk)
+    decoded = _chunk.decompress_chunks(sealed).select(
         "url", TS_COL,
         F.col("n_chars").alias("d_n_chars"), F.col("value").alias("d_value"),
     )
@@ -663,7 +669,7 @@ _ROLLUP_1H = f"""
     SELECT {_PREFIX} AS url_prefix, 'en' AS lang,
            epoch_us(ts) - epoch_us(ts) % {_HOUR_US} AS bucket_us,
            count(*) AS cnt, min(value) AS vmin, max(value) AS vmax,
-           SUM(CAST(value AS DECIMAL(18,15))) AS vsum_dec
+           SUM(CAST(value AS DECIMAL(18,9))) AS vsum_dec
     FROM events GROUP BY 1, 2, 3
 """
 
@@ -701,9 +707,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT {_PREFIX} AS url_prefix, 'en' AS lang,
                    epoch_us(ts) - epoch_us(ts) % {US_PER_DAY} AS bucket_us,
                    count(*) AS cnt, min(value) AS vmin, max(value) AS vmax,
-                   ROUND(CAST(SUM(CAST(value AS DECIMAL(18,15)))
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(18,9)))
                        AS DOUBLE), 6) AS vsum,
-                   ROUND(CAST(SUM(CAST(value AS DECIMAL(18,15))) AS DOUBLE)
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(18,9))) AS DOUBLE)
                        / count(*), 6) AS vmean
             FROM events GROUP BY 1, 2, 3
         """,
@@ -797,7 +803,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT {_PREFIX} AS url_prefix, 'en' AS lang,
                    epoch_us(ts) - epoch_us(ts) % 60000000 AS bucket_us,
                    count(*) AS cnt, min(value) AS vmin, max(value) AS vmax,
-                   ROUND(CAST(SUM(CAST(value AS DECIMAL(18,15)))
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(18,9)))
                        AS DOUBLE), 6) AS vsum
             FROM events, m
             WHERE epoch_us(ts) - epoch_us(ts) % 60000000
@@ -811,7 +817,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(count(*) AS BIGINT) AS n_points,
                    CAST(0 AS BIGINT) AS n_mismatch
             FROM events, m
-            WHERE epoch_us(ts) // {US_PER_DAY} < m.wm // {US_PER_DAY}
+            WHERE epoch_us(ts) // {US_PER_DAY} < (m.wm - 1) // {US_PER_DAY}
         """,
         "doc_simhash_planted": """
             SELECT CAST(count(*) AS BIGINT) AS n_planted,

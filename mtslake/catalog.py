@@ -17,6 +17,7 @@ byte-copy ``chop`` (mtscomp.py:750-796).
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -48,9 +49,40 @@ class ChunkStore:
     def path(self, name: str) -> str:
         return os.path.join(self.root, name)
 
+    # -- store-pinned layout config ---------------------------------------
+
+    META_FILE = "_engine_meta.json"
+
+    def write_meta(self, cfg: EngineConfig) -> None:
+        """Pin layout-defining config in the store itself (first write
+        wins). chunk_duration_us DEFINES the chunk_id partition layout:
+        sourcing it from a mutable site file would let a later
+        ``--set-default`` silently mis-prune every chunk_id filter
+        against data written under the old duration."""
+        p = os.path.join(self.root, self.META_FILE)
+        if os.path.exists(p):
+            return
+        os.makedirs(self.root, exist_ok=True)
+        with open(p, "w") as f:
+            json.dump({"chunk_duration_us": cfg.chunk_duration_us}, f)
+
+    def load_meta(self) -> dict:
+        p = os.path.join(self.root, self.META_FILE)
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
+    def cfg_for_store(self, base: EngineConfig = DEFAULT) -> EngineConfig:
+        """base config with the store's pinned layout fields forced —
+        always use this for read/prune/retention paths against an
+        existing store."""
+        return base.with_overrides(**self.load_meta())
+
     # -- write ------------------------------------------------------------
 
-    def write_chunks(self, chunks: DataFrame, mode: str = "append") -> None:
+    def write_chunks(self, chunks: DataFrame, mode: str = "append",
+                     cfg: EngineConfig | None = None) -> None:
         """Persist chunk rows + derive the catalog (≙ Writer.write's
         ordered sink + .ch dump, mtscomp.py:425-507 — here two writes,
         ordering by keys).
@@ -67,7 +99,17 @@ class ChunkStore:
         itself partitioned by chunk_id. An append therefore does O(batch)
         work — it never re-reads or rewrites pre-existing chunk or
         catalog partitions (at 100 TB a nightly ingest must not rescan
-        all history). ``rebuild_catalog`` remains as a repair tool."""
+        all history).
+
+        Crash window: the two writes are not one transaction (plain
+        Parquet has no snapshot commit — with an Iceberg catalog this
+        becomes atomic), so a failure between them leaves the catalog
+        missing the batch, and retrying a plain append duplicates it.
+        ``jobs/verify.py`` detects the divergence (row-count check) and
+        ``rebuild_catalog`` repairs it; the resumable compress path
+        (lineage.py) avoids the window entirely via per-unit dynamic
+        partition overwrite of BOTH tables."""
+        self.write_meta(cfg if cfg is not None else DEFAULT)
         clustered = chunks.repartition(
             F.col("chunk_id"), F.pmod(F.xxhash64("url"), F.lit(16))
         ).persist()

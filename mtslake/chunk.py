@@ -305,6 +305,19 @@ def _encode_stream(
         n_tail = pa.compute.sum(tail_mask).as_py()
         if n_tail == n:
             buf = t
+            # the hot_chunk_points memory bound must hold even while a
+            # single giant group streams through: flush complete
+            # max_points segments now (identical layout to what
+            # _segment_runs would produce, since segments start at
+            # multiples of max_points from the group start) and keep
+            # only the < max_points residual buffered
+            if max_points and buf.num_rows > max_points:
+                n_full = (buf.num_rows // max_points) * max_points
+                yield _encode_block_arrow(
+                    buf.slice(0, n_full), max_points, comp_level,
+                    do_time_diff,
+                )
+                buf = buf.slice(n_full) if n_full < buf.num_rows else None
             continue
         buf = t.slice(n - n_tail)
         yield _encode_block_arrow(

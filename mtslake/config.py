@@ -47,7 +47,8 @@ class EngineConfig:
             "1d": 10 * 365 * US_PER_DAY,
         }
     )
-    # skew: urls whose chunk exceeds this many points get salted encode groups
+    # hot-chunk guard: encoder splits any (url, chunk_id) run longer than
+    # this into bounded segment rows (chunk._segment_runs)
     hot_chunk_points: int = 250_000
     shuffle_partitions: int = 32
 

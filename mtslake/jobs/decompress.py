@@ -33,8 +33,10 @@ def main(argv=None) -> None:
     )
     args = p.parse_args(argv)
     spark = build_session("mtslake-decompress", args)
-    cfg = config_from(args)
     store = ChunkStore(spark, args.store)
+    # store-pinned layout fields (chunk_duration_us) override site/CLI
+    # config: pruning must match the layout the data was written under
+    cfg = store.cfg_for_store(config_from(args))
     verify = cfg.check_after_decompress and not args.no_check
     decoded = read_range(
         store, t0_us=args.t0_us, t1_us=args.t1_us, url=args.url,

@@ -22,7 +22,9 @@ def main(argv=None) -> None:
     args = p.parse_args(argv)
     spark = build_session("mtslake-retention", args)
     store = ChunkStore(spark, args.store)
-    print(apply_retention(store, now_us=args.now_us, cfg=config_from(args)))
+    # store-pinned layout fields override site/CLI config
+    print(apply_retention(store, now_us=args.now_us,
+                          cfg=store.cfg_for_store(config_from(args))))
 
 
 if __name__ == "__main__":

@@ -42,6 +42,20 @@ def main(argv=None) -> None:
     if bad:
         # ≙ "CRITICAL ERROR" hard failure, mtscomp.py:880-888
         raise RuntimeError(f"CRITICAL ERROR: {bad} mismatching points")
+
+    # catalog consistency: write_chunks appends chunks THEN catalog, so
+    # a crash in between leaves the catalog missing rows (and a retried
+    # plain append can duplicate them). This job already scans both
+    # tables — detect divergence here and point at the repair tool.
+    n_chunks = store.chunks().count()
+    n_cat = store.catalog().count()
+    if n_chunks != n_cat:
+        raise RuntimeError(
+            f"CRITICAL ERROR: catalog has {n_cat} rows but chunks table "
+            f"has {n_chunks} — run ChunkStore.rebuild_catalog() "
+            "(a crash between the chunk and catalog writes, or a "
+            "retried append, left them diverged)"
+        )
     print("verify OK")
 
 

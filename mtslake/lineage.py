@@ -40,7 +40,11 @@ class ResumableCompressJob:
     ):
         self.store = store
         self.job_id = job_id
-        self.cfg = cfg
+        # layout fields pinned in the store win over caller config (a
+        # second job with a different chunk_duration_us would corrupt
+        # the partition layout); first job pins them
+        store.write_meta(cfg)
+        self.cfg = store.cfg_for_store(cfg)
         self.units_per_batch = units_per_batch
         self.spark = store.spark
 

@@ -46,17 +46,23 @@ def drop_chunk_partitions(store: ChunkStore, chunk_ids: list[int]) -> int:
     The catalog is partitioned by chunk_id in lockstep with the chunks
     table (catalog.write_chunks), so expiring a chunk also expires its
     catalog rows by directory drop — O(dropped), never a catalog
-    rebuild (which would rescan the whole chunks table)."""
+    rebuild (which would rescan the whole chunks table). The refresh is
+    gated on EITHER side having been removed: a catalog-only drop (e.g.
+    healing an orphan left by a crash between the two rmtrees of an
+    earlier run) must still invalidate Spark's FileStatusCache."""
     dropped = 0
+    removed_any = False
     for cid in chunk_ids:
         p = os.path.join(store.path("chunks"), f"chunk_id={cid}")
         if os.path.isdir(p):
             shutil.rmtree(p)
             dropped += 1
+            removed_any = True
         cp = os.path.join(store.path("catalog"), f"chunk_id={cid}")
         if os.path.isdir(cp):
             shutil.rmtree(cp)
-    if dropped:
+            removed_any = True
+    if removed_any:
         # Spark's global FileStatusCache still lists the deleted files;
         # refresh so later scans of the path re-list
         store.spark.catalog.refreshByPath(store.path("chunks"))
@@ -82,7 +88,13 @@ def apply_retention(
 
     stats: dict[str, int] = {}
     cutoff_chunk = (now_us - cfg.retention_us["raw"]) // cfg.chunk_duration_us
-    expired = [c for c in list_chunk_partitions(store) if c < cutoff_chunk]
+    # union of chunk AND catalog partitions: a crash between the two
+    # rmtrees of a previous run can leave a catalog-only orphan, which
+    # must still be expired (it would otherwise overcount forever)
+    known = set(list_chunk_partitions(store)) | set(
+        _list_partitions(store.path("catalog"), "chunk_id")
+    )
+    expired = sorted(c for c in known if c < cutoff_chunk)
     stats["raw_partitions_dropped"] = drop_chunk_partitions(store, expired)
 
     for tier in cfg.tiers:
@@ -116,5 +128,8 @@ def chop(store: ChunkStore, keep_chunks_before: int) -> int:
     first n chunks, mtscomp.py:750-796): drop every chunk_id partition
     >= the cutoff. Payload bytes of surviving chunks are untouched —
     the analogue of chop's SHA1-identity property (tests.py:451-492)."""
-    doomed = [c for c in list_chunk_partitions(store) if c >= keep_chunks_before]
+    known = set(list_chunk_partitions(store)) | set(
+        _list_partitions(store.path("catalog"), "chunk_id")
+    )
+    doomed = sorted(c for c in known if c >= keep_chunks_before)
     return drop_chunk_partitions(store, doomed)

@@ -19,13 +19,15 @@ Two exactness decisions:
   tier". Decimal addition is exact and order-independent — tier
   equality holds bit-for-bit under any shuffle layout.
 
-  Input values are quantized to ``DECIMAL(18,15)`` — precision ≤ 18
+  Input values are quantized to ``DECIMAL(18,9)`` — precision ≤ 18
   keeps every per-row cast and unsafe-row slot **long-backed** (Spark's
   compact decimal path; a (38,18) cast allocates a BigDecimal per row
-  and measurably dominates the rollup profile at 10⁷+ rows). The
-  aggregate is stored as ``DECIMAL(38,18)`` (exact widening) so tier
-  schemas keep 20 integer digits of headroom for |v|≲10³ over 10¹²
-  rows. ``vmean = vsum/cnt`` is derived at query time.
+  and measurably dominates the rollup profile at 10⁷+ rows). A value
+  outside the |v| < 10⁹ domain raises loudly (``vsum_cast``) rather
+  than silently nulling out of the sum. The aggregate is stored as
+  ``DECIMAL(38,18)`` (exact widening) so tier schemas keep integer-digit
+  headroom over 10¹² rows. ``vmean = vsum/cnt`` is derived at query
+  time.
 """
 
 from __future__ import annotations
@@ -39,8 +41,26 @@ from .series import TS_COL, url_prefix
 TIER_BELOW = {"1h": "1m", "1d": "1h"}
 
 # input quantization for the exact sum: precision ≤ 18 → long-backed
-# per-row decimals (see module docstring)
-VSUM_IN = "decimal(18,15)"
+# per-row decimals (see module docstring). (18,9) = |v| < 10⁹ with 1e-9
+# quantum; values outside the domain raise loudly (a silent NULL from a
+# decimal overflow would drop rows from vsum while cnt still counts
+# them — corruption, not an error)
+VSUM_IN = "decimal(18,9)"
+VSUM_LIMIT = 1e9
+
+
+def vsum_cast(col) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.abs(c) < F.lit(VSUM_LIMIT), c.cast(VSUM_IN)).otherwise(
+        F.raise_error(
+            F.format_string(
+                "vsum overflow: |value| >= 1e9 exceeds the long-backed "
+                "decimal(18,9) domain (value=%s); re-aggregate with a "
+                "wider vsum quantization", c.cast("string"),
+            )
+        ).cast(VSUM_IN)
+    )
+
 
 AGG_COLS = ["cnt", "vmin", "vmax", "vsum"]
 
@@ -76,7 +96,7 @@ def rollup_from_series(series: DataFrame, tier: str,
                 F.count("*").alias("cnt"),
                 F.min("value").alias("vmin"),
                 F.max("value").alias("vmax"),
-                F.sum(F.col("value").cast(VSUM_IN)).alias("vsum"),
+                F.sum(vsum_cast("value")).alias("vsum"),
             )
             .withColumn("vsum", F.col("vsum").cast("decimal(38,18)"))
         )
@@ -87,7 +107,7 @@ def rollup_from_series(series: DataFrame, tier: str,
             F.count("*").alias("cnt"),
             F.min("value").alias("vmin"),
             F.max("value").alias("vmax"),
-            F.sum(F.col("value").cast(VSUM_IN)).alias("vsum"),
+            F.sum(vsum_cast("value")).alias("vsum"),
         )
     )
     return (
@@ -149,7 +169,7 @@ ROLLUP_PART_US = {
 }
 
 
-def with_part_id(rolled: DataFrame, tier: str) -> F.Column:
+def with_part_id(rolled: DataFrame, tier: str) -> DataFrame:
     return rolled.withColumn(
         "part_id", F.floor(F.col("bucket_us") / F.lit(ROLLUP_PART_US[tier]))
     )

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from .config import DEFAULT, EngineConfig, TIER_US
+from .rollup import vsum_cast
 from .series import url_prefix
 
 TIER_DURATION = {"1m": "1 minute", "1h": "1 hour", "1d": "1 day"}
@@ -49,7 +50,7 @@ def streaming_rollup(
             F.max("value").alias("vmax"),
             # same input quantization as batch rollups (rollup.VSUM_IN)
             # so streaming 1m tiles re-aggregate bit-identically
-            F.sum(F.col("value").cast("decimal(18,15)")).alias("vsum"),
+            F.sum(vsum_cast("value")).alias("vsum"),
         )
         .select(
             "url_prefix", "lang",

@@ -240,3 +240,23 @@ def test_tier_retention_drops_partitions_not_rows(
     stats2 = retention.apply_retention(st, now_us=now, cfg=cfg)
     assert stats2["1m_partitions_dropped"] == 0
     assert stats2["1m_rows_expired"] == 0
+
+
+def test_vsum_overflow_raises_not_nulls(spark):
+    """A value outside the long-backed decimal domain must FAIL the
+    rollup loudly — a silent NULL would drop it from vsum while cnt
+    still counts it (review finding)."""
+    import pytest
+
+    bad = spark.createDataFrame(
+        [("https://h/x", 1_700_000_000_000_000, 2.5e9, "en")],
+        "url string, ts_us long, value double, lang string",
+    )
+    with pytest.raises(Exception, match="vsum overflow"):
+        rollup.rollup_from_series(bad, "1m").collect()
+    ok = spark.createDataFrame(
+        [("https://h/x", 1_700_000_000_000_000, 123456.789, "en")],
+        "url string, ts_us long, value double, lang string",
+    )
+    row = rollup.rollup_from_series(ok, "1m").collect()[0]
+    assert float(row["vsum"]) == 123456.789
