@@ -393,6 +393,27 @@ def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard(docs, threshold=0.35)
 
 
+def q_doc_cluster_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering graded end-to-end: per document a 3-node CHAIN
+    of near-dup pairs (i ↔ i+OFF ↔ i+2·OFF — i and i+2·OFF are only
+    transitively connected) goes through the iterative min-label
+    connected components; every member must land in cluster i. The
+    oracle enumerates the expected membership directly."""
+    from mtslake.dedup import cluster_pairs
+
+    ids = _docs(spark, sf_dir).select("doc_id")
+    pairs = ids.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + _PLANT_OFF).alias("id_b"),
+    ).unionByName(
+        ids.select(
+            (F.col("doc_id") + _PLANT_OFF).alias("id_a"),
+            (F.col("doc_id") + 2 * _PLANT_OFF).alias("id_b"),
+        )
+    )
+    return cluster_pairs(pairs)
+
+
 def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for the 3 lowest-id probe vectors."""
     from mtslake.simsearch import brute_force_topk
@@ -646,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_lsh": q_doc_minhash_lsh,
         "doc_simhash": q_doc_simhash,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        "doc_cluster_chain": q_doc_cluster_chain,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_lsh_topk": q_emb_lsh_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
@@ -828,6 +850,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id,
                    count(*) AS n_copies
             FROM documents GROUP BY 1
+        """,
+        "doc_cluster_chain": f"""
+            SELECT doc_id + g * {_PLANT_OFF} AS doc_id,
+                   doc_id AS cluster_id
+            FROM documents, unnest(generate_series(0, 2)) AS t(g)
         """,
         "doc_fingerprint": r"""
             SELECT doc_id,

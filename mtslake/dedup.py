@@ -283,6 +283,88 @@ def embedding_near_dupes(
     )
 
 
+def cluster_pairs(
+    pairs: DataFrame,
+    id_col_a: str = "id_a",
+    id_col_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs → one cluster id
+    (the minimum member id) per document: the step that turns pairwise
+    candidates into dedup groups ("keep one per cluster").
+
+    Iterative min-label propagation (no GraphFrames dependency): each
+    round every node adopts the smallest label among itself and its
+    neighbors; converges in O(diameter) rounds — near-dup clusters are
+    tiny cliques/chains in practice, so a handful. Each round is one
+    shuffle on the node id; the label frontier is localCheckpoint-ed
+    every round, truncating the logical plan (a persist alone leaves
+    the plan growing linearly with iterations until Catalyst
+    stack-overflows ~30 rounds in). Deterministic; stops early at
+    fixpoint.
+
+    Returns (doc_id, cluster_id) for every id that appears in pairs —
+    singletons (ids with no pairs) are their own cluster by definition
+    and can be unioned in by the caller.
+    """
+    edges = (
+        pairs.select(F.col(id_col_a).alias("a"), F.col(id_col_b).alias("b"))
+        .unionByName(
+            pairs.select(
+                F.col(id_col_b).alias("a"), F.col(id_col_a).alias("b")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.groupBy("a")
+        .agg(F.least(F.min("b"), F.first("a")).alias("label"))
+        .select(F.col("a").alias("id"), "label")
+        .persist()
+    )
+    try:
+        for _ in range(max_iter):
+            # neighbor labels: edge (a,b) carries b's current label to a
+            neigh = (
+                edges.join(
+                    labels.withColumnRenamed("id", "b")
+                    .withColumnRenamed("label", "nlabel"),
+                    "b",
+                )
+                .groupBy("a")
+                .agg(F.min("nlabel").alias("nmin"))
+            )
+            new_labels = (
+                labels.join(
+                    neigh.withColumnRenamed("a", "id"), "id", "left"
+                )
+                .select(
+                    "id",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                    ).alias("label"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(
+            F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+        )
+    finally:
+        edges.unpersist()
+
+
 def ngram_jaccard(
     docs: DataFrame,
     text_col: str = "text",

@@ -212,3 +212,38 @@ def test_ivf_index_store_prunes_and_matches(spark, emb, tmp_path):
     # filter; the STORE scan must carry one on cell
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [cell" in plan
+
+
+def test_cluster_pairs_chains_and_cliques(spark):
+    """Connected components must handle CHAINS (A-B, B-C, C-D: one
+    component even though A never pairs with D directly — transitive
+    near-duplication) and disjoint cliques, converging to the minimum
+    member id."""
+    pairs = spark.createDataFrame(
+        [
+            (1, 5), (5, 9), (9, 12),       # chain -> cluster 1
+            (20, 21), (20, 22), (21, 22),  # clique -> cluster 20
+            (30, 31),                      # pair -> cluster 30
+        ],
+        "id_a long, id_b long",
+    )
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.cluster_pairs(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (5, 1), (9, 1), (12, 1),
+        (20, 20), (21, 20), (22, 20),
+        (30, 30), (31, 30),
+    }
+
+
+def test_cluster_pairs_long_chain_converges(spark):
+    """A 30-node chain needs ~log/diameter rounds — the early-stop
+    fixpoint must still produce one component labeled by the minimum."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 130)], "id_a long, id_b long"
+    )
+    got = dedup.cluster_pairs(pairs, max_iter=50).collect()
+    assert {r["cluster_id"] for r in got} == {100}
+    assert {r["doc_id"] for r in got} == set(range(100, 131))
