@@ -12,9 +12,14 @@ Queries come in two families:
 * ``doc_*`` / ``emb_*`` — training-data pipeline operators over
   ``documents`` / ``embeddings`` (dedup, text analysis, similarity).
 
-Non-SQL-expressible ops (minhash-LSH, simhash) have no oracle entry —
-the driver records a rows-only check; their semantics are pytest-gated
-instead (tests/).
+Approximate operators are oracle-graded through deterministic
+constructions rather than left rows-only wherever possible: planted-pair
+recall gates vs constant oracles (minhash-LSH, hyperplane-LSH,
+simhash), full-probe ≡ exact (IVF), watermark-deterministic emitted
+sets (streaming), hex-nibble byte recomputation (multimodal stubs).
+Only the four genuinely value-approximate listings (raw LSH/simhash
+pair sets, partial-probe ANN top-k) stay rows-only, with their
+semantics pytest-gated (tests/).
 """
 
 from __future__ import annotations
