@@ -243,6 +243,106 @@ def ivf_topk(
     )
 
 
+def build_lsh_index(
+    embeddings: DataFrame,
+    path: str,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the multi-table LSH layout: the embedding table
+    exploded ×n_tables and written partitioned by (table, bucket
+    prefix). Probes then prune the scan to their ~L·(m+1) buckets —
+    the persisted sibling of ``lsh_topk`` (same signatures, same
+    results). Partitioning uses table + an 8-way bucket prefix (full
+    2^m bucket dirs per table would be a small-file storm; the prefix
+    keeps pruning directory-level while buckets stay row-group
+    filterable)."""
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).select(
+        "vec_id", "_v",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(t).alias("table"),
+                    hyperplane_signature(
+                        F.col("_v"), n_planes, dim, plane_offset=t * n_planes
+                    ).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ])
+        ).alias("_tb"),
+    ).select("vec_id", "_v", "_tb.table", "_tb.bucket")
+    e = e.withColumn("bprefix", F.pmod(F.col("bucket"), F.lit(8)).cast("int"))
+    e.repartition("table", "bprefix").write.mode("overwrite").partitionBy(
+        "table", "bprefix"
+    ).parquet(path)
+
+
+def lsh_search(
+    spark,
+    path: str,
+    probes: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Search a ``build_lsh_index`` store; equals ``lsh_topk`` with the
+    same parameters over the same embeddings."""
+    p = probes.select(
+        "probe_id", F.col("probe_vec").cast("array<double>").alias("_p")
+    ).select(
+        "probe_id", "_p",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(t).alias("table"),
+                    hyperplane_signature(
+                        F.col("_p"), n_planes, dim, plane_offset=t * n_planes
+                    ).alias("sig0"),
+                )
+                for t in range(n_tables)
+            ])
+        ).alias("_tb"),
+    ).select("probe_id", "_p", "_tb.table", F.col("_tb.sig0").alias("_sig0"))
+    p = p.select(
+        "probe_id", "_p", "table",
+        F.explode(
+            F.array(
+                F.col("_sig0"),
+                *[F.col("_sig0").bitwiseXOR(F.lit(1 << b))
+                  for b in range(n_planes)],
+            )
+        ).alias("bucket"),
+    ).withColumn("bprefix", F.pmod(F.col("bucket"), F.lit(8)).cast("int"))
+
+    probed = p.select("table", "bprefix").distinct().collect()
+    keys = {(r["table"], r["bprefix"]) for r in probed}
+    store = spark.read.parquet(path)
+    cond = None
+    for t, bp in sorted(keys):
+        c = (F.col("table") == t) & (F.col("bprefix") == bp)
+        cond = c if cond is None else (cond | c)
+    store = store.filter(cond)
+    cand = store.join(F.broadcast(p), ["table", "bucket"]).filter(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    cand = cand.withColumn("cos", cosine(F.col("_v"), F.col("_p"))).dropDuplicates(
+        ["probe_id", "vec_id"]
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     probes: DataFrame,

@@ -247,3 +247,18 @@ def test_cluster_pairs_long_chain_converges(spark):
     got = dedup.cluster_pairs(pairs, max_iter=50).collect()
     assert {r["cluster_id"] for r in got} == {100}
     assert {r["doc_id"] for r in got} == set(range(100, 131))
+
+
+def test_lsh_index_store_matches_and_prunes(spark, emb, tmp_path):
+    """Persisted multi-table LSH: search over the (table, bucket-prefix)
+    partitioned store must equal the in-memory lsh_topk with identical
+    parameters, and the scan must carry partition filters."""
+    path = str(tmp_path / "lsh_store")
+    simsearch.build_lsh_index(emb, path, n_planes=8, n_tables=4)
+    probes = _probes(emb, 3)
+    got = simsearch.lsh_search(spark, path, probes, k=5, n_planes=8,
+                               n_tables=4)
+    exp = simsearch.lsh_topk(emb, probes, k=5, n_planes=8, n_tables=4)
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in exp.collect()}
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [(" in plan
