@@ -121,6 +121,24 @@ def q_ts_gapfill_1h_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_gapfill_1h_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill (the interpolate() sibling of
+    LOCF): missing 1h buckets get the line between the surrounding
+    observations of vmin/vmax."""
+    series = events_to_series(_events(spark, sf_dir))
+    rolled = _rollup.rollup_from_series(series, "1h")
+    filled = _gapfill.gapfill_interpolate(rolled, "1h", ("vmin", "vmax"))
+    # NO rounding: both engines evaluate the identical IEEE-754
+    # expression (sub → cast → div → sub → mul → add on the same
+    # operands), so the raw doubles are bit-equal — while rounding
+    # half-way cases differs BETWEEN engines (Spark rounds the shortest
+    # decimal string, DuckDB multiplies-then-rounds) and interpolation
+    # at dyadic gap fractions hits exact 6th-decimal ties constantly
+    return filled.select(
+        "url_prefix", "lang", "bucket_us", "vmin", "vmax", "is_filled",
+    )
+
+
 def q_ts_catalog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     series = events_to_series(_events(spark, sf_dir))
     chunks = _chunk.compress_series(series, DEFAULT)
@@ -655,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_rollup_1d_from_1h": q_ts_rollup_1d_from_1h,
         "ts_read_range_codec": q_ts_read_range_codec,
         "ts_gapfill_1h_locf": q_ts_gapfill_1h_locf,
+        "ts_gapfill_1h_interp": q_ts_gapfill_1h_interp,
         "ts_catalog_stats": q_ts_catalog_stats,
         "ts_retention_filter": q_ts_retention_filter,
         "ts_verify_roundtrip": q_ts_verify_roundtrip,
@@ -775,6 +794,61 @@ def oracle_sql() -> dict[str, str]:
             FROM joined
             WINDOW w AS (PARTITION BY url_prefix, lang ORDER BY bucket_us
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "ts_gapfill_1h_interp": f"""
+            WITH rolled AS ({_ROLLUP_1H}),
+            spans AS (
+                SELECT url_prefix, lang, min(bucket_us) AS b0,
+                       max(bucket_us) AS b1
+                FROM rolled GROUP BY 1, 2
+            ),
+            spine AS (
+                SELECT url_prefix, lang,
+                       unnest(generate_series(b0, b1, {_HOUR_US}))
+                           AS bucket_us
+                FROM spans
+            ),
+            joined AS (
+                SELECT s.url_prefix, s.lang, s.bucket_us,
+                       r.cnt, r.vmin, r.vmax
+                FROM spine s
+                LEFT JOIN rolled r USING (url_prefix, lang, bucket_us)
+            ),
+            anch AS (
+                SELECT url_prefix, lang, bucket_us, cnt, vmin, vmax,
+                    last_value(CASE WHEN cnt IS NOT NULL THEN bucket_us END
+                        IGNORE NULLS) OVER wb AS tp,
+                    first_value(CASE WHEN cnt IS NOT NULL THEN bucket_us END
+                        IGNORE NULLS) OVER wf AS tn,
+                    last_value(vmin IGNORE NULLS) OVER wb AS pmin,
+                    first_value(vmin IGNORE NULLS) OVER wf AS nmin,
+                    last_value(vmax IGNORE NULLS) OVER wb AS pmax,
+                    first_value(vmax IGNORE NULLS) OVER wf AS nmax
+                FROM joined
+                WINDOW wb AS (PARTITION BY url_prefix, lang
+                              ORDER BY bucket_us
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW),
+                       wf AS (PARTITION BY url_prefix, lang
+                              ORDER BY bucket_us
+                              ROWS BETWEEN CURRENT ROW
+                              AND UNBOUNDED FOLLOWING)
+            )
+            SELECT url_prefix, lang, bucket_us,
+                CASE WHEN cnt IS NOT NULL THEN vmin
+                    ELSE pmin + (nmin - pmin) *
+                        (CASE WHEN tn = tp THEN 0.0
+                         ELSE CAST(bucket_us - tp AS DOUBLE)
+                              / CAST(tn - tp AS DOUBLE) END)
+                    END AS vmin,
+                CASE WHEN cnt IS NOT NULL THEN vmax
+                    ELSE pmax + (nmax - pmax) *
+                        (CASE WHEN tn = tp THEN 0.0
+                         ELSE CAST(bucket_us - tp AS DOUBLE)
+                              / CAST(tn - tp AS DOUBLE) END)
+                    END AS vmax,
+                (cnt IS NULL) AS is_filled
+            FROM anch
         """,
         "ts_catalog_stats": f"""
             SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_series,

@@ -58,3 +58,54 @@ def gapfill_locf(
     for c in value_cols:
         out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return out
+
+
+def gapfill_interpolate(
+    rolled: DataFrame,
+    tier: str,
+    value_cols: tuple[str, ...] = ("vmin", "vmax"),
+    keys: list[str] = KEY_COLS,
+) -> DataFrame:
+    """Linear interpolation between the surrounding observations
+    (TimescaleDB's ``interpolate()`` to LOCF's ``locf()``): a missing
+    bucket gets prev + (next-prev) · (t-t_prev)/(t_next-t_prev), pure
+    double arithmetic over two windows (backward LOCF + forward LOCF
+    of the value AND its observation time). Boundary gaps (no prior or
+    no next observation) stay NULL — there is nothing to anchor the
+    line. Same spine, same shuffle shape as gapfill_locf.
+    """
+    sp = spine(rolled, tier, keys)
+    joined = sp.join(rolled, [*keys, "bucket_us"], "left")
+    wb = (
+        W.partitionBy(*keys)
+        .orderBy("bucket_us")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy(*keys)
+        .orderBy("bucket_us")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    probe = value_cols[0]
+    out = joined.withColumn("is_filled", F.col(probe).isNull())
+    obs_ts = F.when(
+        F.col(probe).isNotNull(), F.col("bucket_us")
+    )
+    out = out.withColumn("_tp", F.last(obs_ts, ignorenulls=True).over(wb))
+    out = out.withColumn("_tn", F.first(obs_ts, ignorenulls=True).over(wf))
+    frac = F.when(
+        F.col("_tn") == F.col("_tp"), F.lit(0.0)
+    ).otherwise(
+        (F.col("bucket_us") - F.col("_tp")).cast("double")
+        / (F.col("_tn") - F.col("_tp")).cast("double")
+    )
+    for c in value_cols:
+        prev = F.last(c, ignorenulls=True).over(wb).cast("double")
+        nxt = F.first(c, ignorenulls=True).over(wf).cast("double")
+        out = out.withColumn(
+            c,
+            F.when(~F.col("is_filled"), F.col(c).cast("double")).otherwise(
+                prev + (nxt - prev) * frac
+            ),
+        )
+    return out.drop("_tp", "_tn")

@@ -260,3 +260,26 @@ def test_vsum_overflow_raises_not_nulls(spark):
     )
     row = rollup.rollup_from_series(ok, "1m").collect()[0]
     assert float(row["vsum"]) == 123456.789
+
+
+def test_gapfill_interpolate_linear(spark):
+    """Hand-computed line: observations at buckets 0 (vmin=1, vmax=10)
+    and 3H (vmin=4, vmax=40): interior gaps get 2,3 / 20,30."""
+    H = 3_600_000_000
+    rolled = spark.createDataFrame(
+        [
+            ("h1", "en", 0 * H, 5, 1.0, 10.0, 7.5),
+            ("h1", "en", 3 * H, 2, 4.0, 40.0, 1.0),
+        ],
+        "url_prefix string, lang string, bucket_us long, cnt long, "
+        "vmin double, vmax double, vsum double",
+    )
+    out = gapfill.gapfill_interpolate(rolled, "1h", ("vmin", "vmax"))
+    got = {r["bucket_us"]: (r["vmin"], r["vmax"], r["is_filled"])
+           for r in out.collect()}
+    assert got == {
+        0 * H: (1.0, 10.0, False),
+        1 * H: (2.0, 20.0, True),
+        2 * H: (3.0, 30.0, True),
+        3 * H: (4.0, 40.0, False),
+    }
