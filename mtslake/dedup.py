@@ -97,8 +97,14 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("_id"), shingles(text_col, shingle_k).alias("_sh")
     ).withColumn("_sig", minhash_signature(F.col("_sh"), n_hashes))
 
+    # Band on (_id, band, bucket) ONLY — the shingle arrays must NOT ride
+    # the ×bands explode / candidate self-join: at web scale the shingle
+    # payload dominates the table, and carrying it here would shuffle
+    # ~bands× that volume. Candidates are narrow id-pairs; the exact
+    # Jaccard verify joins them back to a fresh shingle projection below
+    # (two narrow hash joins instead of a wide banded shuffle).
     banded = base.select(
-        "_id", "_sh",
+        "_id",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -117,8 +123,16 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("_b"),
-    ).select("_id", "_sh", F.col("_b.band").alias("band"),
+    ).select("_id", F.col("_b.band").alias("band"),
              F.col("_b.bucket").alias("bucket"))
+    # The banded frame feeds THREE consumers (bucket-size guard + both
+    # sides of the candidate self-join); without persistence the 64-way
+    # minhash transform — the CPU-dominant subtree — runs three times.
+    # Now that banding is narrow, persisting costs ~24 B/doc/band
+    # (spill-friendly MEMORY_AND_DISK at scale).
+    from pyspark import StorageLevel
+
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
 
     # bound degenerate buckets (skew guard)
     sizes = banded.groupBy("band", "bucket").count()
@@ -129,15 +143,25 @@ def minhash_lsh_pairs(
 
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
+    cand_ids = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col("a._id") < F.col("b._id")))
-        .select(
-            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
-            F.col("a._sh").alias("sh_a"), F.col("b._sh").alias("sh_b"),
-        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    # exact-Jaccard verify: join the surviving id-pairs back to the
+    # shingle base (recomputed projection — cheaper than caching the
+    # full shingle table, and Catalyst prunes the scan to (_id, text))
+    sh = docs.select(
+        F.col(id_col).alias("_id"), shingles(text_col, shingle_k).alias("_sh")
+    )
+    cand = (
+        cand_ids
+        .join(sh.select(F.col("_id").alias("id_a"),
+                        F.col("_sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("_id").alias("id_b"),
+                        F.col("_sh").alias("sh_b")), "id_b")
     )
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
@@ -293,15 +317,22 @@ def cluster_pairs(
     (the minimum member id) per document: the step that turns pairwise
     candidates into dedup groups ("keep one per cluster").
 
-    Iterative min-label propagation (no GraphFrames dependency): each
-    round every node adopts the smallest label among itself and its
-    neighbors; converges in O(diameter) rounds — near-dup clusters are
-    tiny cliques/chains in practice, so a handful. Each round is one
-    shuffle on the node id; the label frontier is localCheckpoint-ed
-    every round, truncating the logical plan (a persist alone leaves
-    the plan growing linearly with iterations until Catalyst
-    stack-overflows ~30 rounds in). Deterministic; stops early at
-    fixpoint.
+    Iterative min-label propagation with **pointer jumping** (no
+    GraphFrames dependency): each round every node adopts the smallest
+    label among itself and its neighbors, then shortcuts through its
+    current label's label (label ← label[label]) — the classic
+    path-halving trick that turns O(diameter) convergence into
+    O(log diameter), so a 10⁶-hop chain (templated spam at web scale)
+    converges in ~20 rounds instead of never. Each round is two shuffles
+    on the node id; the label frontier is localCheckpoint-ed every
+    round, truncating the logical plan (a persist alone leaves the plan
+    growing linearly with iterations until Catalyst stack-overflows ~30
+    rounds in). Deterministic; stops early at fixpoint.
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds pass without reaching
+    fixpoint — silently returning unconverged labels would split one
+    component into several cluster ids with no signal, the one failure
+    mode a dedup pipeline must never hide.
 
     Returns (doc_id, cluster_id) for every id that appears in pairs —
     singletons (ids with no pairs) are their own cluster by definition
@@ -324,6 +355,7 @@ def cluster_pairs(
         .persist()
     )
     try:
+        converged = False
         for _ in range(max_iter):
             # neighbor labels: edge (a,b) carries b's current label to a
             neigh = (
@@ -335,7 +367,7 @@ def cluster_pairs(
                 .groupBy("a")
                 .agg(F.min("nlabel").alias("nmin"))
             )
-            new_labels = (
+            prop = (
                 labels.join(
                     neigh.withColumnRenamed("a", "id"), "id", "left"
                 )
@@ -343,6 +375,28 @@ def cluster_pairs(
                     "id",
                     F.least(
                         F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                    ).alias("label"),
+                )
+            )
+            # pointer jumping: label ← min(label, label[label]).  A
+            # label is itself a node id, so self-joining the frontier
+            # shortcuts every pointer chain by half — O(log diameter)
+            # total rounds instead of O(diameter).
+            new_labels = (
+                prop.alias("x")
+                .join(
+                    prop.select(
+                        F.col("id").alias("label"),
+                        F.col("label").alias("plabel"),
+                    ).alias("p"),
+                    "label",
+                    "left",
+                )
+                .select(
+                    "id",
+                    F.least(
+                        F.col("label"),
+                        F.coalesce(F.col("plabel"), F.col("label")),
                     ).alias("label"),
                 )
                 .localCheckpoint(eager=True)
@@ -357,7 +411,16 @@ def cluster_pairs(
             labels.unpersist()
             labels = new_labels
             if changed == 0:
+                converged = True
                 break
+        if not converged:
+            raise RuntimeError(
+                f"cluster_pairs did not converge within max_iter={max_iter} "
+                "rounds; returning partial labels would silently split "
+                "components. Raise max_iter (pointer jumping needs only "
+                "O(log diameter) rounds, so this indicates a pathological "
+                "input or too-low cap)."
+            )
         return labels.select(
             F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
         )

@@ -71,6 +71,30 @@ def test_brute_force_topk_broadcasts_probes(spark, sf_dir):
     assert "Broadcast" in plan
 
 
+def test_minhash_band_shuffle_excludes_shingles(spark, sf_dir):
+    """The LSH band explode / candidate self-join must shuffle ONLY
+    (_id, band, bucket) — at web scale the shingle arrays dominate the
+    table, and carrying them through the ×bands explode would move
+    ~bands× that payload. The exact-Jaccard verify joins candidates
+    back to the shingle base instead."""
+    from mtslake.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = minhash_lsh_pairs(docs, jaccard_threshold=0.7)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    saw_generate = False
+    for line in plan.splitlines():
+        # the band explode must retain only _id — shingles stay behind
+        if "Generate explode" in line:
+            saw_generate = True
+            assert "_sh#" not in line, line
+        # projections that carry (band, bucket) toward the candidate
+        # join must not also carry the shingle array
+        if "Project [" in line and "band#" in line and "bucket#" in line:
+            assert "_sh#" not in line, line
+    assert saw_generate
+
+
 def test_rollup_is_partial_aggregated(spark, store):
     from mtslake import rollup
 

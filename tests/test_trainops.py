@@ -239,14 +239,28 @@ def test_cluster_pairs_chains_and_cliques(spark):
 
 
 def test_cluster_pairs_long_chain_converges(spark):
-    """A 30-node chain needs ~log/diameter rounds — the early-stop
-    fixpoint must still produce one component labeled by the minimum."""
+    """Pointer jumping makes convergence O(log diameter): a 200-node
+    chain (diameter 200 — plain min-propagation would need ~200 rounds)
+    must converge well inside 10 rounds and label the whole component
+    with its minimum id."""
     pairs = spark.createDataFrame(
-        [(i, i + 1) for i in range(100, 130)], "id_a long, id_b long"
+        [(i, i + 1) for i in range(100, 300)], "id_a long, id_b long"
     )
-    got = dedup.cluster_pairs(pairs, max_iter=50).collect()
+    got = dedup.cluster_pairs(pairs, max_iter=10).collect()
     assert {r["cluster_id"] for r in got} == {100}
-    assert {r["doc_id"] for r in got} == set(range(100, 131))
+    assert {r["doc_id"] for r in got} == set(range(100, 301))
+
+
+def test_cluster_pairs_raises_on_forced_nonconvergence(spark):
+    """An exhausted max_iter must be a hard error, never silently-wrong
+    cluster ids (one component split into several with no signal)."""
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.cluster_pairs(pairs, max_iter=1)
 
 
 def test_lsh_index_store_matches_and_prunes(spark, emb, tmp_path):
