@@ -15,6 +15,9 @@ DuckDB's list_dot_product) so exact-oracle comparison is bit-stable.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd  # noqa: F401  (resolves pandas_udf type hints under
+                     # `from __future__ import annotations`)
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 
@@ -115,18 +118,89 @@ def _cell_scores(col, cents) -> F.Column:
     return F.array(*[cosine(col, _lit_vec(c)) for c in cents])
 
 
-def _probe_cells(p: DataFrame, cents, n_probe: int) -> DataFrame:
+# Above this many cells the expression-tree quantizer (one cosine
+# expression per centroid, O(n_cells*dim) literals per row) outgrows
+# whole-stage codegen; real 100-TB IVF wants 10^3-10^5 cells, which only
+# the Arrow kernel below can carry.
+_EXPR_QUANTIZER_MAX_CELLS = 64
+
+
+def _norm_cent_matrix(cents):
+    C = np.asarray(cents, dtype=np.float64)
+    return (C / np.linalg.norm(C, axis=1, keepdims=True)).T.copy()
+
+
+def _assign_cells(
+    df: DataFrame, cents, vec_col: str = "_v", vectorized: bool | None = None
+) -> DataFrame:
+    """Add ``cell`` = 1-based argmax-cosine centroid id.
+
+    ``vectorized=None`` auto-selects: the expression tree (bit-stable
+    with the SQL oracle) for small quantizers, a broadcast-centroid
+    numpy matmul inside an Arrow-batched pandas UDF beyond
+    ``_EXPR_QUANTIZER_MAX_CELLS`` — one (batch × dim) @ (dim × n_cells)
+    GEMM per Arrow batch instead of O(n_cells) scalar expressions per
+    row (same kernel pattern as the codec's mapInArrow encode)."""
+    if vectorized is None:
+        vectorized = len(cents) > _EXPR_QUANTIZER_MAX_CELLS
+    if not vectorized:
+        sc = _cell_scores(F.col(vec_col), cents)
+        return df.withColumn(
+            "cell", F.array_position(sc, F.array_max(sc)).cast("int")
+        )
+
+    from pyspark.sql.functions import pandas_udf
+
+    Cn = _norm_cent_matrix(cents)  # (dim, n_cells), unit columns
+
+    @pandas_udf("int")
+    def _argmax_cell(vs: pd.Series) -> pd.Series:
+        V = np.vstack(vs.to_numpy())
+        # |v| is constant per row, so argmax of V @ Cn == argmax cosine;
+        # np.argmax takes the FIRST max — same tie-break as
+        # array_position(scores, array_max(scores))
+        return pd.Series((V @ Cn).argmax(axis=1) + 1, dtype="int32")
+
+    return df.withColumn("cell", _argmax_cell(F.col(vec_col)))
+
+
+def _probe_cells(
+    p: DataFrame, cents, n_probe: int, vectorized: bool | None = None
+) -> DataFrame:
     """One row per (probe, probed cell): the n_probe best cells by
-    probe-to-centroid cosine."""
-    psc = _cell_scores(F.col("_p"), cents)
-    pairs = F.transform(
-        F.sequence(F.lit(1), F.lit(len(cents))),
-        lambda i: F.struct(F.element_at(psc, i).alias("s"), i.alias("i")),
-    )
-    top = F.slice(F.reverse(F.array_sort(pairs)), 1, min(n_probe, len(cents)))
-    return p.withColumn(
-        "cell", F.explode(F.transform(top, lambda st: st["i"].cast("int")))
-    )
+    probe-to-centroid cosine. Ties prefer the larger cell id (the
+    expression path's reverse(array_sort(struct(s, i))) ordering); the
+    vectorized path reproduces that via a stable argsort over the
+    column-reversed score matrix."""
+    if vectorized is None:
+        vectorized = len(cents) > _EXPR_QUANTIZER_MAX_CELLS
+    n_top = min(n_probe, len(cents))
+    if not vectorized:
+        psc = _cell_scores(F.col("_p"), cents)
+        pairs = F.transform(
+            F.sequence(F.lit(1), F.lit(len(cents))),
+            lambda i: F.struct(F.element_at(psc, i).alias("s"), i.alias("i")),
+        )
+        top = F.slice(F.reverse(F.array_sort(pairs)), 1, n_top)
+        return p.withColumn(
+            "cell", F.explode(F.transform(top, lambda st: st["i"].cast("int")))
+        )
+
+    from pyspark.sql.functions import pandas_udf
+
+    Cn = _norm_cent_matrix(cents)
+    m = len(cents)
+
+    @pandas_udf("array<int>")
+    def _top_cells(vs: pd.Series) -> pd.Series:
+        V = np.vstack(vs.to_numpy())
+        S = (V @ Cn)[:, ::-1]  # reversed columns: stable sort then
+        # prefers the larger original cell id on ties
+        order = np.argsort(-S, axis=1, kind="stable")[:, :n_top]
+        cells = (m - order).astype("int32")
+        return pd.Series(list(cells))
+
+    return p.withColumn("cell", F.explode(_top_cells(F.col("_p"))))
 
 
 def build_ivf_index(
@@ -135,13 +209,15 @@ def build_ivf_index(
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vectorized: bool | None = None,
 ) -> None:
     """Materialize the IVF layout for 100-TB search: the embedding
     table written ONCE partitioned by its assigned cell, centroids in a
     JSON sidecar. Every later probe batch reads only its probed cell
     partitions (directory-level pruning — the inverted-list read is
     O(probed cells), never a full scan; plan-asserted in
-    tests/test_plans.py)."""
+    tests/test_plans.py). Quantizer auto-vectorizes past
+    ``_EXPR_QUANTIZER_MAX_CELLS`` (see ``_assign_cells``)."""
     import json
     import os
 
@@ -150,10 +226,7 @@ def build_ivf_index(
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
     cents = _seeded_centroids(e, n_cells)
-    sc = _cell_scores(F.col("_v"), cents)
-    assigned = e.withColumn(
-        "cell", F.array_position(sc, F.array_max(sc)).cast("int")
-    )
+    assigned = _assign_cells(e, cents, vectorized=vectorized)
     assigned.repartition("cell").write.mode("overwrite").partitionBy(
         "cell"
     ).parquet(path)
@@ -167,6 +240,7 @@ def ivf_search(
     probes: DataFrame,
     k: int = 10,
     n_probe: int = 4,
+    vectorized: bool | None = None,
 ) -> DataFrame:
     """Search a ``build_ivf_index`` store: probed cells prune the
     partitioned scan; exact cosine re-rank inside candidates. Same
@@ -179,7 +253,7 @@ def ivf_search(
     p = probes.select(
         "probe_id", F.col("probe_vec").cast("array<double>").alias("_p")
     )
-    p = _probe_cells(p, cents, n_probe)
+    p = _probe_cells(p, cents, n_probe, vectorized=vectorized)
     cells = sorted({r["cell"] for r in p.select("cell").distinct().collect()})
     # cell ∈ probed-set is a PARTITION filter on the store layout
     store = spark.read.parquet(path).filter(F.col("cell").isin(cells))
@@ -203,33 +277,33 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vectorized: bool | None = None,
 ) -> DataFrame:
     """IVF ANN — the inverted-file sibling of ``lsh_topk``.
 
     Coarse quantizer: ``n_cells`` deterministic centroids (the vectors
     with the smallest ``xxhash64(id)`` — a seeded sample, no training
-    loop, so results are reproducible). Every vector is assigned
-    JVM-side to its max-cosine centroid (the inverted lists); a probe
-    searches its ``n_probe`` best cells and re-ranks exactly. With
-    ``n_probe == n_cells`` this degrades gracefully to exact search.
-    At scale the assignment is a narrow column — the embedding table
-    shuffles once on ``cell`` (or is written cell-partitioned once and
-    every query prunes to its probed cells).
+    loop, so results are reproducible). Every vector is assigned to its
+    max-cosine centroid (the inverted lists) — JVM-side expressions for
+    small quantizers, a broadcast-centroid numpy GEMM per Arrow batch
+    past ``_EXPR_QUANTIZER_MAX_CELLS`` (10³-10⁵ cells, the real-IVF
+    regime). A probe searches its ``n_probe`` best cells and re-ranks
+    exactly. With ``n_probe == n_cells`` this degrades gracefully to
+    exact search. At scale the assignment is a narrow column — the
+    embedding table shuffles once on ``cell`` (or is written
+    cell-partitioned once and every query prunes to its probed cells).
     """
     e = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
     cents = _seeded_centroids(e, n_cells)
-    sc = _cell_scores(F.col("_v"), cents)
-    assigned = e.withColumn(
-        "cell", F.array_position(sc, F.array_max(sc)).cast("int")
-    )
+    assigned = _assign_cells(e, cents, vectorized=vectorized)
 
     p = probes.select(
         "probe_id", F.col("probe_vec").cast("array<double>").alias("_p")
     )
-    p = _probe_cells(p, cents, n_probe)
+    p = _probe_cells(p, cents, n_probe, vectorized=vectorized)
 
     cand = assigned.join(F.broadcast(p), "cell").filter(
         F.col("vec_id") != F.col("probe_id")

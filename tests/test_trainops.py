@@ -179,6 +179,43 @@ def test_ivf_topk_full_probe_exact_and_partial_recall(spark, emb):
     assert recall >= 0.4, f"IVF recall {recall} too low"
 
 
+def test_ivf_vectorized_quantizer_matches_expression(spark, emb):
+    """The Arrow-GEMM quantizer must reproduce the expression-tree
+    quantizer exactly (same cell assignment, same probed cells, same
+    final top-k) — it's a physical-plan swap, not a semantic change."""
+    probes = _probes(emb, 4)
+    expr = simsearch.ivf_topk(
+        emb, probes, k=5, n_cells=16, n_probe=4, vectorized=False
+    )
+    vec = simsearch.ivf_topk(
+        emb, probes, k=5, n_cells=16, n_probe=4, vectorized=True
+    )
+    assert {tuple(r) for r in expr.collect()} == {tuple(r) for r in vec.collect()}
+
+
+def test_ivf_1024_cells_build_search(spark, tmp_path):
+    """The real-IVF regime the expression quantizer can't reach:
+    n_cells=1024 over 4096 synthetic vectors, persisted store, full
+    probe — must equal brute-force exactly (full probe degrades to
+    exact search regardless of quantizer size)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(4096, 16).astype("float64")
+    big = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(4096)],
+        "vec_id long, embedding array<double>",
+    ).repartition(8)
+    path = str(tmp_path / "ivf1024")
+    simsearch.build_ivf_index(big, path, n_cells=1024)
+    probes = _probes(big, 3)
+    got = simsearch.ivf_search(spark, path, probes, k=5, n_probe=1024)
+    exact = simsearch.brute_force_topk(big, probes, k=5)
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in exact.collect()
+    }
+
+
 # -- multimodal -------------------------------------------------------------
 
 def test_multimodal_pipeline(spark, docs):
