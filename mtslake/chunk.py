@@ -148,7 +148,8 @@ def _encode_block(
         p_ts = codec.encode_column(ts, ts_codec, comp_level)
         p_n_chars = codec.encode_column(nch, codec.CODEC_DELTA, comp_level)
         p_value = codec.encode_column(val, codec.CODEC_XOR, comp_level)
-        p_sha1 = codec.encode_column(shab, codec.CODEC_RAW, comp_level)
+        p_sha1 = codec.encode_column(shab, codec.CODEC_RAW, comp_level,
+                                     entropy=False)  # sha1 = digest bytes, never compressible
         raw_sig = ts.nbytes + nch.nbytes + val.nbytes
         comp_sig = len(p_ts) + len(p_n_chars) + len(p_value)
         out["url"].append(urls[s])
@@ -250,7 +251,8 @@ def _encode_block_arrow(
         p_ts = codec.encode_column(ts, ts_codec, comp_level)
         p_n_chars = codec.encode_column(nch, codec.CODEC_DELTA, comp_level)
         p_value = codec.encode_column(val, codec.CODEC_XOR, comp_level)
-        p_sha1 = codec.encode_column(shab, codec.CODEC_RAW, comp_level)
+        p_sha1 = codec.encode_column(shab, codec.CODEC_RAW, comp_level,
+                                     entropy=False)  # sha1 = digest bytes, never compressible
         raw_sig = ts.nbytes + nch.nbytes + val.nbytes
         comp_sig = len(p_ts) + len(p_n_chars) + len(p_value)
         out["url"].append(url[int(s)].as_py())

@@ -65,16 +65,30 @@ _HEADER = struct.Struct("<4sBBBBQ")
 
 _ZLEVEL = 1  # zlib level; the heavy lifting is done by delta/xor/shuffle
 
+# codec-byte high bit: body is STORED (no entropy stage). Web-scale
+# chunks are small (10²-10⁴ points); after delta/zigzag/downcast their
+# bodies are a few hundred bytes, where deflate's fixed per-call cost
+# (~60-70% of encode CPU, measured) buys single-digit bytes — or makes
+# the body BIGGER. Bodies at/below _STORE_THRESHOLD skip zlib entirely;
+# larger bodies keep it but fall back to stored when it doesn't pay.
+_STORED_FLAG = 0x80
+_STORE_THRESHOLD = 512
+
 
 # ---------------------------------------------------------------------------
 # zigzag (int64 <-> uint64), wrap-safe
 # ---------------------------------------------------------------------------
 
 def _zigzag(v: np.ndarray) -> np.ndarray:
-    """int64 -> uint64 zigzag: small magnitudes -> small uints."""
-    u = v.astype(np.uint64)
-    sign = np.where(v < 0, np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64(0))
-    return (u << np.uint64(1)) ^ sign
+    """int64 -> uint64 zigzag: small magnitudes -> small uints.
+
+    Branchless: (v << 1) ^ (v >> 63) — the arithmetic right shift IS
+    the sign mask (0 or all-ones); bit-reinterpreting views instead of
+    value-converting astype (encode runs per chunk per channel — at
+    10⁵+ chunks/task the where/astype variant was measurably hot)."""
+    v = np.ascontiguousarray(v)
+    u = v.view(np.uint64)
+    return (u << np.uint64(1)) ^ (v >> np.int64(63)).view(np.uint64)
 
 
 def _unzigzag(z: np.ndarray) -> np.ndarray:
@@ -130,7 +144,10 @@ def _unshuffle_bytes(b: bytes, n: int, dtype: np.dtype) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def encode_column(
-    arr: np.ndarray, codec: int | None = None, level: int = _ZLEVEL
+    arr: np.ndarray,
+    codec: int | None = None,
+    level: int = _ZLEVEL,
+    entropy: bool = True,
 ) -> bytes:
     """Encode a 1-D array into a framed, compressed payload.
 
@@ -138,6 +155,9 @@ def encode_column(
     ints -> CODEC_DELTA. Pass CODEC_DOD for timestamp-like columns.
     ``level`` is the zlib entropy-stage level (≙ comp_level,
     mtscomp.py:50); decode never needs it (payloads self-describe).
+    ``entropy=False`` forces the stored path — for channels the caller
+    KNOWS are incompressible (cryptographic digests), where a deflate
+    attempt is pure waste.
     """
     arr = np.asarray(arr)
     if arr.ndim != 1:
@@ -149,9 +169,21 @@ def encode_column(
     if codec is None:
         codec = CODEC_XOR if dt.kind == "f" else CODEC_DELTA
     n = arr.size
+    stored = False
+
+    def _entropy_stage(raw: bytes) -> bytes:
+        nonlocal stored
+        if not entropy or len(raw) <= _STORE_THRESHOLD:
+            stored = True
+            return raw
+        body = zlib.compress(raw, level)
+        if len(body) >= 0.97 * len(raw):
+            stored = True
+            return raw
+        return body
 
     if codec == CODEC_RAW:
-        body = zlib.compress(arr.tobytes(), level)
+        body = _entropy_stage(arr.tobytes())
         width = dt.itemsize
     elif codec in (CODEC_DELTA, CODEC_DOD):
         if dt.kind == "f":
@@ -163,13 +195,13 @@ def encode_column(
             if v.size == 0:
                 break
             anchors.append(int(v[0]))
-            v = np.diff(v)
+            v = v[1:] - v[:-1]  # np.diff minus its wrapper overhead
         z = _zigzag(v)
         zc, width = _downcast(z)
         raw = struct.pack("<B", len(anchors))
         raw += b"".join(struct.pack("<q", a) for a in anchors)
         raw += _shuffle_bytes(zc)
-        body = zlib.compress(raw, level)
+        body = _entropy_stage(raw)
     elif codec in (CODEC_XOR, CODEC_XOR_RAW):
         if dt.kind != "f":
             raise TypeError("CODEC_XOR is for float dtypes")
@@ -208,15 +240,23 @@ def encode_column(
             )
             codec = CODEC_XOR_PLANES
         elif codec == CODEC_XOR:
-            body = zlib.compress(shuffled, level)
-            if len(body) > 0.97 * len(shuffled):
+            # small shuffled bodies: same stored-threshold rule as the
+            # integer codecs (XOR_RAW is the XOR family's stored form)
+            if not entropy or len(shuffled) <= _STORE_THRESHOLD:
                 codec, body = CODEC_XOR_RAW, shuffled
+            else:
+                body = zlib.compress(shuffled, level)
+                if len(body) > 0.97 * len(shuffled):
+                    codec, body = CODEC_XOR_RAW, shuffled
         else:
             body = shuffled
     else:
         raise ValueError(f"unknown codec {codec}")
 
-    header = _HEADER.pack(MAGIC, VERSION, codec, dtcode, width, n)
+    header = _HEADER.pack(
+        MAGIC, VERSION, codec | (_STORED_FLAG if stored else 0), dtcode,
+        width, n,
+    )
     return header + body
 
 
@@ -227,9 +267,11 @@ def decode_column(payload: bytes) -> np.ndarray:
         raise ValueError("bad payload magic")
     if version != VERSION:
         raise ValueError(f"unsupported payload version {version}")
+    stored = bool(codec & _STORED_FLAG)
+    codec &= _STORED_FLAG - 1
     dt = _CODE_DTYPES[dtcode]
     raw_body = payload[_HEADER.size:]
-    if codec in (CODEC_XOR_RAW, CODEC_XOR_PLANES):
+    if stored or codec in (CODEC_XOR_RAW, CODEC_XOR_PLANES):
         body = raw_body
     else:
         body = zlib.decompress(raw_body)
