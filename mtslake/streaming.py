@@ -81,8 +81,20 @@ def streaming_compress(
     boundary, so urls that stop receiving data still flush as the
     global watermark advances. Rows later than the watermark are
     dropped by Spark before they reach the state handler — the
-    streaming retention horizon. State stays bounded: at most one open
-    chunk's points per url (plus any not-yet-sealed recent chunks).
+    streaming retention horizon.
+
+    State is bounded to O(hot_chunk_points) rows per url even while a
+    single giant chunk streams through: once an OPEN chunk's buffer
+    holds a full ``cfg.hot_chunk_points`` segment, that segment is
+    encoded and emitted immediately (the same extra-rows-per-chunk
+    layout batch hot-chunk segmentation produces) and only the
+    < hot_chunk_points residual stays in state. For in-order arrivals
+    the early-flushed segments are bit-identical to the batch layout;
+    out-of-order arrivals within an over-sized open chunk may place a
+    late row in a later segment than batch would (payloads stay
+    internally sorted and queries are unaffected — chunk rows are an
+    unordered table; only the segment-boundary alignment with batch is
+    best-effort above the bound).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -126,6 +138,24 @@ def streaming_compress(
         )
         closed = pdf[pdf["chunk_id"] < closed_below]
         open_ = pdf[pdf["chunk_id"] >= closed_below]
+        max_pts = cfg.hot_chunk_points
+        if max_pts and len(open_) > max_pts:
+            # state bound: emit every complete hot_chunk_points segment
+            # of each open chunk NOW; buffer only the residuals
+            flush_parts, keep_parts = [], []
+            for _, g in open_.groupby("chunk_id", sort=True):
+                n_full = (len(g) // max_pts) * max_pts
+                if n_full:
+                    flush_parts.append(g.iloc[:n_full])
+                if n_full < len(g):
+                    keep_parts.append(g.iloc[n_full:])
+            # closed ids < closed_below <= flushed ids and both are
+            # chunk_id-sorted, so the concat stays encoder-contiguous
+            closed = pd.concat([closed, *flush_parts], ignore_index=True)
+            open_ = (
+                pd.concat(keep_parts, ignore_index=True)
+                if keep_parts else open_.iloc[0:0]
+            )
         if len(open_):
             state.update((
                 open_[TS_COL].tolist(), open_["n_chars"].tolist(),

@@ -101,6 +101,48 @@ def test_stateful_streaming_compress_bit_identical(spark, series_parquet,
     assert {tuple(r) for r in spark.read.parquet(out).collect()} == g
 
 
+def test_sealer_state_bounded_by_hot_chunk_points(spark, tmp_path):
+    """A single open chunk bigger than hot_chunk_points must NOT sit in
+    GroupState whole: every complete segment is sealed immediately (the
+    batch hot-chunk layout), so state holds < hot_chunk_points rows per
+    url no matter how hot the url is. With in-order arrival the early
+    flush is bit-identical to the batch encoder's segmentation."""
+    import pandas as pd
+
+    cfg = DEFAULT.with_overrides(
+        chunk_duration_us=US_PER_HOUR, hot_chunk_points=10_000
+    )
+    n = 30_000  # one 50-minute chunk, 3 full segments
+    t0 = 1_700_000_000_000_000 - (1_700_000_000_000_000 % US_PER_HOUR)
+    pdf = pd.DataFrame({
+        "url": "https://hot.example.com/",
+        "lang": "en",
+        "ts_us": t0 + 100_000 * pd.RangeIndex(n).to_numpy(),
+        "n_chars": (pd.RangeIndex(n).to_numpy() % 997) + 100,
+        "value": pd.RangeIndex(n).to_numpy() * 0.5,
+        "text_sha1": [f"{i:040x}" for i in range(n)],
+    })
+    series = spark.createDataFrame(pdf, schema=chunk.SERIES_SCHEMA)
+    src = str(tmp_path / "src")
+    series.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(series.schema).parquet(src)
+    out, ck = str(tmp_path / "chunks"), str(tmp_path / "ck")
+    q = streaming.run_compress_stream_to_parquet(stream, out, ck, cfg).start()
+    q.awaitTermination()
+
+    got = spark.read.parquet(out)
+    # watermark never passes the chunk end (max event ts is inside the
+    # chunk), yet all three full segments must already be sealed —
+    # proof the open chunk was not held in state
+    assert got.count() == 3
+    assert {r["n_points"] for r in got.collect()} == {10_000}
+    batch = chunk.compress_series(series, cfg)
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in batch.collect()
+    }
+
+
 def test_streaming_tier_reaggregates_into_batch_1h(spark, series_parquet,
                                                    tmp_path):
     src, series = series_parquet
