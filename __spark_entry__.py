@@ -265,10 +265,17 @@ def q_ts_stream_rollup_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolled = spark.read.parquet(out).filter(
         F.col("bucket_us") + 2 * 60_000_000 <= F.lit(max_ts)
     )
-    return rolled.select(
+    result = rolled.select(
         "url_prefix", "lang", "bucket_us", "cnt", "vmin", "vmax",
         F.round(F.col("vsum").cast("double"), 6).alias("vsum"),
     )
+    # materialize before deleting the scratch dir (the caller consumes
+    # the returned frame lazily); repeated driver runs leave /tmp clean
+    import shutil
+
+    rows, schema = result.collect(), result.schema
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 def q_ts_stream_compress_seal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -309,7 +316,7 @@ def q_ts_stream_compress_seal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").alias("d_n_chars"), F.col("value").alias("d_value"),
     )
     j = raw.join(decoded, ["url", TS_COL], "full_outer")
-    return j.agg(
+    result = j.agg(
         F.count("*").alias("n_points"),
         F.sum(
             F.when(
@@ -320,6 +327,13 @@ def q_ts_stream_compress_seal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).cast("long").alias("n_mismatch"),
     )
+    # materialize before deleting the scratch dir (the caller consumes
+    # the returned frame lazily); repeated driver runs leave /tmp clean
+    import shutil
+
+    rows, schema = result.collect(), result.schema
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 def q_doc_simhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -53,18 +53,50 @@ class ChunkStore:
 
     META_FILE = "_engine_meta.json"
 
-    def write_meta(self, cfg: EngineConfig) -> None:
+    def write_meta(self, cfg: EngineConfig, overwrite: bool = False) -> None:
         """Pin layout-defining config in the store itself (first write
-        wins). chunk_duration_us DEFINES the chunk_id partition layout:
-        sourcing it from a mutable site file would let a later
+        wins; ``overwrite=True`` re-pins — used when the data itself is
+        replaced). chunk_duration_us DEFINES the chunk_id partition
+        layout: sourcing it from a mutable site file would let a later
         ``--set-default`` silently mis-prune every chunk_id filter
         against data written under the old duration."""
         p = os.path.join(self.root, self.META_FILE)
-        if os.path.exists(p):
+        if os.path.exists(p) and not overwrite:
             return
         os.makedirs(self.root, exist_ok=True)
         with open(p, "w") as f:
             json.dump({"chunk_duration_us": cfg.chunk_duration_us}, f)
+
+    def _pin_or_validate_meta(self, cfg: EngineConfig | None,
+                              mode: str) -> None:
+        """Guard the pinned layout on every write:
+
+        * overwrite replaces ALL data → the pin is re-written too (a
+          stale pin would mis-prune every later read against the new
+          layout);
+        * append with an explicit cfg that CONFLICTS with the pin is the
+          mixed-layout corruption the class docstring warns about —
+          hard error, never silent;
+        * append with cfg omitted trusts the pin (nothing to validate
+          against; the chunk rows themselves don't carry the duration).
+        """
+        if mode == "overwrite":
+            self.write_meta(cfg if cfg is not None else DEFAULT,
+                            overwrite=True)
+            return
+        pinned = self.load_meta()
+        if not pinned:
+            self.write_meta(cfg if cfg is not None else DEFAULT)
+        elif (cfg is not None
+              and cfg.chunk_duration_us != pinned["chunk_duration_us"]):
+            raise ValueError(
+                f"append with chunk_duration_us={cfg.chunk_duration_us} "
+                f"conflicts with the store's pinned layout "
+                f"{pinned['chunk_duration_us']}: chunks compressed under "
+                "a different duration would corrupt chunk_id pruning. "
+                "Use a new store, or mode='overwrite' to replace the "
+                "layout wholesale."
+            )
 
     def load_meta(self) -> dict:
         p = os.path.join(self.root, self.META_FILE)
@@ -109,7 +141,7 @@ class ChunkStore:
         ``rebuild_catalog`` repairs it; the resumable compress path
         (lineage.py) avoids the window entirely via per-unit dynamic
         partition overwrite of BOTH tables."""
-        self.write_meta(cfg if cfg is not None else DEFAULT)
+        self._pin_or_validate_meta(cfg, mode)
         clustered = chunks.repartition(
             F.col("chunk_id"), F.pmod(F.xxhash64("url"), F.lit(16))
         ).persist()

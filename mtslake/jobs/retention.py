@@ -19,12 +19,15 @@ from mtslake.retention import apply_retention
 def main(argv=None) -> None:
     p = base_parser("mtslake retention")
     p.add_argument("--now-us", type=int, required=True)
+    p.add_argument("--dry-run", action="store_true",
+                   help="print the doomed-partition plan; delete nothing")
     args = p.parse_args(argv)
     spark = build_session("mtslake-retention", args)
     store = ChunkStore(spark, args.store)
     # store-pinned layout fields override site/CLI config
     print(apply_retention(store, now_us=args.now_us,
-                          cfg=store.cfg_for_store(config_from(args))))
+                          cfg=store.cfg_for_store(config_from(args)),
+                          dry_run=args.dry_run))
 
 
 if __name__ == "__main__":

@@ -37,6 +37,7 @@ class ResumableCompressJob:
         job_id: str,
         cfg: EngineConfig = DEFAULT,
         units_per_batch: int = 8,
+        before_check=None,
     ):
         self.store = store
         self.job_id = job_id
@@ -47,6 +48,13 @@ class ResumableCompressJob:
         self.cfg = store.cfg_for_store(cfg)
         self.units_per_batch = units_per_batch
         self.spark = store.spark
+        # ≙ Writer(before_check=...) (mtscomp.py:241,253,498-499): a
+        # caller-supplied callback invoked with the job just before each
+        # batch's automatic post-write verification — the seam the
+        # reference's own tamper tests use (mutate payloads, then prove
+        # the check hard-fails). Receives `self`; the batch's chunk rows
+        # are at store.path("chunks") when it runs.
+        self.before_check = before_check or (lambda job: None)
 
     # -- checkpoint manifest ------------------------------------------------
 
@@ -104,7 +112,6 @@ class ResumableCompressJob:
         the chunk-unit predicate is a partition filter and each batch
         reads just its own partitions."""
         spark = self.spark
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         all_units = self.plan_units(series)
         done = self.done_units()
         pending = [u for u in all_units if u not in done]
@@ -123,9 +130,13 @@ class ResumableCompressJob:
                 )
             )
             chunks = compress_series(sub, self.cfg)
-            chunks.write.mode("overwrite").partitionBy("chunk_id").parquet(
-                self.store.path("chunks")
-            )
+            # dynamic overwrite scoped to THIS write (not the session
+            # conf): replaces exactly the batch's chunk_id partitions,
+            # while an unrelated later write_chunks(mode='overwrite') in
+            # the same session keeps static truncate semantics
+            chunks.write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("chunk_id").parquet(self.store.path("chunks"))
             wall = int((time.monotonic() - t0) * 1000)
             # this read prunes to the batch's partitions only — unit
             # stats, catalog maintenance, and the automatic post-write
@@ -140,15 +151,25 @@ class ResumableCompressJob:
 
             written.select(*CATALOG_COLS).coalesce(1).write.mode(
                 "overwrite"
-            ).partitionBy("chunk_id").parquet(self.store.path("catalog"))
+            ).option("partitionOverwriteMode", "dynamic").partitionBy(
+                "chunk_id"
+            ).parquet(self.store.path("catalog"))
             if self.cfg.check_after_compress:
+                # callback before the check, ≙ mtscomp.py:498-499
+                self.before_check(self)
                 # ≙ automatic integrity check after compression
                 # (mtscomp.py:497-506): decode what was just written,
                 # recomputing each chunk's SHA1 — a mismatch raises
-                # inside the decode tasks and fails the job
+                # inside the decode tasks and fails the job. The check
+                # re-lists the store AFTER the hook (a fresh scan, not
+                # the pre-hook plan): it verifies the bytes actually on
+                # disk now, so hook-injected tampering is caught
                 from .chunk import decompress_chunks
 
-                decompress_chunks(written, verify=True).count()
+                check_df = self.store.chunks().filter(
+                    F.col("chunk_id").isin([int(u) for u in batch])
+                )
+                decompress_chunks(check_df, verify=True).count()
             stats = (
                 written
                 .groupBy("chunk_id")

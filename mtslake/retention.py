@@ -71,10 +71,17 @@ def drop_chunk_partitions(store: ChunkStore, chunk_ids: list[int]) -> int:
 
 
 def apply_retention(
-    store: ChunkStore, now_us: int, cfg: EngineConfig = DEFAULT
-) -> dict[str, int]:
+    store: ChunkStore, now_us: int, cfg: EngineConfig = DEFAULT,
+    dry_run: bool = False,
+) -> dict:
     """Expire raw chunks past the raw horizon and rollup partitions past
     their tier horizons. Safe to re-run (idempotent no-op).
+
+    ``dry_run=True`` returns the full doomed-partition plan —
+    ``raw_partitions`` / ``{tier}_partitions`` lists plus the same
+    counts a real run would report — without deleting anything: the
+    operational look-before-you-leap the reference's ``mtschop``
+    overwrite prompt (mtscomp.py:1170-1174) gestures at, made queryable.
 
     Tier retention is **partition-granular** (like the raw tier): a
     rollup partition is dropped only once its entire span is past the
@@ -86,7 +93,7 @@ def apply_retention(
     """
     from .rollup import ROLLUP_PART_US
 
-    stats: dict[str, int] = {}
+    stats: dict = {"dry_run": dry_run}
     cutoff_chunk = (now_us - cfg.retention_us["raw"]) // cfg.chunk_duration_us
     # union of chunk AND catalog partitions: a crash between the two
     # rmtrees of a previous run can leave a catalog-only orphan, which
@@ -95,10 +102,21 @@ def apply_retention(
         _list_partitions(store.path("catalog"), "chunk_id")
     )
     expired = sorted(c for c in known if c < cutoff_chunk)
-    stats["raw_partitions_dropped"] = drop_chunk_partitions(store, expired)
+    stats["raw_partitions"] = expired
+    if dry_run:
+        # count only partitions that exist on the CHUNKS side — the
+        # number drop_chunk_partitions would report
+        stats["raw_partitions_dropped"] = sum(
+            os.path.isdir(os.path.join(store.path("chunks"),
+                                       f"chunk_id={c}"))
+            for c in expired
+        )
+    else:
+        stats["raw_partitions_dropped"] = drop_chunk_partitions(store, expired)
 
     for tier in cfg.tiers:
         name = f"rollup_{tier}"
+        stats[f"{tier}_partitions"] = []
         stats[f"{tier}_partitions_dropped"] = 0
         stats[f"{tier}_rows_expired"] = 0
         if not store.has(name):
@@ -111,15 +129,18 @@ def apply_retention(
         ]
         if not doomed:
             continue
+        stats[f"{tier}_partitions"] = doomed
         # one count over ONLY the partitions being dropped (pruned scan)
         stats[f"{tier}_rows_expired"] = (
             store.spark.read.parquet(store.path(name))
             .filter(F.col("part_id").isin(doomed)).count()
         )
+        stats[f"{tier}_partitions_dropped"] = len(doomed)
+        if dry_run:
+            continue
         for p in doomed:
             shutil.rmtree(os.path.join(store.path(name), f"part_id={p}"))
         store.spark.catalog.refreshByPath(store.path(name))
-        stats[f"{tier}_partitions_dropped"] = len(doomed)
     return stats
 
 

@@ -155,3 +155,94 @@ def test_hot_chunk_points_segments_and_roundtrips(spark):
     ref = {tuple(r) for r in chunk_mod.decompress_chunks(
         chunk_mod.compress_series(series, DEFAULT)).collect()}
     assert dec == ref
+
+
+def test_before_check_hook_seam(spark, tmp_path):
+    """≙ Writer(before_check=...) (mtscomp.py:241,498-499): the callback
+    runs just before each batch's post-write verification — and only
+    when the check itself is enabled. A hook that tampers the written
+    payloads must make the automatic check hard-fail (the reference's
+    own tamper-test pattern, tests.py:345-379)."""
+    import shutil
+
+    from mtslake import lineage as lineage_mod
+    from mtslake.catalog import ChunkStore
+    from mtslake.config import DEFAULT
+    from mtslake.datagen import generate_pages
+    from mtslake.series import pages_to_series
+
+    series = pages_to_series(
+        generate_pages(spark, n_urls=4, snapshots_per_url=12)
+    )
+
+    seen = []
+    st = ChunkStore(spark, str(tmp_path / "hooked"))
+    lineage_mod.ResumableCompressJob(
+        st, "h1", DEFAULT.with_overrides(check_after_compress=True),
+        units_per_batch=1000, before_check=lambda job: seen.append(job),
+    ).run(series)
+    assert len(seen) == 1 and seen[0].store is st
+
+    # check disabled -> hook never fires (mirrors the reference: the
+    # callback lives inside the check_after_compress branch)
+    seen.clear()
+    st_off = ChunkStore(spark, str(tmp_path / "hooked_off"))
+    lineage_mod.ResumableCompressJob(
+        st_off, "h2", DEFAULT.with_overrides(check_after_compress=False),
+        units_per_batch=1000, before_check=lambda job: seen.append(job),
+    ).run(series)
+    assert seen == []
+
+    # tamper via the hook -> the automatic check must hard-fail
+    def tamper(job):
+        p = job.store.path("chunks")
+        chunks = spark.read.parquet(p)
+        bad = chunks.withColumn(
+            "p_value",
+            F.concat(F.expr("substring(p_value, 1, 18)"), F.lit(b"\x00\x01"),
+                     F.expr("substring(p_value, 21, 100000000)")),
+        )
+        bad.write.mode("overwrite").parquet(p + "_bad")
+        shutil.rmtree(p)
+        shutil.move(p + "_bad", p)
+        spark.catalog.refreshByPath(p)
+
+    # the tamper hard-fails the check either at payload decode (corrupt
+    # deflate stream) or at the sha1 compare — both are the required
+    # loud failure, never a silent pass
+    st2 = ChunkStore(spark, str(tmp_path / "tampered"))
+    with pytest.raises(Exception,
+                       match="integrity|CRITICAL|sha1|zlib|decompress"):
+        lineage_mod.ResumableCompressJob(
+            st2, "h3", DEFAULT.with_overrides(check_after_compress=True),
+            units_per_batch=1000, before_check=tamper,
+        ).run(series)
+
+
+def test_store_meta_pin_guards(spark, tmp_path):
+    """The pinned chunk_duration_us must be defended on every write:
+    conflicting append -> hard error; overwrite -> re-pin."""
+    from mtslake import chunk as chunk_mod
+    from mtslake.catalog import ChunkStore
+    from mtslake.config import DEFAULT, US_PER_HOUR
+    from mtslake.datagen import generate_pages
+    from mtslake.series import pages_to_series
+
+    series = pages_to_series(
+        generate_pages(spark, n_urls=3, snapshots_per_url=8)
+    )
+    st = ChunkStore(spark, str(tmp_path / "pinstore"))
+    st.write_chunks(chunk_mod.compress_series(series, DEFAULT),
+                    mode="overwrite", cfg=DEFAULT)
+    assert st.load_meta()["chunk_duration_us"] == DEFAULT.chunk_duration_us
+
+    cfg_h = DEFAULT.with_overrides(chunk_duration_us=US_PER_HOUR)
+    with pytest.raises(ValueError, match="pinned layout"):
+        st.write_chunks(chunk_mod.compress_series(series, cfg_h),
+                        mode="append", cfg=cfg_h)
+
+    # overwrite replaces the data wholesale -> the pin follows
+    st.write_chunks(chunk_mod.compress_series(series, cfg_h),
+                    mode="overwrite", cfg=cfg_h)
+    assert st.load_meta()["chunk_duration_us"] == US_PER_HOUR
+    assert st.cfg_for_store(DEFAULT).chunk_duration_us == US_PER_HOUR

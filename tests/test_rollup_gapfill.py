@@ -283,3 +283,28 @@ def test_gapfill_interpolate_linear(spark):
         2 * H: (3.0, 30.0, True),
         3 * H: (4.0, 40.0, False),
     }
+
+
+def test_retention_dry_run_plans_without_deleting(spark, series, tmp_path):
+    """dry_run=True returns the doomed-partition plan and touches
+    nothing; a real run then drops exactly the planned partitions."""
+    st = ChunkStore(spark, str(tmp_path / "dr_store"))
+    st.write_chunks(chunk.compress_series(series, DEFAULT), mode="overwrite")
+    now = series.agg(F.max(TS_COL)).first()[0]
+    cfg2 = DEFAULT.with_overrides(
+        retention_us={**DEFAULT.retention_us, "raw": 3 * US_PER_DAY}
+    )
+    before = set(retention.list_chunk_partitions(st))
+
+    plan = retention.apply_retention(st, now_us=now, cfg=cfg2, dry_run=True)
+    assert plan["dry_run"] is True
+    assert plan["raw_partitions_dropped"] == len(plan["raw_partitions"]) > 0
+    # nothing deleted
+    assert set(retention.list_chunk_partitions(st)) == before
+
+    real = retention.apply_retention(st, now_us=now, cfg=cfg2)
+    assert real["raw_partitions"] == plan["raw_partitions"]
+    assert real["raw_partitions_dropped"] == plan["raw_partitions_dropped"]
+    assert set(retention.list_chunk_partitions(st)) == before - set(
+        plan["raw_partitions"]
+    )
