@@ -13,13 +13,15 @@ Queries come in two families:
   ``documents`` / ``embeddings`` (dedup, text analysis, similarity).
 
 Approximate operators are oracle-graded through deterministic
-constructions rather than left rows-only wherever possible: planted-pair
-recall gates vs constant oracles (minhash-LSH, hyperplane-LSH,
-simhash), full-probe ≡ exact (IVF), watermark-deterministic emitted
-sets (streaming), hex-nibble byte recomputation (multimodal stubs).
-Only the four genuinely value-approximate listings (raw LSH/simhash
-pair sets, partial-probe ANN top-k) stay rows-only, with their
-semantics pytest-gated (tests/).
+constructions rather than left rows-only wherever possible: full-recall
+banding ≡ exact all-pairs (minhash-LSH at 64×1 banding), planted-pair
+recall gates vs constant oracles (production-banding minhash,
+hyperplane-LSH, simhash), full-probe ≡ exact (IVF), independent-rescore
+validity aggregates (partial-probe ANN top-k), watermark-deterministic
+emitted sets (streaming), hex-nibble byte recomputation (multimodal
+stubs). Only ``doc_simhash`` (raw 64-bit signatures — xxhash64 is not
+reproducible in the oracle engine) stays rows-only, with its semantics
+gated by doc_simhash_planted and pytest.
 """
 
 from __future__ import annotations
@@ -28,6 +30,8 @@ import os
 import sys
 from collections.abc import Callable
 
+import pandas as pd  # noqa: F401  (resolves pandas_udf type hints under
+                     # `from __future__ import annotations`)
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -406,12 +410,21 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup candidate pairs (MinHash banding + exact-Jaccard
-    verify). Not SQL-expressible → rows-only driver check; semantics
-    pytest-gated (tests/test_trainops.py)."""
+    """MinHash LSH near-dup pairs, graded against a TRUE SQL oracle.
+
+    Run at full-recall parameters — 64 bands of 1 minhash row each — a
+    j ≥ 0.5 pair escapes candidate generation only if it shares NONE of
+    64 independent minhashes: P ≤ (1-j)^64 ≈ 5e-20, and the pipeline is
+    deterministic, so the LSH + exact-Jaccard-verified pair set provably
+    EQUALS the exact all-pairs shingle-Jaccard set — which DuckDB
+    computes directly (same shingle SQL as doc_ngram_jaccard). The
+    production default (16 bands × 4 rows) is the recall/cost trade
+    graded separately by doc_minhash_lsh_recall."""
     from mtslake.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_docs(spark, sf_dir), jaccard_threshold=0.5)
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir), n_hashes=64, bands=64, jaccard_threshold=0.5
+    )
 
 
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -465,7 +478,10 @@ def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via hyperplane-LSH buckets + exact re-rank (rows-only)."""
+    """ANN via hyperplane-LSH buckets + exact re-rank, graded as a
+    validity construction (see _ann_validity): every returned cos is
+    re-scored by an independent numpy path, ranks and per-probe counts
+    are recounted, and the aggregate must hit the exact constants."""
     from mtslake.simsearch import lsh_topk
 
     emb = _emb(spark, sf_dir)
@@ -474,7 +490,53 @@ def q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("probe_id"),
                 F.col("embedding").alias("probe_vec"))
     )
-    return lsh_topk(emb, probes, k=5, n_planes=8, n_tables=8)
+    out = lsh_topk(emb, probes, k=5, n_planes=8, n_tables=8)
+    return _ann_validity(out, emb, k=5)
+
+
+def _ann_validity(out: DataFrame, emb: DataFrame, k: int) -> DataFrame:
+    """Validity construction for approximate top-k (the
+    ts_verify_roundtrip pattern): the ANN's rows are re-scored by an
+    INDEPENDENT exact path (numpy dot product in an Arrow-batched
+    pandas UDF — different arithmetic order and code path than the
+    JVM fold that produced them) and structural invariants are
+    recounted. Oracle = the constants a correct run must hit:
+    k rows per probe, zero cos mismatches, ranks exactly 1..k by
+    descending cos."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import Window as W
+
+    @pandas_udf("double")
+    def np_cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        import numpy as np
+
+        A = np.vstack(a.to_numpy())
+        B = np.vstack(b.to_numpy())
+        num = (A * B).sum(axis=1)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        return pd.Series(num / den)
+
+    e = emb.select(F.col("vec_id"),
+                   F.col("embedding").cast("array<double>").alias("_ev"))
+    p = emb.select(F.col("vec_id").alias("probe_id"),
+                   F.col("embedding").cast("array<double>").alias("_pv"))
+    scored = (
+        out.join(e, "vec_id").join(F.broadcast(p), "probe_id")
+        .withColumn("_np_cos", F.round(np_cos(F.col("_ev"), F.col("_pv")), 6))
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    checked = scored.withColumn("_rk", F.row_number().over(w))
+    return checked.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(
+            F.when(F.abs(F.col("cos") - F.col("_np_cos")) > 1e-9, 1)
+            .otherwise(0)
+        ).cast("long").alias("n_cos_mismatch"),
+        F.sum(F.when(F.col("rank") != F.col("_rk"), 1).otherwise(0))
+        .cast("long").alias("n_rank_bad"),
+        F.countDistinct("probe_id").alias("n_probes"),
+    )
 
 
 def q_rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -533,8 +595,11 @@ def q_rel_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (seeded coarse quantizer, n_probe cells, exact re-rank;
-    rows-only — approximate by design, recall-tested in pytest)."""
+    """IVF ANN (seeded coarse quantizer, n_probe of n_cells probed,
+    exact re-rank), graded as a validity construction (see
+    _ann_validity): independent numpy re-scoring of every returned cos,
+    recounted ranks and per-probe counts vs exact constants. Full-probe
+    exactness is graded separately by emb_ivf_full_probe."""
     from mtslake.simsearch import ivf_topk
 
     emb = _emb(spark, sf_dir)
@@ -543,7 +608,8 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("probe_id"),
                 F.col("embedding").alias("probe_vec"))
     )
-    return ivf_topk(emb, probes, k=5, n_cells=8, n_probe=4)
+    out = ivf_topk(emb, probes, k=5, n_cells=8, n_probe=4)
+    return _ann_validity(out, emb, k=5)
 
 
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1021,6 +1087,44 @@ def oracle_sql() -> dict[str, str]:
                     + 0.3 * least(sr * 5, 1.0)
                     + 0.3 * (1 - least(pr * 10, 1.0)) AS quality_score
             FROM r
+        """,
+        # full-recall banding (64 bands x 1 row: a j>=0.5 pair shares no
+        # minhash with P <= 2^-64) + exact verify => the LSH pair set
+        # provably equals the exact all-pairs shingle-Jaccard set
+        "doc_minhash_lsh": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\s+') AS t
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct([array_to_string(t[i:i+2], ' ')
+                           FOR i IN generate_series(1,
+                               greatest(len(t) - 2, 1))]) AS s
+                FROM toks
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.s, b.s))), 6)
+                       AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+        """,
+        # validity constructions (see _ann_validity): exact constants a
+        # correct approximate top-k must hit — 5 rows per probe for the
+        # 3 probes, zero independent-rescore mismatches, perfect ranks
+        "emb_lsh_topk": """
+            SELECT CAST(15 AS BIGINT) AS n_rows,
+                   CAST(0 AS BIGINT) AS n_cos_mismatch,
+                   CAST(0 AS BIGINT) AS n_rank_bad,
+                   CAST(3 AS BIGINT) AS n_probes
+        """,
+        "emb_ivf_topk": """
+            SELECT CAST(15 AS BIGINT) AS n_rows,
+                   CAST(0 AS BIGINT) AS n_cos_mismatch,
+                   CAST(0 AS BIGINT) AS n_rank_bad,
+                   CAST(3 AS BIGINT) AS n_probes
         """,
         "doc_ngram_jaccard": r"""
             WITH toks AS (
