@@ -19,9 +19,9 @@ recall gates vs constant oracles (production-banding minhash,
 hyperplane-LSH, simhash), full-probe ≡ exact (IVF), independent-rescore
 validity aggregates (partial-probe ANN top-k), watermark-deterministic
 emitted sets (streaming), hex-nibble byte recomputation (multimodal
-stubs). Only ``doc_simhash`` (raw 64-bit signatures — xxhash64 is not
-reproducible in the oracle engine) stays rows-only, with its semantics
-gated by doc_simhash_planted and pytest.
+stubs), independent-reimplementation agreement (simhash: JVM pipeline
+vs pure-Python XXH64 from the public spec). Every contract query is
+oracle-graded.
 """
 
 from __future__ import annotations
@@ -428,10 +428,55 @@ def q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (rows-only check)."""
-    from mtslake.dedup import simhash64
+    """SimHash graded through an INDEPENDENT reimplementation: the JVM
+    expression pipeline (xxhash64 + bit-majority aggregation) must agree
+    bit-for-bit with a pure-Python XXH64 (mtslake.hashing, written from
+    the public spec) + numpy bit-vote recompute, per document. Oracle =
+    the SQL document count plus zero mismatches — a wrong hash, a
+    collapsed seed family, or a broken majority vote each flips
+    n_mismatch."""
+    import re
+    from collections import Counter
 
-    return simhash64(_docs(spark, sf_dir))
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from mtslake.dedup import simhash64
+    from mtslake.hashing import xxh64
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    jvm = simhash64(docs)
+
+    @pandas_udf("long")
+    def py_simhash(texts: pd.Series) -> pd.Series:
+        out = []
+        shifts = np.arange(64, dtype=np.uint64)
+        for text in texts:
+            toks = [t for t in re.split(r"\s+", text.lower().strip()) if t]
+            if not toks:
+                out.append(0)
+                continue
+            cnt = Counter(toks)
+            hs = np.array([xxh64(t.encode("utf-8")) for t in cnt],
+                          dtype=np.uint64)
+            ws = np.array(list(cnt.values()), dtype=np.int64)
+            bits = ((hs[:, None] >> shifts) & np.uint64(1)).astype(bool)
+            votes = np.where(bits, ws[:, None], -ws[:, None]).sum(axis=0)
+            sim = np.uint64(0)
+            for k in range(64):
+                if votes[k] > 0:
+                    sim |= np.uint64(1) << np.uint64(k)
+            out.append(int(np.int64(sim)))
+        return pd.Series(out, dtype="int64")
+
+    joined = docs.join(jvm, "doc_id").withColumn(
+        "_py", py_simhash(F.col("text"))
+    )
+    return joined.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("simhash") != F.col("_py"), 1).otherwise(0))
+        .cast("long").alias("n_mismatch"),
+    )
 
 
 def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1087,6 +1132,12 @@ def oracle_sql() -> dict[str, str]:
                     + 0.3 * least(sr * 5, 1.0)
                     + 0.3 * (1 - least(pr * 10, 1.0)) AS quality_score
             FROM r
+        """,
+        # independent-reimplementation validity: JVM simhash pipeline vs
+        # pure-Python XXH64 + numpy bit votes must agree on every doc
+        "doc_simhash": """
+            SELECT COUNT(*) AS n_docs, CAST(0 AS BIGINT) AS n_mismatch
+            FROM documents WHERE trim(text) <> ''
         """,
         # full-recall banding (64 bands x 1 row: a j>=0.5 pair shares no
         # minhash with P <= 2^-64) + exact verify => the LSH pair set

@@ -25,15 +25,35 @@ from .rollup import AGG_COLS
 KEY_COLS = ["url_prefix", "lang"]
 
 
+_SPINE_SEGMENT = 1440  # buckets per inner sequence array
+
+
 def spine(rolled: DataFrame, tier: str, keys: list[str] = KEY_COLS) -> DataFrame:
-    """One row per (key, expected bucket) over each key's own span."""
+    """One row per (key, expected bucket) over each key's own span.
+
+    Two-level explode: a single ``sequence(_b0, _b1, us)`` would build
+    the key's ENTIRE grid as one in-row array before exploding — a
+    decade-long key at the 1m tier is a ~5M-element (40 MB) array held
+    by one task. Segmenting first (outer sequence of segment starts,
+    inner sequence of ≤1440 buckets each) bounds per-row array memory
+    to KBs while producing the identical row set."""
     us = TIER_US[tier]
+    seg = us * _SPINE_SEGMENT
     spans = rolled.groupBy(*keys).agg(
         F.min("bucket_us").alias("_b0"), F.max("bucket_us").alias("_b1")
     )
-    return spans.select(
+    segs = spans.select(
+        *keys, "_b1",
+        F.explode(F.sequence("_b0", "_b1", F.lit(seg))).alias("_s"),
+    )
+    return segs.select(
         *keys,
-        F.explode(F.sequence("_b0", "_b1", F.lit(us))).alias("bucket_us"),
+        F.explode(
+            F.sequence(
+                "_s", F.least(F.col("_s") + F.lit(seg - us), F.col("_b1")),
+                F.lit(us),
+            )
+        ).alias("bucket_us"),
     )
 
 

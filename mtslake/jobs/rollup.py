@@ -15,11 +15,23 @@ from mtslake.rollup import materialize_tiers
 
 def main(argv=None) -> None:
     p = base_parser("mtslake rollup tiers")
+    p.add_argument(
+        "--units", default=None,
+        help="comma-separated chunk units to refresh incrementally "
+             "(tier partitions overlapping them are recomputed; "
+             "everything else untouched). Omit for a full rebuild.",
+    )
     args = p.parse_args(argv)
     spark = build_session("mtslake-rollup", args)
     store = ChunkStore(spark, args.store)
-    decoded = read_range(store)
-    materialize_tiers(store, decoded)
+    if args.units:
+        from mtslake.rollup import refresh_tiers
+
+        units = [int(u) for u in args.units.split(",") if u.strip()]
+        print(refresh_tiers(store, units))
+    else:
+        decoded = read_range(store)
+        materialize_tiers(store, decoded)
 
 
 if __name__ == "__main__":

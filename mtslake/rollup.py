@@ -181,6 +181,86 @@ def _write_tier(store, rolled: DataFrame, tier: str) -> None:
     ).parquet(store.path(f"rollup_{tier}"))
 
 
+def _affected_parts(chunk_ids, dur_us: int, part_us: int) -> list[int]:
+    """Tier partitions whose window overlaps any chunk's [c·dur,(c+1)·dur)."""
+    parts: set[int] = set()
+    for c in chunk_ids:
+        lo = (int(c) * dur_us) // part_us
+        hi = ((int(c) + 1) * dur_us - 1) // part_us
+        parts.update(range(lo, hi + 1))
+    return sorted(parts)
+
+
+def refresh_tiers(store, chunk_ids, cfg=None) -> dict:
+    """Incremental continuous-aggregate maintenance — the TimescaleDB
+    refresh-window analogue. After new chunk units land (e.g. a nightly
+    ingest's ``ResumableCompressJob`` batch), recompute ONLY the tier
+    partitions whose time windows overlap those units:
+
+    * 1m: decode just the chunks intersecting the affected 1m partition
+      windows (partition-pruned scan — an affected week needs its whole
+      week of raw data, not only the new day) and dynamic-overwrite the
+      affected ``part_id`` directories;
+    * 1h re-aggregates from the (now current) 1m partitions overlapping
+      its affected windows; 1d likewise from 1h.
+
+    Exact by construction: decimal sums are order-independent, so every
+    refreshed partition is bit-identical to a full rebuild — tested by
+    equality against ``materialize_tiers`` from scratch. Cost is
+    O(affected windows), never O(history): at 10¹² docs a nightly
+    refresh touches ~1 week-part per tier, not a decade of rollups.
+
+    Returns {tier: [refreshed part_ids]}.
+    """
+    from .config import DEFAULT
+
+    cfg = store.cfg_for_store(cfg if cfg is not None else DEFAULT)
+    chunk_ids = sorted({int(c) for c in chunk_ids})
+    if not chunk_ids:
+        return {}
+    dur = cfg.chunk_duration_us
+    refreshed: dict = {}
+
+    # -- 1m from raw ----------------------------------------------------
+    parts_1m = _affected_parts(chunk_ids, dur, ROLLUP_PART_US["1m"])
+    read_ids = _affected_parts(  # chunks overlapping the 1m windows
+        parts_1m, ROLLUP_PART_US["1m"], dur
+    )
+    chunks = store.chunks().filter(F.col("chunk_id").isin(read_ids))
+    from .chunk import decompress_chunks
+
+    series = decompress_chunks(chunks, channels=("value",))
+    one_m = with_part_id(rollup_from_series(series, "1m"), "1m").filter(
+        F.col("part_id").isin(parts_1m)
+    )
+    _overwrite_parts(store, one_m, "1m")
+    refreshed["1m"] = parts_1m
+
+    # -- coarser tiers from the finer one -------------------------------
+    for tier in ("1h", "1d"):
+        finer = TIER_BELOW[tier]
+        parts = _affected_parts(chunk_ids, dur, ROLLUP_PART_US[tier])
+        finer_parts = _affected_parts(
+            parts, ROLLUP_PART_US[tier], ROLLUP_PART_US[finer]
+        )
+        lower = store.spark.read.parquet(
+            store.path(f"rollup_{finer}")
+        ).filter(F.col("part_id").isin(finer_parts))
+        out = with_part_id(rollup_from_tier(lower, tier), tier).filter(
+            F.col("part_id").isin(parts)
+        )
+        _overwrite_parts(store, out, tier)
+        refreshed[tier] = parts
+    return refreshed
+
+
+def _overwrite_parts(store, rolled_with_part: DataFrame, tier: str) -> None:
+    rolled_with_part.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("part_id").parquet(store.path(f"rollup_{tier}"))
+    store.spark.catalog.refreshByPath(store.path(f"rollup_{tier}"))
+
+
 def materialize_tiers(store, series: DataFrame) -> None:
     """Write 1m from raw, then each coarser tier from the finer one —
     the expensive decode/scan lineage executes exactly once (the finer

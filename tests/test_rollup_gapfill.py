@@ -308,3 +308,80 @@ def test_retention_dry_run_plans_without_deleting(spark, series, tmp_path):
     assert set(retention.list_chunk_partitions(st)) == before - set(
         plan["raw_partitions"]
     )
+
+
+def test_spine_two_level_explode_exact_grid(spark):
+    """The segmented spine must produce exactly the arithmetic grid
+    min..max step tier_us per key — including spans that are not a
+    multiple of the segment width, single-bucket spans, and spans
+    crossing many segments."""
+    from mtslake import gapfill
+    from mtslake.config import TIER_US
+
+    us = TIER_US["1m"]
+    seg = gapfill._SPINE_SEGMENT
+    cases = {
+        "a": (0, 0),                      # single bucket
+        "b": (0, (seg - 1) * us),         # exactly one segment
+        "c": (7 * us, (seg + 5) * us),    # crosses a boundary, offset start
+        "d": (0, (3 * seg + 1) * us),     # many segments + ragged tail
+    }
+    rolled = spark.createDataFrame(
+        [(k, "en", b) for k, (b0, b1) in cases.items() for b in (b0, b1)],
+        "url_prefix string, lang string, bucket_us long",
+    )
+    got = {
+        (r["url_prefix"], r["bucket_us"])
+        for r in gapfill.spine(rolled, "1m").collect()
+    }
+    exp = {
+        (k, b)
+        for k, (b0, b1) in cases.items()
+        for b in range(b0, b1 + 1, us)
+    }
+    assert got == exp
+
+
+def test_refresh_tiers_incremental_equals_full_rebuild(
+    spark, series, tmp_path
+):
+    """Incremental continuous-aggregate refresh: after appending new
+    chunk units, refresh_tiers(new_units) must make every tier
+    bit-identical to a from-scratch materialize over the full series,
+    while rollup partitions OUTSIDE the affected windows keep their
+    exact files (mtime+size — no O(history) rewrite)."""
+    split = series.approxQuantile(TS_COL, [0.7], 0.0)[0]
+    early = series.filter(F.col(TS_COL) < split)
+    late = series.filter(F.col(TS_COL) >= split)
+    assert early.count() > 0 and late.count() > 0
+
+    st = ChunkStore(spark, str(tmp_path / "inc_store"))
+    st.write_chunks(chunk.compress_series(early, DEFAULT), mode="overwrite")
+    rollup.materialize_tiers(st, read.read_range(st, columns=["value"]))
+
+    # nightly ingest: new units land, tiers refreshed incrementally
+    st.write_chunks(chunk.compress_series(late, DEFAULT), mode="append")
+    new_units = sorted(
+        r[0] for r in chunk.compress_series(late, DEFAULT)
+        .select("chunk_id").distinct().collect()
+    )
+    before = _file_state(st.path("rollup_1m"))
+    refreshed = rollup.refresh_tiers(st, new_units)
+    assert refreshed["1m"]
+
+    # untouched 1m partitions keep their exact files
+    touched = {f"part_id={p}" for p in refreshed["1m"]}
+    after = _file_state(st.path("rollup_1m"))
+    for p, sig in before.items():
+        if not any(t in p for t in touched):
+            assert after.get(p) == sig, f"untouched partition rewritten: {p}"
+
+    # every tier == full rebuild over the union series
+    full = ChunkStore(spark, str(tmp_path / "full_store"))
+    full.write_chunks(chunk.compress_series(series, DEFAULT),
+                      mode="overwrite")
+    rollup.materialize_tiers(full, read.read_range(full, columns=["value"]))
+    for tier in ("1m", "1h", "1d"):
+        got = _rows(spark.read.parquet(st.path(f"rollup_{tier}")))
+        exp = _rows(spark.read.parquet(full.path(f"rollup_{tier}")))
+        assert got == exp, f"tier {tier} diverged from full rebuild"
