@@ -214,19 +214,25 @@ def _binary_flat(arr: pa.Array, n: int) -> np.ndarray:
 
 def _encode_block_arrow(
     t: pa.Table,
+    chunk_dur: int,
     max_points: int | None = None,
     comp_level: int = 1,
     do_time_diff: bool = True,
 ) -> pa.RecordBatch:
     """Arrow-native twin of _encode_block: url/lang stay in Arrow
     buffers (one .as_py() per GROUP, never per row), sha1 bytes are a
-    zero-copy view. Same codec calls → bit-identical payloads."""
+    zero-copy view. Same codec calls → bit-identical payloads.
+
+    chunk ids are DERIVED in-kernel (ts // chunk_dur) instead of being
+    shipped as a column: the encode phase is Arrow-IPC-bandwidth-bound
+    (BENCH/PROFILE_NOTES.md), so derivable columns never cross the
+    boundary."""
     t = t.combine_chunks()
     n = t.num_rows
     url = t.column("url").chunk(0)
     lang = t.column("lang").chunk(0)
-    cids = t.column("chunk_id").chunk(0).to_numpy()
     ts_all = t.column("ts_us").chunk(0).to_numpy()
+    cids = ts_all // chunk_dur
     nch_all = t.column("n_chars").chunk(0).to_numpy()
     val_all = t.column("value").chunk(0).to_numpy()
     sha_all = _binary_flat(t.column("sha_bin").chunk(0), n).reshape(n, SHA1_W)
@@ -275,6 +281,7 @@ def _encode_block_arrow(
 
 def _encode_stream(
     batches,
+    chunk_dur: int,
     max_points: int | None = None,
     comp_level: int = 1,
     do_time_diff: bool = True,
@@ -298,13 +305,13 @@ def _encode_stream(
             buf = None
         n = t.num_rows
         url = t.column("url")
-        cid = t.column("chunk_id")
+        ts = t.column(TS_COL).to_numpy(zero_copy_only=False)
+        cids = ts // chunk_dur
         # sorted input → the last group is a suffix run
-        tail_mask = pa.compute.and_(
-            pa.compute.equal(url, url[n - 1]),
-            pa.compute.equal(cid, cid[n - 1]),
+        url_eq_last = pa.compute.equal(url, url[n - 1]).to_numpy(
+            zero_copy_only=False
         )
-        n_tail = pa.compute.sum(tail_mask).as_py()
+        n_tail = int((url_eq_last & (cids == cids[-1])).sum())
         if n_tail == n:
             buf = t
             # the hot_chunk_points memory bound must hold even while a
@@ -316,17 +323,20 @@ def _encode_stream(
             if max_points and buf.num_rows > max_points:
                 n_full = (buf.num_rows // max_points) * max_points
                 yield _encode_block_arrow(
-                    buf.slice(0, n_full), max_points, comp_level,
-                    do_time_diff,
+                    buf.slice(0, n_full), chunk_dur, max_points,
+                    comp_level, do_time_diff,
                 )
                 buf = buf.slice(n_full) if n_full < buf.num_rows else None
             continue
         buf = t.slice(n - n_tail)
         yield _encode_block_arrow(
-            t.slice(0, n - n_tail), max_points, comp_level, do_time_diff
+            t.slice(0, n - n_tail), chunk_dur, max_points, comp_level,
+            do_time_diff,
         )
     if buf is not None and buf.num_rows:
-        yield _encode_block_arrow(buf, max_points, comp_level, do_time_diff)
+        yield _encode_block_arrow(
+            buf, chunk_dur, max_points, comp_level, do_time_diff
+        )
 
 
 def compress_series(
@@ -362,6 +372,7 @@ def compress_series(
 
     encode = partial(
         _encode_stream,
+        chunk_dur=cfg.chunk_duration_us,
         max_points=cfg.hot_chunk_points,
         comp_level=cfg.comp_level,
         do_time_diff=cfg.do_time_diff,
@@ -378,10 +389,14 @@ def compress_series(
     # already supports (hot-chunk segmentation). Group ORDER becomes
     # hash order, which nothing downstream observes (chunk rows are an
     # unordered table).
+    # chunk_id is a sort key only — it is NOT shipped to the kernel
+    # (derived there from ts; the narrow projection after the sort
+    # preserves partition order). ~9% fewer Arrow-IPC bytes on the
+    # bandwidth-bound boundary (BENCH/PROFILE_NOTES.md).
     return keyed.withColumn("_gh", F.xxhash64("url")).sortWithinPartitions(
         "_gh", "chunk_id", TS_COL, "sha_bin"
     ).select(
-        "url", "lang", TS_COL, "n_chars", "value", "sha_bin", "chunk_id"
+        "url", "lang", TS_COL, "n_chars", "value", "sha_bin"
     ).mapInArrow(encode, schema=CHUNK_SCHEMA)
 
 
