@@ -509,6 +509,58 @@ def q_doc_cluster_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_pairs(pairs)
 
 
+def q_doc_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (urlops.normalize_url) over deterministic
+    messy URLs synthesized from doc_id — four variants exercising
+    scheme/host case, default-port stripping, query-param sorting,
+    fragment dropping, and empty-path normalization. Both engines build
+    the identical input expression; the oracle replays the
+    normalization in SQL."""
+    from mtslake.urlops import normalize_url
+
+    d = F.col("doc_id")
+    url = (
+        F.when(d % 4 == 0, F.format_string(
+            "HTTP://WWW.Site%d.COM:80/Sec%d/Item%d?b=%d&a=%d#frag",
+            d % 50, d % 7, d, d % 9, d % 3))
+        .when(d % 4 == 1, F.format_string(
+            "https://Site%d.org:443/?z=1&y=%d", d % 50, d % 5))
+        .when(d % 4 == 2, F.format_string(
+            "HtTpS://CDN.site%d.net/path/%d", d % 50, d))
+        .otherwise(F.format_string(
+            "http://site%d.io:8080?q=%d", d % 50, d))
+    )
+    return (
+        _docs(spark, sf_dir).select("doc_id")
+        .withColumn("url", url)
+        .withColumn("norm_url", normalize_url("url"))
+    )
+
+
+def q_doc_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus cleaning composition: language
+    filter (marker-vote lang-id = 'en') ∧ quality threshold
+    (quality_score ≥ 0.5) → exact dedup among survivors (lowest doc_id
+    per identical text wins). Every stage is individually oracle-graded
+    (doc_lang_id, doc_quality, doc_dedup_exact); this grades their
+    COMPOSITION — the pipeline a 100 TB corpus actually runs."""
+    from mtslake.dedup import exact_dedup
+    from mtslake.textops import lang_id, quality_features
+
+    docs = _docs(spark, sf_dir)
+    lang = lang_id(docs).select("doc_id", "pred_lang")
+    qual = quality_features(docs).select("doc_id", "quality_score")
+    joined = (
+        docs.select("doc_id", "text").join(lang, "doc_id")
+        .join(qual, "doc_id")
+    )
+    surv = joined.filter(
+        (F.col("pred_lang") == "en") & (F.col("quality_score") >= 0.5)
+    )
+    kept = exact_dedup(surv, text_col="text", id_col="doc_id")
+    return kept.select("doc_id", "pred_lang", "quality_score")
+
+
 def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for the 3 lowest-id probe vectors."""
     from mtslake.simsearch import brute_force_topk
@@ -817,6 +869,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash": q_doc_simhash,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_cluster_chain": q_doc_cluster_chain,
+        "doc_url_normalize": q_doc_url_normalize,
+        "doc_corpus_clean": q_doc_corpus_clean,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_lsh_topk": q_emb_lsh_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
@@ -1176,6 +1230,105 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS n_cos_mismatch,
                    CAST(0 AS BIGINT) AS n_rank_bad,
                    CAST(3 AS BIGINT) AS n_probes
+        """,
+        "doc_url_normalize": r"""
+            WITH u AS (
+                SELECT doc_id,
+                    CASE CAST(doc_id % 4 AS INT)
+                        WHEN 0 THEN printf(
+                            'HTTP://WWW.Site%d.COM:80/Sec%d/Item%d?b=%d&a=%d#frag',
+                            doc_id % 50, doc_id % 7, doc_id,
+                            doc_id % 9, doc_id % 3)
+                        WHEN 1 THEN printf(
+                            'https://Site%d.org:443/?z=1&y=%d',
+                            doc_id % 50, doc_id % 5)
+                        WHEN 2 THEN printf(
+                            'HtTpS://CDN.site%d.net/path/%d',
+                            doc_id % 50, doc_id)
+                        ELSE printf('http://site%d.io:8080?q=%d',
+                            doc_id % 50, doc_id)
+                    END AS url
+                FROM documents
+            ), p AS (
+                SELECT doc_id, url,
+                    lower(regexp_extract(url,
+                        '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS proto,
+                    regexp_extract(url,
+                        '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)
+                        AS hostport,
+                    regexp_extract(url,
+                        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+                        AS path,
+                    regexp_extract(url, '^[^#?]*\?([^#]*)', 1)
+                        AS query
+                FROM u
+            ), q AS (
+                SELECT doc_id, url, proto, path,
+                    lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
+                    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+                    COALESCE(array_to_string(list_sort(list_filter(
+                        string_split(query, '&'), x -> x <> '')), '&'),
+                        '') AS qsorted
+                FROM p
+            )
+            SELECT doc_id, url,
+                proto || '://' || host
+                || CASE WHEN port = '' OR (proto = 'http' AND port = '80')
+                          OR (proto = 'https' AND port = '443')
+                        THEN '' ELSE ':' || port END
+                || CASE WHEN path = '' THEN '/' ELSE path END
+                || CASE WHEN qsorted = '' THEN ''
+                        ELSE '?' || qsorted END AS norm_url
+            FROM q
+        """,
+        "doc_corpus_clean": r"""
+            WITH s AS (
+                SELECT doc_id, text,
+                    len(regexp_extract_all(lower(text),
+                        '\b(the|and|of|to|is)\b')) AS s_en,
+                    len(regexp_extract_all(lower(text),
+                        '\b(der|die|und|ist|nicht)\b')) AS s_de,
+                    len(regexp_extract_all(lower(text),
+                        '\b(le|la|et|est|les)\b')) AS s_fr,
+                    len(regexp_extract_all(lower(text),
+                        '\b(el|la|los|es|de)\b')) AS s_es,
+                    len(regexp_extract_all(lower(text),
+                        '\b(的|是|了|在|我)\b')) AS s_zh,
+                    length(text) AS nc,
+                    len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS nw,
+                    len(regexp_extract_all(text, '[^\w\s]')) AS np,
+                    len(regexp_extract_all(lower(text),
+                        '\b(the|a|of|to|and|in|is|it|that|for)\b')) AS ns
+                FROM documents
+            ), g AS (
+                SELECT doc_id, text,
+                    CASE
+                        WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es
+                             AND s_en >= s_zh THEN 'en'
+                        WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh
+                             THEN 'de'
+                        WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+                        WHEN s_es >= s_zh THEN 'es'
+                        ELSE 'zh'
+                    END AS pred_lang,
+                    0.4 * least(nc / 500.0, 1.0)
+                        + 0.3 * least(
+                            (CASE WHEN nw > 0 THEN ns / nw ELSE 0.0 END)
+                            * 5, 1.0)
+                        + 0.3 * (1 - least(
+                            (CASE WHEN nc > 0 THEN np / nc ELSE 0.0 END)
+                            * 10, 1.0)) AS quality_score
+                FROM s
+            ), surv AS (
+                SELECT doc_id, text, pred_lang, quality_score FROM g
+                WHERE pred_lang = 'en' AND quality_score >= 0.5
+            )
+            SELECT doc_id, pred_lang, quality_score FROM (
+                SELECT doc_id, pred_lang, quality_score,
+                       row_number() OVER (PARTITION BY md5(text)
+                           ORDER BY doc_id) AS rn
+                FROM surv
+            ) WHERE rn = 1
         """,
         "doc_ngram_jaccard": r"""
             WITH toks AS (

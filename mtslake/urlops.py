@@ -1,0 +1,59 @@
+"""URL canonicalization — the web-scale dedup staple the pages data
+model implies (two crawls of ``HTTP://Site.COM:80/a?b=1&a=2#x`` and
+``http://site.com/a?a=2&b=1`` are the same page).
+
+Pure JVM built-ins (regexp_extract + split/array_sort/concat_ws), and
+deliberately restricted to constructs DuckDB can mirror expression-for-
+expression, so the oracle replays the exact semantics:
+
+* scheme and host lowercased
+* default ports stripped (http:80, https:443); others kept
+* empty path → "/"
+* query parameters sorted (byte order); empty query dropped
+* fragment dropped
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_HOSTPORT_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+# the '?' must occur BEFORE any '#': a '?' inside the fragment is not
+# a query ('/path#x?notquery' has no query)
+_QUERY_RE = r"^[^#?]*\?([^#]*)"
+
+
+def normalize_url(col) -> F.Column:
+    """Canonical form of a URL column (see module docstring)."""
+    u = F.col(col) if isinstance(col, str) else col
+    proto = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    hostport = F.regexp_extract(u, _HOSTPORT_RE, 1)
+    host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    path = F.regexp_extract(u, _PATH_RE, 1)
+    query = F.regexp_extract(u, _QUERY_RE, 1)
+    qsorted = F.concat_ws(
+        "&",
+        F.array_sort(F.filter(F.split(query, "&"), lambda x: x != "")),
+    )
+    default_port = ((proto == "http") & (port == "80")) | (
+        (proto == "https") & (port == "443")
+    )
+    port_part = F.when(
+        (port == "") | default_port, F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+    path_part = F.when(path == "", F.lit("/")).otherwise(path)
+    query_part = F.when(qsorted == "", F.lit("")).otherwise(
+        F.concat(F.lit("?"), qsorted)
+    )
+    return F.concat(
+        proto, F.lit("://"), host, port_part, path_part, query_part
+    )
+
+
+def with_normalized_url(
+    df: DataFrame, url_col: str = "url", out_col: str = "norm_url"
+) -> DataFrame:
+    return df.withColumn(out_col, normalize_url(url_col))

@@ -313,3 +313,22 @@ def test_lsh_index_store_matches_and_prunes(spark, emb, tmp_path):
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in exp.collect()}
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [(" in plan
+
+
+def test_normalize_url_canonical_cases(spark):
+    from mtslake.urlops import with_normalized_url
+
+    cases = [
+        ("HTTP://WWW.Example.COM:80/A/b?z=1&a=2#frag",
+         "http://www.example.com/A/b?a=2&z=1"),
+        ("https://Site.ORG:443/", "https://site.org/"),
+        ("https://site.org:8443/x", "https://site.org:8443/x"),
+        ("http://host.io", "http://host.io/"),
+        ("http://host.io?b=2&b=1&", "http://host.io/?b=1&b=2"),
+        ("HtTpS://CDN.net/path#x?notquery", "https://cdn.net/path"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {r["url"]: r["norm_url"]
+           for r in with_normalized_url(df).collect()}
+    for u, want in cases:
+        assert got[u] == want, (u, got[u], want)
