@@ -509,6 +509,50 @@ def q_doc_cluster_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_pairs(pairs)
 
 
+def q_ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization over the raw events stream: 30-minute-gap
+    sessions per user, one row per session with count/span — the
+    event-analytics staple, window semantics replayed exactly by the
+    SQL oracle."""
+    from mtslake.sessions import session_stats
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us")
+    )
+    return session_stats(ev, key="user_id", ts="ts_us",
+                         tiebreak="event_id")
+
+
+def q_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test hash-split, graded through the
+    independent pure-Python reimplementation of Spark's multi-column
+    xxhash64 chaining (mtslake.hashing.spark_xxhash64_longs): every
+    row's split is recomputed and compared; a wrong hash, modulus, or
+    boundary walk flips n_mismatch."""
+    from pyspark.sql.functions import pandas_udf
+
+    from mtslake.hashing import spark_xxhash64_longs
+    from mtslake.sessions import hash_split
+
+    out = hash_split(_docs(spark, sf_dir).select("doc_id"), seed=0)
+
+    @pandas_udf("string")
+    def py_split(ids: pd.Series) -> pd.Series:
+        res = []
+        for i in ids:
+            b = spark_xxhash64_longs(int(i), 0) % 100
+            res.append("train" if b < 95 else ("val" if b < 98 else "test"))
+        return pd.Series(res)
+
+    checked = out.withColumn("_py", py_split(F.col("doc_id")))
+    return checked.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("split") != F.col("_py"), 1).otherwise(0))
+        .cast("long").alias("n_mismatch"),
+    )
+
+
 def q_doc_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (urlops.normalize_url) over deterministic
     messy URLs synthesized from doc_id — four variants exercising
@@ -869,6 +913,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash": q_doc_simhash,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_cluster_chain": q_doc_cluster_chain,
+        "ts_sessionize": q_ts_sessionize,
+        "doc_split": q_doc_split,
         "doc_url_normalize": q_doc_url_normalize,
         "doc_corpus_clean": q_doc_corpus_clean,
         "emb_cosine_topk": q_emb_cosine_topk,
@@ -1230,6 +1276,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS n_cos_mismatch,
                    CAST(0 AS BIGINT) AS n_rank_bad,
                    CAST(3 AS BIGINT) AS n_probes
+        """,
+        "ts_sessionize": """
+            WITH e AS (
+                SELECT user_id, event_id, epoch_us(ts) AS ts_us
+                FROM events
+            ), b AS (
+                SELECT user_id, event_id, ts_us,
+                    CASE WHEN lag(ts_us) OVER w IS NULL
+                           OR ts_us - lag(ts_us) OVER w > 1800000000
+                         THEN 1 ELSE 0 END AS boundary
+                FROM e
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY ts_us, event_id)
+            ), s AS (
+                SELECT user_id, ts_us,
+                    SUM(boundary) OVER (PARTITION BY user_id
+                        ORDER BY ts_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS session_seq
+                FROM b
+            )
+            SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                   count(*) AS n_events, min(ts_us) AS ts_start,
+                   max(ts_us) AS ts_end,
+                   max(ts_us) - min(ts_us) AS duration_us
+            FROM s GROUP BY user_id, session_seq
+        """,
+        # independent-reimplementation validity (see q_doc_split)
+        "doc_split": """
+            SELECT COUNT(*) AS n_docs, CAST(0 AS BIGINT) AS n_mismatch
+            FROM documents
         """,
         "doc_url_normalize": r"""
             WITH u AS (

@@ -87,3 +87,32 @@ def xxh64_signed(data: bytes, seed: int = SPARK_SEED) -> int:
     bytes."""
     h = xxh64(data, seed)
     return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def xxh64_long(l: int, seed: int = SPARK_SEED) -> int:
+    """Closed-form XXH64 of one 64-bit little-endian block — equals
+    ``xxh64(struct.pack('<q', l), seed)`` and Spark's single-column
+    ``xxhash64(longCol)`` when ``seed=42``. Returns unsigned."""
+    u = l & _M
+    h = (seed + _P5 + 8) & _M
+    k = (u * _P2) & _M
+    k = (_rotl(k, 31) * _P1) & _M
+    h ^= k
+    h = ((_rotl(h, 27) * _P1) + _P4) & _M
+    h ^= h >> 33
+    h = (h * _P2) & _M
+    h ^= h >> 29
+    h = (h * _P3) & _M
+    h ^= h >> 32
+    return h
+
+
+def spark_xxhash64_longs(*longs: int) -> int:
+    """Spark's multi-column ``xxhash64(c1, c2, ...)`` over long columns:
+    fields chain through the accumulator (each field's hash seeds the
+    next — NOT a byte-concatenated stream). Returns the signed LongType
+    value Spark produces."""
+    h = SPARK_SEED
+    for l in longs:
+        h = xxh64_long(l, h)
+    return h - (1 << 64) if h >= (1 << 63) else h

@@ -31,3 +31,26 @@ def test_xxh64_signed_matches_spark_xxhash64(spark):
     }
     for s in samples:
         assert got[s] == xxh64_signed(s.encode("utf-8")), repr(s)
+
+
+def test_xxh64_long_forms_match_spark(spark):
+    import struct
+
+    from mtslake.hashing import spark_xxhash64_longs, xxh64, xxh64_long
+
+    vals = [0, 1, -1, 42, 2**62, -(2**62), 123456789012345, -987654321]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    got = {
+        r["x"]: (r["h1"], r["h2"])
+        for r in df.select(
+            "x",
+            F.xxhash64("x").alias("h1"),
+            F.xxhash64(F.col("x"), F.lit(7).cast("long")).alias("h2"),
+        ).collect()
+    }
+    for v in vals:
+        # closed form == byte-stream spec == Spark single column
+        assert xxh64_long(v) == xxh64(struct.pack("<q", v))
+        assert got[v][0] == spark_xxhash64_longs(v)
+        # multi-column chaining (x, 7)
+        assert got[v][1] == spark_xxhash64_longs(v, 7)

@@ -1,0 +1,60 @@
+"""Sessionization + deterministic hash-split sampling."""
+
+from pyspark.sql import functions as F
+
+from mtslake.sessions import hash_split, session_stats, sessionize
+
+M = 60 * 1_000_000  # one minute in us
+
+
+def test_sessionize_gap_boundaries(spark):
+    rows = [
+        # user 1: two sessions (gap of 45 min between e3 and e4)
+        (1, 1, 0), (1, 2, 10 * M), (1, 3, 20 * M),
+        (1, 4, 65 * M), (1, 5, 70 * M),
+        # user 2: one event = one session
+        (2, 6, 0),
+        # user 3: exactly-30min gap is NOT a boundary (> gap, not >=)
+        (3, 7, 0), (3, 8, 30 * M),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts_us long")
+    out = {
+        (r["user_id"], r["event_id"]): r["session_seq"]
+        for r in sessionize(df, tiebreak="event_id").collect()
+    }
+    assert out == {
+        (1, 1): 1, (1, 2): 1, (1, 3): 1, (1, 4): 2, (1, 5): 2,
+        (2, 6): 1,
+        (3, 7): 1, (3, 8): 1,
+    }
+    stats = {
+        (r["user_id"], r["session_seq"]): (r["n_events"], r["duration_us"])
+        for r in session_stats(df, tiebreak="event_id").collect()
+    }
+    assert stats == {
+        (1, 1): (3, 20 * M), (1, 2): (2, 5 * M),
+        (2, 1): (1, 0), (3, 1): (2, 30 * M),
+    }
+
+
+def test_hash_split_deterministic_and_complete(spark):
+    from mtslake.hashing import spark_xxhash64_longs
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    out = hash_split(df, weights={"train": 80, "val": 10, "test": 10})
+    rows = out.collect()
+    counts = {}
+    for r in rows:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+    assert sum(counts.values()) == 5000
+    # roughly proportional (hash-uniform)
+    assert 0.75 < counts["train"] / 5000 < 0.85
+    # python reimplementation agrees exactly
+    for r in rows[:200]:
+        b = spark_xxhash64_longs(r["doc_id"], 0) % 100
+        want = "train" if b < 80 else ("val" if b < 90 else "test")
+        assert r["split"] == want
+    # stable across evaluations
+    again = {r["doc_id"]: r["split"] for r in hash_split(
+        df, weights={"train": 80, "val": 10, "test": 10}).collect()}
+    assert all(again[r["doc_id"]] == r["split"] for r in rows)
