@@ -553,6 +553,15 @@ def q_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (distinct-word fraction,
+    dominant word 2-gram and its occurrence share) — the repeated-
+    content filters a 100 TB corpus cleaning pass runs."""
+    from mtslake.textops import repetition_features
+
+    return repetition_features(_docs(spark, sf_dir))
+
+
 def q_doc_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (urlops.normalize_url) over deterministic
     messy URLs synthesized from doc_id — four variants exercising
@@ -915,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_cluster_chain": q_doc_cluster_chain,
         "ts_sessionize": q_ts_sessionize,
         "doc_split": q_doc_split,
+        "doc_repetition": q_doc_repetition,
         "doc_url_normalize": q_doc_url_normalize,
         "doc_corpus_clean": q_doc_corpus_clean,
         "emb_cosine_topk": q_emb_cosine_topk,
@@ -1307,6 +1317,46 @@ def oracle_sql() -> dict[str, str]:
         "doc_split": """
             SELECT COUNT(*) AS n_docs, CAST(0 AS BIGINT) AS n_mismatch
             FROM documents
+        """,
+        "doc_repetition": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(text)),
+                           '\s+'), x -> x <> '') AS t
+                FROM documents
+            ), words AS (
+                SELECT doc_id, count(*) AS n_words,
+                       count(DISTINCT w) AS n_distinct
+                FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+                GROUP BY doc_id
+            ), grams AS (
+                SELECT doc_id, unnest(
+                    CASE WHEN len(t) >= 2 THEN
+                        [array_to_string(t[i:i+1], ' ')
+                         FOR i IN generate_series(1, len(t) - 1)]
+                    ELSE [] END) AS g
+                FROM toks
+            ), gcnt AS (
+                SELECT doc_id, g, count(*) AS c
+                FROM grams GROUP BY doc_id, g
+            ), top AS (
+                SELECT doc_id, g AS top_2gram, c AS topc FROM (
+                    SELECT doc_id, g, c, row_number() OVER (
+                        PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+                    FROM gcnt
+                ) WHERE rn = 1
+            ), totals AS (
+                SELECT doc_id, SUM(c) AS n2 FROM gcnt GROUP BY doc_id
+            )
+            SELECT w.doc_id, w.n_words,
+                   CAST(w.n_distinct AS DOUBLE) / w.n_words
+                       AS distinct_word_frac,
+                   COALESCE(t.top_2gram, '') AS top_2gram,
+                   COALESCE(CAST(t.topc AS DOUBLE) / tt.n2, 0.0)
+                       AS top_2gram_frac
+            FROM words w
+            LEFT JOIN top t ON w.doc_id = t.doc_id
+            LEFT JOIN totals tt ON w.doc_id = tt.doc_id
         """,
         "doc_url_normalize": r"""
             WITH u AS (

@@ -120,3 +120,72 @@ def fingerprints(docs: DataFrame, text_col: str = "text",
         F.xxhash64(norm).alias("fingerprint64"),
         F.length(norm).cast("long").alias("norm_len"),
     )
+
+
+def repetition_features(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Repetition-based quality signals (the word-level core of the
+    Gopher rules — Rae et al. 2021, arXiv:2112.11446 §A1.1: repeated
+    content is the strongest low-quality indicator at web scale):
+
+    * ``distinct_word_frac``  — |distinct words| / |words|
+    * ``top_2gram`` / ``top_2gram_frac`` — the most frequent word
+      2-gram (ties: lexicographically smallest) and its share of all
+      2-gram occurrences
+
+    Two explode+aggregate passes, all JVM built-ins; the SQL oracle
+    replays them expression-for-expression."""
+    from pyspark.sql import Window as W
+
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda x: x != "",
+    )
+    base = docs.select(F.col(id_col).alias("_id"), toks.alias("_t"))
+
+    words = (
+        base.select("_id", F.explode("_t").alias("_w"))
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.countDistinct("_w").alias("n_distinct_words"),
+        )
+    )
+
+    grams = base.select(
+        "_id",
+        F.explode(
+            F.when(
+                F.size("_t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_t") - 1),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("_t"), i, 2)),
+                ),
+            ).otherwise(F.array())
+        ).alias("_g"),
+    )
+    gcnt = grams.groupBy("_id", "_g").agg(F.count("*").alias("_c"))
+    w = W.partitionBy("_id").orderBy(F.desc("_c"), F.asc("_g"))
+    top = (
+        gcnt.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "_id", F.col("_g").alias("top_2gram"),
+            F.col("_c").alias("_topc"),
+        )
+    )
+    totals = gcnt.groupBy("_id").agg(F.sum("_c").alias("_n2"))
+
+    return (
+        words.join(top, "_id", "left").join(totals, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("n_words").cast("long").alias("n_words"),
+            (F.col("n_distinct_words").cast("double") / F.col("n_words"))
+            .alias("distinct_word_frac"),
+            F.coalesce(F.col("top_2gram"), F.lit("")).alias("top_2gram"),
+            F.coalesce(
+                F.col("_topc").cast("double") / F.col("_n2"), F.lit(0.0)
+            ).alias("top_2gram_frac"),
+        )
+    )

@@ -332,3 +332,22 @@ def test_normalize_url_canonical_cases(spark):
            for r in with_normalized_url(df).collect()}
     for u, want in cases:
         assert got[u] == want, (u, got[u], want)
+
+
+def test_repetition_features_hand_case(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),       # 2-grams: ab ba ab ba -> tie, 'a b' wins
+            (2, "x y z"),           # all distinct; 2-grams xy yz (tie -> 'x y')
+            (3, "solo"),            # no 2-grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textops.repetition_features(df).collect()}
+    assert out[1]["n_words"] == 5
+    assert abs(out[1]["distinct_word_frac"] - 2 / 5) < 1e-12
+    assert out[1]["top_2gram"] == "a b"
+    assert abs(out[1]["top_2gram_frac"] - 2 / 4) < 1e-12
+    assert out[2]["top_2gram"] == "x y"
+    assert abs(out[2]["distinct_word_frac"] - 1.0) < 1e-12
+    assert out[3]["top_2gram"] == "" and out[3]["top_2gram_frac"] == 0.0
