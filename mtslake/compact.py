@@ -1,0 +1,96 @@
+"""Chunk compaction — the lakehouse maintenance operator (Iceberg's
+``rewrite_data_files`` analogue) the reference never needs because its
+file layout is written once, in order.
+
+Two processes fragment a chunk into several payload rows:
+
+* hot-chunk segmentation (``hot_chunk_points`` bounds encoder/state
+  memory — chunk.py, streaming.py), and
+* streaming sealing of a chunk whose rows arrived across micro-batches
+  out of order (each flush is its own segment row).
+
+Reads are correct either way (chunk rows are independently decodable),
+but fragmented chunks cost extra per-row codec headers, weaker
+compression (smaller payloads), and more rows to scan. ``compact``
+re-encodes fragmented chunks into the canonical batch layout —
+decode → sort → encode under the store's pinned config — touching ONLY
+the chunk_id partitions that contain fragmentation, via dynamic
+partition overwrite (O(fragmented partitions), never O(table)).
+
+Round-trip safety: compaction is decode → re-encode with the bit-exact
+codec, so the decoded point set is unchanged (tested); the post-compact
+rows equal what ``compress_series`` would produce from scratch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .catalog import ChunkStore, CATALOG_COLS
+from .chunk import compress_series, decompress_chunks
+from .config import EngineConfig, DEFAULT
+
+
+def fragmented_chunk_ids(store: ChunkStore,
+                         max_points: int | None = None) -> list[int]:
+    """chunk_id partitions containing any (url, chunk_id) with more
+    than one payload row — unless the rows are full ``max_points``
+    segments (legitimately segmented hot chunks stay segmented).
+    Catalog-only scan; never touches payloads."""
+    frag = (
+        store.catalog()
+        .groupBy("url", "chunk_id")
+        .agg(F.count("*").alias("_n"), F.max("n_points").alias("_mx"))
+        .filter(F.col("_n") > 1)
+    )
+    if max_points:
+        # a chunk whose every row is a full segment is already canonical
+        frag = frag.filter(F.col("_mx") < max_points)
+    return sorted(
+        r[0] for r in frag.select("chunk_id").distinct().collect()
+    )
+
+
+def compact(
+    store: ChunkStore,
+    cfg: EngineConfig | None = None,
+    chunk_ids: list[int] | None = None,
+) -> dict:
+    """Re-encode fragmented chunks into the canonical layout.
+
+    Returns {"chunk_ids": [...], "rows_before": n, "rows_after": m}.
+    Idempotent: a second run finds nothing fragmented.
+    """
+    cfg = store.cfg_for_store(cfg if cfg is not None else DEFAULT)
+    if chunk_ids is None:
+        chunk_ids = fragmented_chunk_ids(store, cfg.hot_chunk_points)
+    if not chunk_ids:
+        return {"chunk_ids": [], "rows_before": 0, "rows_after": 0}
+
+    ids = [int(c) for c in chunk_ids]
+    affected = store.chunks().filter(F.col("chunk_id").isin(ids))
+    rows_before = affected.count()
+    series = decompress_chunks(affected)
+    rewritten = compress_series(series, cfg)
+    # dynamic overwrite scoped to this write: replaces exactly the
+    # affected chunk_id partitions in BOTH tables
+    rewritten.persist()
+    try:
+        rows_after = rewritten.count()
+        rewritten.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("chunk_id").parquet(store.path("chunks"))
+        rewritten.select(*CATALOG_COLS).coalesce(1).write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "dynamic").partitionBy(
+            "chunk_id"
+        ).parquet(store.path("catalog"))
+    finally:
+        rewritten.unpersist()
+    store.spark.catalog.refreshByPath(store.path("chunks"))
+    store.spark.catalog.refreshByPath(store.path("catalog"))
+    return {
+        "chunk_ids": ids,
+        "rows_before": rows_before,
+        "rows_after": rows_after,
+    }

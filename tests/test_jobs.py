@@ -246,3 +246,47 @@ def test_store_meta_pin_guards(spark, tmp_path):
                     mode="overwrite", cfg=cfg_h)
     assert st.load_meta()["chunk_duration_us"] == US_PER_HOUR
     assert st.cfg_for_store(DEFAULT).chunk_duration_us == US_PER_HOUR
+
+
+def test_compact_merges_fragmented_chunks(spark, tmp_path):
+    """Hot-chunk segmentation fragments a chunk into several payload
+    rows; compact() must rewrite exactly those partitions back to the
+    canonical batch layout — decoded points unchanged, rows equal a
+    from-scratch compress, catalog in lockstep, second run a no-op."""
+    from mtslake import chunk as chunk_mod
+    from mtslake.catalog import ChunkStore
+    from mtslake.compact import compact, fragmented_chunk_ids
+    from mtslake.config import DEFAULT
+    from mtslake.datagen import generate_pages
+    from mtslake.series import pages_to_series
+
+    series = pages_to_series(
+        generate_pages(spark, n_urls=6, snapshots_per_url=48)
+    )
+    small = DEFAULT.with_overrides(hot_chunk_points=10)
+    st = ChunkStore(spark, str(tmp_path / "fragstore"))
+    st.write_chunks(chunk_mod.compress_series(series, small),
+                    mode="overwrite", cfg=small)
+    assert fragmented_chunk_ids(st, DEFAULT.hot_chunk_points)
+
+    before = st.chunks().count()
+    res = compact(st, DEFAULT)
+    # rows_before counts only the affected partitions (chunks without
+    # fragmentation are never touched or counted)
+    assert res["rows_after"] < res["rows_before"] <= before
+
+    canonical = chunk_mod.compress_series(series, DEFAULT)
+    # partition column lands last on read — align column order
+    assert {
+        tuple(r) for r in st.chunks().select(*canonical.columns).collect()
+    } == {tuple(r) for r in canonical.collect()}
+    assert st.catalog().count() == st.chunks().count()
+    decoded = {
+        tuple(r)
+        for r in chunk_mod.decompress_chunks(st.chunks())
+        .select(*series.columns).collect()
+    }
+    assert decoded == {tuple(r) for r in series.collect()}
+
+    # idempotent
+    assert compact(st, DEFAULT)["chunk_ids"] == []
