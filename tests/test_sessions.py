@@ -58,3 +58,52 @@ def test_hash_split_deterministic_and_complete(spark):
     again = {r["doc_id"]: r["split"] for r in hash_split(
         df, weights={"train": 80, "val": 10, "test": 10}).collect()}
     assert all(again[r["doc_id"]] == r["split"] for r in rows)
+
+
+def test_sessionize_matches_python_reference(spark):
+    """Property-style check on an adversarial stream: random gaps
+    around the boundary, colliding timestamps, many keys — the Spark
+    windows must agree with a direct Python fold."""
+    import random
+
+    rng = random.Random(1234)
+    rows = []
+    eid = 0
+    for user in range(25):
+        t = 0
+        for _ in range(rng.randint(1, 40)):
+            # gaps clustered around the 30-minute boundary, plus ties
+            t += rng.choice([0, 1, 29 * M, 30 * M, 30 * M + 1, 2 * 30 * M])
+            rows.append((user, eid, t))
+            eid += 1
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts_us long")
+    got = {
+        (r["user_id"], r["event_id"]): r["session_seq"]
+        for r in sessionize(df, tiebreak="event_id").collect()
+    }
+
+    by_user = {}
+    for user, e, t in rows:
+        by_user.setdefault(user, []).append((t, e))
+    want = {}
+    for user, evs in by_user.items():
+        seq = 0
+        prev = None
+        for t, e in sorted(evs):
+            if prev is None or t - prev > 30 * M:
+                seq += 1
+            want[(user, e)] = seq
+            prev = t
+    assert got == want
+
+
+def test_sessionize_single_shuffle(spark):
+    """Both windows and the final aggregation share the key
+    partitioning — the plan must contain exactly ONE hash exchange on
+    the key (plus nothing else)."""
+    df = spark.createDataFrame(
+        [(1, 1, 0), (1, 2, 10)], "user_id long, event_id long, ts_us long"
+    )
+    out = session_stats(df, tiebreak="event_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
