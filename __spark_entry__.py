@@ -562,6 +562,43 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_features(_docs(spark, sf_dir))
 
 
+def q_ts_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction graded end-to-end with a TRUE SQL oracle: the events
+    series is compressed under hot_chunk_points=2 (every (url, day)
+    group fragments into ⌈n/2⌉ segment rows — SQL-predictable), then
+    ``compact`` rewrites to the canonical one-row-per-group layout.
+    Oracle: rows_before = Σ⌈cnt/2⌉, rows_after = #groups, n_points =
+    Σcnt over (user-url, day) groups — wrong segmentation, a compactor
+    that loses/duplicates points, or a catalog drift each breaks a
+    column."""
+    import shutil
+    import tempfile
+
+    from mtslake import chunk as _c
+    from mtslake.catalog import ChunkStore
+    from mtslake.compact import compact
+
+    series = events_to_series(_events(spark, sf_dir))
+    small = DEFAULT.with_overrides(hot_chunk_points=2)
+    tmp = tempfile.mkdtemp(prefix="mtslake_compact_contract_")
+    try:
+        store = ChunkStore(spark, tmp)
+        store.write_chunks(_c.compress_series(series, small),
+                           mode="overwrite", cfg=small)
+        rows_before = store.chunks().count()
+        compact(store, DEFAULT)
+        rows_after = store.chunks().count()
+        n_points = int(
+            store.catalog().agg(F.sum("n_points")).first()[0]
+        )
+        rows = [(int(rows_before), int(rows_after), n_points)]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "rows_before long, rows_after long, n_points long"
+    )
+
+
 def q_doc_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (urlops.normalize_url) over deterministic
     messy URLs synthesized from doc_id — four variants exercising
@@ -924,6 +961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_cluster_chain": q_doc_cluster_chain,
         "ts_sessionize": q_ts_sessionize,
         "doc_split": q_doc_split,
+        "ts_compact": q_ts_compact,
         "doc_repetition": q_doc_repetition,
         "doc_url_normalize": q_doc_url_normalize,
         "doc_corpus_clean": q_doc_corpus_clean,
@@ -1317,6 +1355,18 @@ def oracle_sql() -> dict[str, str]:
         "doc_split": """
             SELECT COUNT(*) AS n_docs, CAST(0 AS BIGINT) AS n_mismatch
             FROM documents
+        """,
+        "ts_compact": """
+            WITH g AS (
+                SELECT user_id,
+                       epoch_us(ts) // 86400000000 AS chunk_id,
+                       count(*) AS cnt
+                FROM events GROUP BY user_id, chunk_id
+            )
+            SELECT CAST(SUM(CEIL(cnt / 2.0)) AS BIGINT) AS rows_before,
+                   COUNT(*) AS rows_after,
+                   CAST(SUM(cnt) AS BIGINT) AS n_points
+            FROM g
         """,
         "doc_repetition": r"""
             WITH toks AS (
