@@ -599,6 +599,55 @@ def q_ts_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mm_ppm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL multimodal decode path graded end-to-end: deterministic
+    P6 PPM payloads (pixels = doc text bytes tiled to (h, w, 3)) go
+    through encode_ppm → resize_images (decode, nearest-neighbor,
+    re-encode) → an independent verifier that rebuilds the expected
+    pixels from the raw text and checks the resized payload decodes to
+    exactly the nearest-neighbor sample of them. Oracle = the doc count
+    plus zero mismatches — a broken PPM header, wrong stride, or
+    off-by-one sampling each flips n_mismatch."""
+    import numpy as np
+
+    from mtslake.multimodal import (decode_ppm, resize_images,
+                                    synthesize_ppm_media)
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "n_chars")
+    media = synthesize_ppm_media(docs)
+    resized = resize_images(media, 5, 4).select(
+        F.col("media_id").alias("doc_id"),
+        F.col("payload").alias("r_payload"),
+    )
+    joined = docs.join(resized, "doc_id")
+
+    def verify(batches):
+        for pdf in batches:
+            bad = 0
+            for text, n_chars, doc_id, rp in zip(
+                pdf["text"], pdf["n_chars"], pdf["doc_id"], pdf["r_payload"]
+            ):
+                w = int(n_chars) % 16 + 4
+                h = int(doc_id) % 12 + 4
+                arr = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                n = w * h * 3
+                reps = -(-n // max(arr.size, 1))
+                px = np.tile(arr, reps)[:n].reshape(h, w, 3)
+                yi = (np.arange(4) * h // 4).clip(0, h - 1)
+                xi = (np.arange(5) * w // 5).clip(0, w - 1)
+                want = px[np.ix_(yi, xi)]
+                got = decode_ppm(bytes(rp))
+                if got.shape != (4, 5, 3) or not (got == want).all():
+                    bad += 1
+            yield pd.DataFrame({"n": [len(pdf)], "bad": [bad]})
+
+    per_batch = joined.mapInPandas(verify, schema="n long, bad long")
+    return per_batch.agg(
+        F.sum("n").cast("long").alias("n_media"),
+        F.sum("bad").cast("long").alias("n_mismatch"),
+    )
+
+
 def q_doc_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (urlops.normalize_url) over deterministic
     messy URLs synthesized from doc_id — four variants exercising
@@ -962,6 +1011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_sessionize": q_ts_sessionize,
         "doc_split": q_doc_split,
         "ts_compact": q_ts_compact,
+        "mm_ppm_pipeline": q_mm_ppm_pipeline,
         "doc_repetition": q_doc_repetition,
         "doc_url_normalize": q_doc_url_normalize,
         "doc_corpus_clean": q_doc_corpus_clean,
@@ -1354,6 +1404,12 @@ def oracle_sql() -> dict[str, str]:
         # independent-reimplementation validity (see q_doc_split)
         "doc_split": """
             SELECT COUNT(*) AS n_docs, CAST(0 AS BIGINT) AS n_mismatch
+            FROM documents
+        """,
+        # real-decode validity: PPM encode -> resize -> independent pixel
+        # verification (see q_mm_ppm_pipeline)
+        "mm_ppm_pipeline": """
+            SELECT COUNT(*) AS n_media, CAST(0 AS BIGINT) AS n_mismatch
             FROM documents
         """,
         "ts_compact": """

@@ -2,11 +2,17 @@
 
 Image/audio/video travel as ``binary`` columns with a metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
-``mapInPandas`` operators. The image/audio codec libraries are NOT in
-this container, so the *decode kernel* is stubbed (deterministic fake
-behind ``_decode_image_bytes``; a real Pillow/libav call drops in), but
-the Spark-side plumbing — schema, batch iteration, partitioning,
-vectorized UDF signature — is real and tested.
+``mapInPandas`` operators.
+
+The decode kernel is REAL for PPM (netpbm P6 — a public, header+raw-RGB
+format needing no codec library): ``decode_ppm``/``encode_ppm`` are a
+pure-numpy codec, and ``_decode_image_bytes`` routes P6 payloads
+through it (resize re-encodes to P6, so a PPM pipeline round-trips
+end-to-end). Formats that need external codec libraries (JPEG/PNG/AV)
+fall back to a documented deterministic stub — those libs are not in
+this container; a Pillow/libav call drops into the same seam. The
+Spark-side plumbing — schema, batch iteration, partitioning, vectorized
+UDF signature — is identical either way and fully tested.
 """
 
 from __future__ import annotations
@@ -49,18 +55,53 @@ FEATURE_SCHEMA = T.StructType(
     ]
 )
 
-_STUBBED = True  # no image/audio libs in this container
+_STUBBED = True  # JPEG/PNG/AV decode needs libs absent from this container
+
+_PPM_HEADER_RE = None  # compiled lazily
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Pure-numpy decoder for binary PPM (netpbm P6): ASCII header
+    ``P6 <w> <h> <maxval>`` then raw interleaved RGB bytes. Returns a
+    (height, width, 3) uint8 array."""
+    import re
+
+    global _PPM_HEADER_RE
+    if _PPM_HEADER_RE is None:
+        _PPM_HEADER_RE = re.compile(rb"^P6\s+(\d+)\s+(\d+)\s+(\d+)\s")
+    m = _PPM_HEADER_RE.match(payload)
+    if not m:
+        raise ValueError("not a P6 PPM payload")
+    w, h, maxv = (int(g) for g in m.groups())
+    if maxv != 255:
+        raise ValueError(f"only 8-bit PPM supported (maxval={maxv})")
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3,
+                       offset=m.end())
+    if px.size != w * h * 3:
+        raise ValueError("truncated PPM pixel data")
+    return px.reshape(h, w, 3)
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """Inverse of ``decode_ppm`` for (h, w, 3) uint8 arrays."""
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
+        arr, dtype=np.uint8
+    ).tobytes()
 
 
 def _decode_image_bytes(payload: bytes, width: int, height: int) -> np.ndarray:
-    """STUB: deterministic fake decoder.
+    """Decode a payload to a pixel array.
 
-    A real deployment replaces this body with e.g.
-    ``np.asarray(PIL.Image.open(io.BytesIO(payload)))``. The fake is a
-    seeded byte-fold into (height, width) so tests are reproducible.
-    """
+    P6 PPM payloads decode for real (header wins over the meta struct).
+    Other formats fall back to the deterministic stub — a seeded
+    byte-fold into (height, width) — because their codec libraries are
+    not in this container; ``np.asarray(PIL.Image.open(...))`` drops
+    into this seam."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
     if not _STUBBED:  # pragma: no cover
-        raise NotImplementedError("real image decoding requires Pillow")
+        raise NotImplementedError("non-PPM decoding requires Pillow")
     arr = np.frombuffer(payload, dtype=np.uint8)
     n = max(width * height, 1)
     reps = -(-n // max(arr.size, 1))
@@ -118,7 +159,11 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
                 yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
                 xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
                 small = img[np.ix_(yi, xi)]
-                payloads.append(small.tobytes())
+                # real-format inputs re-encode to the same format so a
+                # PPM pipeline round-trips; stub (2-D) payloads stay raw
+                payloads.append(
+                    encode_ppm(small) if small.ndim == 3 else small.tobytes()
+                )
                 metas.append(
                     {"width": out_w, "height": out_h,
                      "sample_rate": None, "n_frames": None}
@@ -189,3 +234,42 @@ def synthesize_media(docs: DataFrame, kind: str = "image") -> DataFrame:
             F.lit(None).cast("int").alias("n_frames"),
         ).alias("meta"),
     )
+
+
+def synthesize_ppm_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL P6 PPM media from documents (no external
+    data): pixels are the doc's UTF-8 bytes tiled into (h, w, 3), so
+    the payloads exercise the real decode path end-to-end."""
+    meta_cols = (
+        (F.pmod(F.col("n_chars"), 16) + 4).cast("int").alias("width"),
+        (F.pmod(F.col("doc_id"), 12) + 4).cast("int").alias("height"),
+    )
+    base = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("_txt"),
+        *meta_cols,
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            payloads, metas = [], []
+            for txt, w, h in zip(pdf["_txt"], pdf["width"], pdf["height"]):
+                arr = np.frombuffer(bytes(txt), dtype=np.uint8)
+                n = int(w) * int(h) * 3
+                reps = -(-n // max(arr.size, 1))
+                px = np.tile(arr, reps)[:n].reshape(int(h), int(w), 3)
+                payloads.append(encode_ppm(px))
+                metas.append(
+                    {"width": int(w), "height": int(h),
+                     "sample_rate": None, "n_frames": None}
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "image",
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return base.mapInPandas(gen, schema=MEDIA_SCHEMA)
