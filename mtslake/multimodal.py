@@ -75,10 +75,10 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     w, h, maxv = (int(g) for g in m.groups())
     if maxv != 255:
         raise ValueError(f"only 8-bit PPM supported (maxval={maxv})")
+    if len(payload) - m.end() < w * h * 3:
+        raise ValueError("truncated PPM pixel data")
     px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3,
                        offset=m.end())
-    if px.size != w * h * 3:
-        raise ValueError("truncated PPM pixel data")
     return px.reshape(h, w, 3)
 
 

@@ -381,3 +381,37 @@ def test_ppm_codec_and_real_decode_path(spark, docs):
     for r in resized:
         img = decode_ppm(bytes(r["payload"]))
         assert img.shape == (4, 5, 3)
+
+
+def test_ppm_codec_property_roundtrip():
+    """Property: encode_ppm/decode_ppm are exact inverses for any
+    (h, w, 3) uint8 array."""
+    from hypothesis import given, settings, strategies as st
+
+    from mtslake.multimodal import decode_ppm, encode_ppm
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.integers(1, 40), st.integers(1, 40),
+        st.integers(0, 2**32 - 1),
+    )
+    def roundtrip(h, w, seed):
+        rng = np.random.RandomState(seed % (2**31))
+        a = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        assert (decode_ppm(encode_ppm(a)) == a).all()
+
+    roundtrip()
+
+
+def test_ppm_decoder_rejects_malformed():
+    import pytest as _pytest
+
+    from mtslake.multimodal import decode_ppm, encode_ppm
+
+    with _pytest.raises(ValueError, match="not a P6"):
+        decode_ppm(b"P3\n1 1\n255\n\x00\x00\x00")  # ASCII ppm, not P6
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_ppm(b"P6\n4 4\n255\n\x00\x01")  # too few pixel bytes
+    with _pytest.raises(ValueError, match="8-bit"):
+        good = encode_ppm(np.zeros((2, 2, 3), dtype=np.uint8))
+        decode_ppm(good.replace(b"255", b"65535", 1))
