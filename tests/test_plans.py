@@ -125,3 +125,40 @@ def test_bucketed_series_compress_is_shuffle_free(spark, tmp_path):
         assert a == b
     finally:
         spark.sql("DROP TABLE IF EXISTS t_series_bucketed")
+
+
+def test_refresh_tiers_scans_are_partition_pruned(spark, tmp_path):
+    """Incremental refresh must be O(affected windows): the chunk
+    decode scan carries a chunk_id partition filter and the finer-tier
+    re-aggregation scan carries a part_id partition filter — never a
+    full-table read."""
+    from mtslake import read as read_mod
+    from mtslake import rollup
+    from mtslake.catalog import ChunkStore
+
+    pages = generate_pages(spark, n_urls=8, snapshots_per_url=96)
+    series = pages_to_series(pages)
+    st = ChunkStore(spark, str(tmp_path / "prstore"))
+    st.write_chunks(chunk.compress_series(series, DEFAULT),
+                    mode="overwrite")
+    rollup.materialize_tiers(st, read_mod.read_range(st, columns=["value"]))
+
+    units = sorted(
+        r[0] for r in st.chunks().select("chunk_id").distinct().collect()
+    )[:2]
+
+    # probe the two scans refresh_tiers builds, with its exact filters
+    chunks_scan = st.chunks().filter(F.col("chunk_id").isin(units))
+    plan = chunks_scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "chunk_id" in plan
+    assert "PartitionFilters: []" not in plan
+
+    parts_1m = rollup._affected_parts(
+        units, DEFAULT.chunk_duration_us, rollup.ROLLUP_PART_US["1m"]
+    )
+    tier_scan = spark.read.parquet(st.path("rollup_1m")).filter(
+        F.col("part_id").isin(parts_1m)
+    )
+    tplan = tier_scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in tplan and "part_id" in tplan
+    assert "PartitionFilters: []" not in tplan
