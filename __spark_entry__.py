@@ -417,13 +417,17 @@ def q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     64 independent minhashes: P ≤ (1-j)^64 ≈ 5e-20, and the pipeline is
     deterministic, so the LSH + exact-Jaccard-verified pair set provably
     EQUALS the exact all-pairs shingle-Jaccard set — which DuckDB
-    computes directly (same shingle SQL as doc_ngram_jaccard). The
-    production default (16 bands × 4 rows) is the recall/cost trade
-    graded separately by doc_minhash_lsh_recall."""
+    computes directly (same shingle SQL as doc_ngram_jaccard).
+    ``max_bucket=None`` because the equality claim requires FULL recall:
+    the production skew cap drops whole buckets, and with 1-row bands a
+    large exact-dup cluster would silently lose true pairs. The
+    production default (16 bands × 4 rows, capped) is the recall/cost
+    trade graded separately by doc_minhash_lsh_recall."""
     from mtslake.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
-        _docs(spark, sf_dir), n_hashes=64, bands=64, jaccard_threshold=0.5
+        _docs(spark, sf_dir), n_hashes=64, bands=64, jaccard_threshold=0.5,
+        max_bucket=None,
     )
 
 

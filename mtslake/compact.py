@@ -31,6 +31,39 @@ from .chunk import compress_series, decompress_chunks
 from .config import EngineConfig, DEFAULT
 
 
+def id_range_predicate(col: str, ids: list[int]) -> F.Column:
+    """Membership predicate for a sorted id list, as an OR of
+    ``BETWEEN`` range filters over contiguous runs.
+
+    Maintenance jobs (compact, refresh_tiers) select the partitions
+    they touch by an id list collected on the driver. Replaying that
+    list as ``isin`` literals is O(ids) expression size — fine at
+    nightly-ingest cardinalities, but a full-history compaction after a
+    config change would build a million-term predicate. Partition ids
+    are time buckets, so affected sets are overwhelmingly contiguous
+    runs: collapsing them makes the predicate O(runs), and each range
+    still drives directory-level partition pruning (plan-asserted in
+    tests/test_plans.py)."""
+    ids = sorted({int(i) for i in ids})
+    if not ids:
+        return F.lit(False)
+    runs: list[tuple[int, int]] = []
+    lo = prev = ids[0]
+    for i in ids[1:]:
+        if i == prev + 1:
+            prev = i
+            continue
+        runs.append((lo, prev))
+        lo = prev = i
+    runs.append((lo, prev))
+    c = F.col(col)
+    pred = None
+    for lo, hi in runs:
+        term = (c == lo) if lo == hi else c.between(lo, hi)
+        pred = term if pred is None else pred | term
+    return pred
+
+
 def fragmented_chunk_ids(store: ChunkStore,
                          max_points: int | None = None) -> list[int]:
     """chunk_id partitions containing any (url, chunk_id) with more
@@ -68,25 +101,28 @@ def compact(
         return {"chunk_ids": [], "rows_before": 0, "rows_after": 0}
 
     ids = [int(c) for c in chunk_ids]
-    affected = store.chunks().filter(F.col("chunk_id").isin(ids))
+    affected = store.chunks().filter(id_range_predicate("chunk_id", ids))
     rows_before = affected.count()
     series = decompress_chunks(affected)
-    rewritten = compress_series(series, cfg)
+    # SEVER the lineage before the destructive write: the rewrite's
+    # input is the very partitions the dynamic overwrite replaces, and
+    # a cache (persist) can be evicted or lost mid-write, making Spark
+    # recompute from the partially-overwritten source — duplicated or
+    # lost chunk rows. localCheckpoint materializes the rewrite to
+    # executor-local blocks with NO recompute path (the same pattern
+    # cluster_pairs uses for its frontier).
+    rewritten = compress_series(series, cfg).localCheckpoint(eager=True)
+    rows_after = rewritten.count()
     # dynamic overwrite scoped to this write: replaces exactly the
     # affected chunk_id partitions in BOTH tables
-    rewritten.persist()
-    try:
-        rows_after = rewritten.count()
-        rewritten.write.mode("overwrite").option(
-            "partitionOverwriteMode", "dynamic"
-        ).partitionBy("chunk_id").parquet(store.path("chunks"))
-        rewritten.select(*CATALOG_COLS).coalesce(1).write.mode(
-            "overwrite"
-        ).option("partitionOverwriteMode", "dynamic").partitionBy(
-            "chunk_id"
-        ).parquet(store.path("catalog"))
-    finally:
-        rewritten.unpersist()
+    rewritten.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("chunk_id").parquet(store.path("chunks"))
+    rewritten.select(*CATALOG_COLS).coalesce(1).write.mode(
+        "overwrite"
+    ).option("partitionOverwriteMode", "dynamic").partitionBy(
+        "chunk_id"
+    ).parquet(store.path("catalog"))
     store.spark.catalog.refreshByPath(store.path("chunks"))
     store.spark.catalog.refreshByPath(store.path("catalog"))
     return {

@@ -26,6 +26,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 
+def _spread(docs: DataFrame, *cols) -> DataFrame:
+    """Narrow projection of ``docs``, round-robin-spread ONLY when the
+    scan yields fewer splits than cores.
+
+    The hash/shingle stages are CPU-bound, so a single input split must
+    not serialize them — but a web-scale table already has ≫ cores
+    input splits, and an unconditional ``repartition`` there would be a
+    full-corpus shuffle with the text payload riding it (the reference's
+    analogue, the batched parallel map mtscomp.py:399-423, never
+    re-shuffles its input either). Projecting FIRST keeps any needed
+    spread to exactly the consumed columns."""
+    narrow = docs.select(*cols)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < par:
+        narrow = narrow.repartition(par)
+    return narrow
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Survivor per identical text: lowest id wins (deterministic)."""
@@ -84,17 +102,21 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 3,
     jaccard_threshold: float = 0.5,
-    max_bucket: int = 1000,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding, then EXACT Jaccard
     verification on the candidates (so the threshold is real, not
-    probabilistic). Returns (id_a, id_b, jaccard) with id_a < id_b."""
+    probabilistic). Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    ``max_bucket``: skew guard — buckets larger than this are dropped
+    from candidate generation (a bucket that size is almost surely a
+    degenerate shingle; at web scale you cap, log, and route to exact
+    verify separately). Dropping a bucket drops its true pairs too, so
+    full-recall runs (e.g. an oracle-graded 64×1 banding) must pass
+    ``max_bucket=None``."""
     rows_per_band = n_hashes // bands
-    # minhashing is CPU-bound; don't let a single input split serialize it
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    docs = docs.repartition(par)
-    base = docs.select(
-        F.col(id_col).alias("_id"), shingles(text_col, shingle_k).alias("_sh")
+    base = _spread(docs, F.col(id_col).alias("_id"), text_col).select(
+        "_id", shingles(text_col, shingle_k).alias("_sh")
     ).withColumn("_sig", minhash_signature(F.col("_sh"), n_hashes))
 
     # Band on (_id, band, bucket) ONLY — the shingle arrays must NOT ride
@@ -125,21 +147,18 @@ def minhash_lsh_pairs(
         ).alias("_b"),
     ).select("_id", F.col("_b.band").alias("band"),
              F.col("_b.bucket").alias("bucket"))
-    # The banded frame feeds THREE consumers (bucket-size guard + both
-    # sides of the candidate self-join); without persistence the 64-way
-    # minhash transform — the CPU-dominant subtree — runs three times.
-    # Now that banding is narrow, persisting costs ~24 B/doc/band
-    # (spill-friendly MEMORY_AND_DISK at scale).
-    from pyspark import StorageLevel
-
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
-
-    # bound degenerate buckets (skew guard)
-    sizes = banded.groupBy("band", "bucket").count()
-    banded = banded.join(
-        F.broadcast(sizes.filter(F.col("count") > max_bucket)),
-        ["band", "bucket"], "left_anti",
-    )
+    # Bucket-size skew guard as a WINDOW count over (band, bucket): the
+    # cap then lives downstream of the same (band, bucket) exchange the
+    # self-join needs, so the whole banded subtree — including the
+    # 64-way minhash transform, the CPU-dominant stage — is ONE exchange
+    # that Spark's ReusedExchange dedups across both join sides
+    # (plan-asserted in tests/test_plans.py). No persist: nothing to
+    # leak in a long-lived session (an earlier revision cached this
+    # frame and never released it).
+    if max_bucket is not None:
+        banded = banded.withColumn(
+            "_bs", F.count("*").over(W.partitionBy("band", "bucket"))
+        ).filter(F.col("_bs") <= max_bucket).drop("_bs")
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -177,11 +196,9 @@ def simhash64(docs: DataFrame, text_col: str = "text",
               id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash: per-token xxhash64, bit-majority vote weighted by
     term frequency — one explode + one groupBy, all JVM-side."""
-    par = docs.sparkSession.sparkContext.defaultParallelism
     tok = (
-        docs.repartition(par)
-        .select(F.col(id_col).alias("_id"),
-                F.explode(_tokens(text_col)).alias("_t"))
+        _spread(docs, F.col(id_col).alias("_id"), text_col)
+        .select("_id", F.explode(_tokens(text_col)).alias("_t"))
         .filter(F.col("_t") != "")
         .groupBy("_id", "_t")
         .agg(F.count("*").alias("_w"))

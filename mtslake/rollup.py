@@ -212,6 +212,7 @@ def refresh_tiers(store, chunk_ids, cfg=None) -> dict:
 
     Returns {tier: [refreshed part_ids]}.
     """
+    from .compact import id_range_predicate
     from .config import DEFAULT
 
     cfg = store.cfg_for_store(cfg if cfg is not None else DEFAULT)
@@ -226,14 +227,17 @@ def refresh_tiers(store, chunk_ids, cfg=None) -> dict:
     read_ids = _affected_parts(  # chunks overlapping the 1m windows
         parts_1m, ROLLUP_PART_US["1m"], dur
     )
-    chunks = store.chunks().filter(F.col("chunk_id").isin(read_ids))
+    # range predicates, not isin literals: affected id sets are
+    # contiguous time runs, and a full-history refresh must not build
+    # an O(ids) expression (see id_range_predicate)
+    chunks = store.chunks().filter(id_range_predicate("chunk_id", read_ids))
     from .chunk import decompress_chunks
 
     series = decompress_chunks(chunks, channels=("value",))
     one_m = with_part_id(rollup_from_series(series, "1m"), "1m").filter(
-        F.col("part_id").isin(parts_1m)
+        id_range_predicate("part_id", parts_1m)
     )
-    _overwrite_parts(store, one_m, "1m")
+    _overwrite_parts(store, one_m, "1m", parts_1m)
     refreshed["1m"] = parts_1m
 
     # -- coarser tiers from the finer one -------------------------------
@@ -245,19 +249,43 @@ def refresh_tiers(store, chunk_ids, cfg=None) -> dict:
         )
         lower = store.spark.read.parquet(
             store.path(f"rollup_{finer}")
-        ).filter(F.col("part_id").isin(finer_parts))
+        ).filter(id_range_predicate("part_id", finer_parts))
         out = with_part_id(rollup_from_tier(lower, tier), tier).filter(
-            F.col("part_id").isin(parts)
+            id_range_predicate("part_id", parts)
         )
-        _overwrite_parts(store, out, tier)
+        _overwrite_parts(store, out, tier, parts)
         refreshed[tier] = parts
     return refreshed
 
 
-def _overwrite_parts(store, rolled_with_part: DataFrame, tier: str) -> None:
-    rolled_with_part.write.mode("overwrite").option(
-        "partitionOverwriteMode", "dynamic"
-    ).partitionBy("part_id").parquet(store.path(f"rollup_{tier}"))
+def _overwrite_parts(store, rolled_with_part: DataFrame, tier: str,
+                     affected_parts: list[int]) -> None:
+    """Dynamic-overwrite the refreshed partitions, then DELETE any
+    affected partition absent from the recomputed output: dynamic
+    overwrite only replaces partitions present in the written frame, so
+    a refreshed window whose recompute yields zero rows (compaction or
+    retention removed its raw data) would otherwise leave its stale
+    rollup partition on disk forever."""
+    import os
+    import shutil
+
+    rolled_with_part = rolled_with_part.persist()
+    try:
+        present = {
+            int(r[0])
+            for r in rolled_with_part.select("part_id").distinct().collect()
+        }
+        rolled_with_part.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("part_id").parquet(store.path(f"rollup_{tier}"))
+        for p in affected_parts:
+            if int(p) in present:
+                continue
+            d = os.path.join(store.path(f"rollup_{tier}"), f"part_id={p}")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+    finally:
+        rolled_with_part.unpersist()
     store.spark.catalog.refreshByPath(store.path(f"rollup_{tier}"))
 
 

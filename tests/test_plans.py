@@ -95,6 +95,82 @@ def test_minhash_band_shuffle_excludes_shingles(spark, sf_dir):
     assert saw_generate
 
 
+def test_minhash_no_head_shuffle_when_input_is_split(spark, sf_dir):
+    """When the scan already yields >= defaultParallelism splits, the
+    dedup entry points must NOT open with a round-robin repartition —
+    at web scale that is an avoidable full-corpus shuffle with the text
+    payload riding it. (When the input IS a single split, a narrow
+    (_id, text) spread is allowed — that path is what the sf-dir tests
+    exercise.)"""
+    from mtslake.dedup import minhash_lsh_pairs, simhash64
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_cost = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4k")
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        par = spark.sparkContext.defaultParallelism
+        assert docs.rdd.getNumPartitions() >= par, "fixture: need many splits"
+        for out in (
+            minhash_lsh_pairs(docs, jaccard_threshold=0.7),
+            simhash64(docs),
+        ):
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert "RoundRobinPartitioning" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_cost)
+
+
+def test_minhash_self_join_reuses_banded_exchange(spark, sf_dir):
+    """The bucket-cap-as-window restructure puts the whole banded
+    subtree (including the CPU-dominant 64-way minhash transform)
+    under ONE (band, bucket) exchange that both candidate-join sides
+    share — Spark must plan a ReusedExchange, or the minhash runs
+    twice."""
+    from mtslake.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # AQE defers exchange reuse to runtime; disable it so the static
+    # plan shows the reuse decision directly
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        out = minhash_lsh_pairs(docs, jaccard_threshold=0.7)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_maintenance_id_lists_become_range_predicates(spark, store):
+    """compact/refresh select their partitions via driver-collected id
+    lists; 500 fragmented ids must collapse to O(runs) BETWEEN range
+    filters that still drive partition pruning — never a 500-term
+    isin."""
+    from mtslake.compact import id_range_predicate
+
+    # 250 runs of 2: [0,1], [4,5], [8,9], ...
+    ids = [4 * i + j for i in range(250) for j in (0, 1)]
+    pred = id_range_predicate("chunk_id", ids)
+    df = store.chunks().filter(pred)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "PartitionFilters: []" not in plan
+    # the predicate is ranges, not literals: no isin/IN over the ids
+    assert " IN (" not in plan and "isin" not in plan
+    # semantic check on a contiguous list: one BETWEEN covers all
+    chunk_ids = sorted(
+        r[0] for r in store.chunks().select("chunk_id").distinct().collect()
+    )
+    got = sorted(
+        r[0] for r in store.chunks()
+        .filter(id_range_predicate("chunk_id", chunk_ids))
+        .select("chunk_id").distinct().collect()
+    )
+    assert got == chunk_ids
+
+
 def test_rollup_is_partial_aggregated(spark, store):
     from mtslake import rollup
 

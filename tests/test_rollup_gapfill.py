@@ -385,3 +385,69 @@ def test_refresh_tiers_incremental_equals_full_rebuild(
         got = _rows(spark.read.parquet(st.path(f"rollup_{tier}")))
         exp = _rows(spark.read.parquet(full.path(f"rollup_{tier}")))
         assert got == exp, f"tier {tier} diverged from full rebuild"
+
+
+def test_refresh_tiers_deletes_stale_empty_partitions(
+    spark, series, tmp_path, monkeypatch
+):
+    """A refreshed window whose recompute yields ZERO rows (its raw data
+    was expired/chopped) must not leave the stale rollup partition on
+    disk: dynamic overwrite only replaces partitions present in the
+    output, so refresh_tiers deletes the absentees explicitly.
+
+    1m partition granularity is pinned to 1 day for the test so the
+    short fixture series spans several partitions and a chop boundary
+    leaves some fully stale."""
+    import os
+
+    monkeypatch.setitem(rollup.ROLLUP_PART_US, "1m", US_PER_DAY)
+    st = ChunkStore(spark, str(tmp_path / "stale_store"))
+    st.write_chunks(chunk.compress_series(series, DEFAULT), mode="overwrite")
+    rollup.materialize_tiers(st, read.read_range(st, columns=["value"]))
+
+    units = sorted(
+        r[0] for r in st.chunks().select("chunk_id").distinct().collect()
+    )
+    # chop away the tail chunks entirely, then refresh over those units
+    cut = units[len(units) // 2]
+    retention.chop(st, keep_chunks_before=cut)
+    removed = [u for u in units if u >= cut]
+    # the stale 1m partitions only covered by removed chunks
+    kept_parts = set(rollup._affected_parts(
+        [u for u in units if u < cut], DEFAULT.chunk_duration_us,
+        rollup.ROLLUP_PART_US["1m"],
+    ))
+    doomed = [
+        p for p in rollup._affected_parts(
+            removed, DEFAULT.chunk_duration_us, rollup.ROLLUP_PART_US["1m"]
+        )
+        if p not in kept_parts
+    ]
+    assert doomed, "fixture must produce at least one fully-stale partition"
+    for p in doomed:
+        assert os.path.isdir(
+            os.path.join(st.path("rollup_1m"), f"part_id={p}")
+        )
+
+    rollup.refresh_tiers(st, removed)
+    for p in doomed:
+        assert not os.path.isdir(
+            os.path.join(st.path("rollup_1m"), f"part_id={p}")
+        ), f"stale rollup partition survived refresh: part_id={p}"
+
+    # surviving tiers equal a full rebuild over the surviving series
+    full = ChunkStore(spark, str(tmp_path / "stale_full"))
+    full.write_chunks(
+        chunk.compress_series(
+            series.filter(
+                F.col(TS_COL) < cut * DEFAULT.chunk_duration_us
+            ),
+            DEFAULT,
+        ),
+        mode="overwrite",
+    )
+    rollup.materialize_tiers(full, read.read_range(full, columns=["value"]))
+    for tier in ("1m", "1h", "1d"):
+        got = _rows(spark.read.parquet(st.path(f"rollup_{tier}")))
+        exp = _rows(spark.read.parquet(full.path(f"rollup_{tier}")))
+        assert got == exp, f"tier {tier} diverged after stale-refresh"
