@@ -516,8 +516,10 @@ def q_doc_cluster_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization over the raw events stream: 30-minute-gap
     sessions per user, one row per session with count/span — the
-    event-analytics staple, window semantics replayed exactly by the
-    SQL oracle."""
+    event-analytics staple. Runs the TWO-PHASE hot-key-safe path
+    (block-local runs + boundary merge, sessions.py) while the SQL
+    oracle replays plain single-window semantics: the contract grades
+    the split-session repair's exact equivalence end-to-end."""
     from mtslake.sessions import session_stats
 
     ev = _events(spark, sf_dir).select(
@@ -525,7 +527,8 @@ def q_ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us")
     )
     return session_stats(ev, key="user_id", ts="ts_us",
-                         tiebreak="event_id")
+                         tiebreak="event_id",
+                         block_us=6 * 3_600_000_000)  # 6h blocks
 
 
 def q_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:

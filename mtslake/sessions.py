@@ -13,9 +13,17 @@ Pure built-ins, one shuffle on the key:
 the session identity. Window semantics are identical in every SQL
 engine, so the whole operator is oracle-replayable.
 
-Scale shape: one hash shuffle on the key + a partition-local sort —
-the same shape as any per-key window; hot keys are bounded by the
-key's own event count (AQE skew split applies).
+Scale shape: the default path is one hash shuffle on the key + a
+partition-local sort — the same shape as any per-key window. NOTE that
+a window partition is ONE task's sort-and-scan: AQE's skew handling
+splits join/agg partitions, never window partitions, so a Zipf-hot key
+(a celebrity user with 10⁹ events) serializes. ``block_us`` enables the
+**two-phase** variant for that regime: partition-local session runs
+inside fixed time blocks — the hot key spreads over (key, block) — plus
+a boundary-merge pass over the tiny per-block summary (classic
+split-session repair; the same bounded-unit design as the reference's
+per-chunk groups, mtscomp.py:324-339). Output is provably identical to
+the single-window path (pytest equality on randomized inputs).
 """
 
 from __future__ import annotations
@@ -29,11 +37,21 @@ def sessionize(
     ts: str = "ts_us",
     gap_us: int = 30 * 60 * 1_000_000,
     tiebreak: str | None = None,
+    block_us: int | None = None,
 ) -> DataFrame:
     """Add ``session_seq`` (1-based per-key session number).
 
     ``tiebreak``: extra ordering column for deterministic sessionization
-    when timestamps collide (e.g. an event id)."""
+    when timestamps collide (e.g. an event id).
+
+    ``block_us``: when set, run the two-phase hot-key-safe variant —
+    sessionize within ``block_us`` time blocks, then renumber across
+    block boundaries. Identical output, bounded task size (no single
+    key ever sorts in one task). Pick a block several× the expected
+    session length; events-per-(key, block) bounds the task."""
+    if block_us is not None:
+        return _sessionize_two_phase(events, key, ts, gap_us, tiebreak,
+                                     block_us)
     order = [ts, tiebreak] if tiebreak else [ts]
     w = W.partitionBy(key).orderBy(*order)
     prev = F.lag(ts).over(w)
@@ -49,15 +67,96 @@ def sessionize(
     )
 
 
+def _sessionize_two_phase(
+    events: DataFrame,
+    key: str,
+    ts: str,
+    gap_us: int,
+    tiebreak: str | None,
+    block_us: int,
+) -> DataFrame:
+    """Split-session repair:
+
+    1. **local**: sessionize within (key, block = ts // block_us)
+       windows — the hot key's events spread over its blocks, so no
+       task ever holds more than one block of one key;
+    2. **merge**: per (key, block) summary (first/last ts, #local
+       sessions) — tiny (one row per non-empty block) — decides for
+       each block whether its first local session continues the
+       previous non-empty block's last session (gap ≤ gap_us), and
+       derives the block's global numbering offset:
+       ``offset = Σ_{earlier blocks} n_sessions − Σ_{≤ this block} merged``
+       (each merged boundary collapses two sessions into one, shifting
+       every later number down by one);
+    3. **apply**: join offsets back on (key, block) — the events side
+       is already partitioned by (key, block) from phase 1.
+
+    A block's first event starts a new LOCAL session by construction,
+    and whether it truly continues the previous session depends only on
+    its gap to the immediately preceding event globally — which is the
+    previous non-empty block's last event: exactly what the summary
+    lag sees. Hence global numbering is identical to the single-window
+    path (tested on randomized inputs including a hot key).
+    """
+    order = [ts, tiebreak] if tiebreak else [ts]
+    blocked = events.withColumn(
+        "_blk", F.floor(F.col(ts) / F.lit(int(block_us)))
+    )
+    wl = W.partitionBy(key, "_blk").orderBy(*order)
+    prev = F.lag(ts).over(wl)
+    boundary = F.when(
+        prev.isNull() | (F.col(ts) - prev > F.lit(int(gap_us))), 1
+    ).otherwise(0)
+    runl = wl.rowsBetween(W.unboundedPreceding, W.currentRow)
+    local = blocked.withColumn(
+        "_lseq", F.sum(boundary).over(runl).cast("long")
+    )
+
+    # per-(key, block) summary: one row per NON-EMPTY block — the merge
+    # pass runs over this metadata-scale frame, never the events
+    summary = local.groupBy(key, "_blk").agg(
+        F.min(ts).alias("_first_ts"),
+        F.max(ts).alias("_last_ts"),
+        F.max("_lseq").alias("_n_sess"),
+    )
+    wk = W.partitionBy(key).orderBy("_blk")
+    merged = F.when(
+        F.col("_first_ts") - F.lag("_last_ts").over(wk)
+        <= F.lit(int(gap_us)),
+        1,
+    ).otherwise(0)
+    prev_total = F.coalesce(
+        F.sum("_n_sess").over(
+            wk.rowsBetween(W.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    merged_cum = F.sum(merged).over(
+        wk.rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    offsets = summary.select(
+        key, "_blk", (prev_total - merged_cum).alias("_off")
+    )
+
+    return (
+        local.join(offsets, [key, "_blk"])
+        .withColumn(
+            "session_seq", (F.col("_off") + F.col("_lseq")).cast("long")
+        )
+        .drop("_blk", "_lseq", "_off")
+    )
+
+
 def session_stats(
     events: DataFrame,
     key: str = "user_id",
     ts: str = "ts_us",
     gap_us: int = 30 * 60 * 1_000_000,
     tiebreak: str | None = None,
+    block_us: int | None = None,
 ) -> DataFrame:
     """One row per session: event count, start/end, duration."""
-    s = sessionize(events, key, ts, gap_us, tiebreak)
+    s = sessionize(events, key, ts, gap_us, tiebreak, block_us)
     return s.groupBy(key, "session_seq").agg(
         F.count("*").alias("n_events"),
         F.min(ts).alias("ts_start"),

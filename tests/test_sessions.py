@@ -107,3 +107,64 @@ def test_sessionize_single_shuffle(spark):
     out = session_stats(df, tiebreak="event_id")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_two_phase_sessionize_equals_single_window(spark):
+    """The hot-key-safe two-phase path must agree with the single-window
+    path EXACTLY — randomized gaps straddling the 30-minute boundary,
+    colliding timestamps, sessions spanning many blocks, gaps longer
+    than a block (merge across non-adjacent blocks), and one hot key
+    with far more events than any block holds."""
+    import random
+
+    rng = random.Random(987)
+    rows = []
+    eid = 0
+    for user in range(20):
+        t = rng.randint(0, 5 * M)
+        for _ in range(rng.randint(1, 60)):
+            t += rng.choice(
+                [0, 1, 5 * M, 29 * M, 30 * M, 30 * M + 1, 3 * 60 * M]
+            )
+            rows.append((user, eid, t))
+            eid += 1
+    # hot key: 2000 events, mixture of tiny and boundary gaps
+    t = 0
+    for _ in range(2000):
+        t += rng.choice([1, 2 * M, 30 * M + 1])
+        rows.append((999, eid, t))
+        eid += 1
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts_us long")
+
+    single = {
+        (r["user_id"], r["event_id"]): r["session_seq"]
+        for r in sessionize(df, tiebreak="event_id").collect()
+    }
+    # block = 1 hour: sessions and even single gaps regularly span blocks
+    for block_us in (60 * M, 7 * M):
+        two = {
+            (r["user_id"], r["event_id"]): r["session_seq"]
+            for r in sessionize(
+                df, tiebreak="event_id", block_us=block_us
+            ).collect()
+        }
+        assert two == single, f"two-phase diverged at block_us={block_us}"
+
+
+def test_two_phase_spreads_hot_key_over_blocks(spark):
+    """The events-side heavy lifting must partition on (key, block),
+    never on the key alone — the point of the two-phase variant: no
+    single-task sort of a celebrity key."""
+    df = spark.createDataFrame(
+        [(1, i, i * M) for i in range(50)],
+        "user_id long, event_id long, ts_us long",
+    )
+    out = sessionize(df, tiebreak="event_id", block_us=60 * M)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # local window exchange carries both key and block
+    assert "hashpartitioning(user_id" in plan
+    blk_lines = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "_blk" in ln
+    ]
+    assert blk_lines, plan
