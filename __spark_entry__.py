@@ -655,6 +655,60 @@ def q_mm_ppm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mm_png_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL PNG decode path graded end-to-end: deterministic 8-bit
+    RGB PNG payloads (pixels = doc text bytes tiled to (h, w, 3),
+    scanline filters cycling through ALL FIVE types per row) go through
+    encode_png → resize_images (full chunk-walk/CRC/inflate/unfilter
+    decode, nearest-neighbor, PNG re-encode) → an independent verifier
+    that rebuilds the expected pixels from the raw text and checks the
+    resized payload decodes to exactly their nearest-neighbor sample.
+    Oracle = the doc count plus zero mismatches — a broken filter
+    branch (Sub/Up/Average/Paeth), CRC slip, or stride bug each flips
+    n_mismatch."""
+    import numpy as np
+
+    from mtslake.multimodal import (PNG_SIG, decode_png, resize_images,
+                                    synthesize_png_media)
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "n_chars")
+    media = synthesize_png_media(docs)
+    resized = resize_images(media, 5, 4).select(
+        F.col("media_id").alias("doc_id"),
+        F.col("payload").alias("r_payload"),
+    )
+    joined = docs.join(resized, "doc_id")
+
+    def verify(batches):
+        for pdf in batches:
+            bad = 0
+            for text, n_chars, doc_id, rp in zip(
+                pdf["text"], pdf["n_chars"], pdf["doc_id"], pdf["r_payload"]
+            ):
+                w = int(n_chars) % 16 + 4
+                h = int(doc_id) % 12 + 4
+                arr = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                n = w * h * 3
+                reps = -(-n // max(arr.size, 1))
+                px = np.tile(arr, reps)[:n].reshape(h, w, 3)
+                yi = (np.arange(4) * h // 4).clip(0, h - 1)
+                xi = (np.arange(5) * w // 5).clip(0, w - 1)
+                want = px[np.ix_(yi, xi)]
+                if bytes(rp)[:8] != PNG_SIG:
+                    bad += 1
+                    continue
+                got = decode_png(bytes(rp))
+                if got.shape != (4, 5, 3) or not (got == want).all():
+                    bad += 1
+            yield pd.DataFrame({"n": [len(pdf)], "bad": [bad]})
+
+    per_batch = joined.mapInPandas(verify, schema="n long, bad long")
+    return per_batch.agg(
+        F.sum("n").cast("long").alias("n_media"),
+        F.sum("bad").cast("long").alias("n_mismatch"),
+    )
+
+
 def q_doc_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (urlops.normalize_url) over deterministic
     messy URLs synthesized from doc_id — four variants exercising
@@ -1019,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split": q_doc_split,
         "ts_compact": q_ts_compact,
         "mm_ppm_pipeline": q_mm_ppm_pipeline,
+        "mm_png_pipeline": q_mm_png_pipeline,
         "doc_repetition": q_doc_repetition,
         "doc_url_normalize": q_doc_url_normalize,
         "doc_corpus_clean": q_doc_corpus_clean,
@@ -1416,6 +1471,12 @@ def oracle_sql() -> dict[str, str]:
         # real-decode validity: PPM encode -> resize -> independent pixel
         # verification (see q_mm_ppm_pipeline)
         "mm_ppm_pipeline": """
+            SELECT COUNT(*) AS n_media, CAST(0 AS BIGINT) AS n_mismatch
+            FROM documents
+        """,
+        # real-decode validity: PNG (all 5 scanline filters) encode ->
+        # resize -> independent pixel verification (see q_mm_png_pipeline)
+        "mm_png_pipeline": """
             SELECT COUNT(*) AS n_media, CAST(0 AS BIGINT) AS n_mismatch
             FROM documents
         """,

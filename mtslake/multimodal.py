@@ -4,15 +4,18 @@ Image/audio/video travel as ``binary`` columns with a metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` operators.
 
-The decode kernel is REAL for PPM (netpbm P6 — a public, header+raw-RGB
-format needing no codec library): ``decode_ppm``/``encode_ppm`` are a
-pure-numpy codec, and ``_decode_image_bytes`` routes P6 payloads
-through it (resize re-encodes to P6, so a PPM pipeline round-trips
-end-to-end). Formats that need external codec libraries (JPEG/PNG/AV)
-fall back to a documented deterministic stub — those libs are not in
-this container; a Pillow/libav call drops into the same seam. The
-Spark-side plumbing — schema, batch iteration, partitioning, vectorized
-UDF signature — is identical either way and fully tested.
+The decode kernels are REAL for PPM (netpbm P6 — header + raw RGB)
+and for non-interlaced 8-bit RGB PNG (chunk walk + CRC + zlib inflate
++ the five scanline filters, from the public W3C spec / RFC 2083):
+``decode_ppm``/``encode_ppm`` and ``decode_png``/``encode_png`` are
+pure-numpy codecs, and ``_decode_image_bytes`` routes payloads by
+header (resize re-encodes to the source format, so PPM and PNG
+pipelines round-trip end-to-end). Formats that genuinely need external
+codec libraries (JPEG/AV) fall back to a documented deterministic
+stub — those libs are not in this container; a Pillow/libav call drops
+into the same seam. The Spark-side plumbing — schema, batch iteration,
+partitioning, vectorized UDF signature — is identical either way and
+fully tested.
 """
 
 from __future__ import annotations
@@ -55,7 +58,7 @@ FEATURE_SCHEMA = T.StructType(
     ]
 )
 
-_STUBBED = True  # JPEG/PNG/AV decode needs libs absent from this container
+_STUBBED = True  # JPEG/AV decode needs libs absent from this container
 
 _PPM_HEADER_RE = None  # compiled lazily
 
@@ -90,16 +93,165 @@ def encode_ppm(arr: np.ndarray) -> bytes:
     ).tobytes()
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §9.4, public W3C/RFC 2083)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Pure-numpy + stdlib-zlib decoder for non-interlaced 8-bit RGB
+    PNG (color type 2) — the format real crawls actually contain,
+    implemented from the public spec (W3C PNG / RFC 2083): chunk walk
+    with CRC verification, concatenated-IDAT zlib inflate, and the five
+    scanline filters (None/Sub/Up/Average/Paeth) unapplied per row.
+    Returns a (height, width, 3) uint8 array. Anything outside the
+    supported subset (palette, alpha, 16-bit, interlace) raises loudly
+    — a real Pillow call drops into the same seam."""
+    import zlib
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = np.frombuffer(payload, ">u4", 1, pos)
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + int(length)]
+        if len(data) != int(length):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = np.frombuffer(payload, ">u4", 1, pos + 8 + int(length))
+        if zlib.crc32(ctype + data) != int(crc):
+            raise ValueError(f"PNG CRC mismatch in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            w, h = (int(x) for x in np.frombuffer(data, ">u4", 2))
+            depth, color, comp, filt, interlace = data[8:13]
+            if (depth, color) != (8, 2):
+                raise ValueError(
+                    f"only 8-bit RGB PNG supported (depth={depth}, "
+                    f"color_type={color})"
+                )
+            if comp != 0 or filt != 0 or interlace != 0:
+                raise ValueError("unsupported PNG compression/interlace")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + int(length)
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = w * 3
+    if raw.size != h * (stride + 1):
+        raise ValueError("PNG pixel data size mismatch")
+    rows = raw.reshape(h, stride + 1)
+    filters = rows[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    zero_row = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = int(filters[y])
+        cur = rows[y, 1:].astype(np.int64)
+        prior = (out[y - 1] if y else zero_row).astype(np.int64)
+        if f == 0:
+            rec = cur
+        elif f == 1:  # Sub: cumulative sum per channel, mod 256
+            rec = np.cumsum(cur.reshape(w, 3), axis=0).reshape(stride)
+        elif f == 2:  # Up
+            rec = cur + prior
+        elif f == 3:  # Average (left-sequential; loop per pixel)
+            rec = np.empty(stride, dtype=np.int64)
+            for i in range(stride):
+                left = rec[i - 3] if i >= 3 else 0
+                rec[i] = (cur[i] + (left + prior[i]) // 2) % 256
+        elif f == 4:  # Paeth (left-sequential; loop per pixel)
+            rec = np.empty(stride, dtype=np.int64)
+            for i in range(stride):
+                a = rec[i - 3] if i >= 3 else 0
+                c = int(prior[i - 3]) if i >= 3 else 0
+                rec[i] = (cur[i] + _paeth(int(a), int(prior[i]), c)) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y] = (rec % 256).astype(np.uint8)
+    return out.reshape(h, w, 3)
+
+
+def encode_png(arr: np.ndarray, filters=0) -> bytes:
+    """Inverse of ``decode_png`` for (h, w, 3) uint8 arrays.
+
+    ``filters``: one filter type 0-4 for every scanline, or a per-row
+    sequence — encoding under every filter type is what lets tests
+    round-trip the full decoder surface."""
+    import zlib
+
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    flat = arr.reshape(h, w * 3).astype(np.int64)
+    frow = (
+        [int(filters)] * h if np.isscalar(filters) else [int(f) for f in filters]
+    )
+    lines = bytearray()
+    prior = np.zeros(w * 3, dtype=np.int64)
+    for y in range(h):
+        cur = flat[y]
+        left = np.concatenate(([0, 0, 0], cur[:-3]))
+        pleft = np.concatenate(([0, 0, 0], prior[:-3]))
+        f = frow[y]
+        if f == 0:
+            raw = cur
+        elif f == 1:
+            raw = cur - left
+        elif f == 2:
+            raw = cur - prior
+        elif f == 3:
+            raw = cur - (left + prior) // 2
+        elif f == 4:
+            pred = np.empty(w * 3, dtype=np.int64)
+            for i in range(w * 3):
+                pred[i] = _paeth(int(left[i]), int(prior[i]), int(pleft[i]))
+            raw = cur - pred
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        lines.append(f)
+        lines += (raw % 256).astype(np.uint8).tobytes()
+        prior = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big") + ctype + data
+            + zlib.crc32(ctype + data).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])
+    )
+    return (
+        PNG_SIG + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _decode_image_bytes(payload: bytes, width: int, height: int) -> np.ndarray:
     """Decode a payload to a pixel array.
 
-    P6 PPM payloads decode for real (header wins over the meta struct).
-    Other formats fall back to the deterministic stub — a seeded
-    byte-fold into (height, width) — because their codec libraries are
-    not in this container; ``np.asarray(PIL.Image.open(...))`` drops
-    into this seam."""
+    P6 PPM and 8-bit RGB PNG payloads decode for real (the payload
+    header wins over the meta struct). Other formats fall back to the
+    deterministic stub — a seeded byte-fold into (height, width) —
+    because their codec libraries are not in this container;
+    ``np.asarray(PIL.Image.open(...))`` drops into this seam."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
+    if payload[:8] == PNG_SIG:
+        return decode_png(payload)
     if not _STUBBED:  # pragma: no cover
         raise NotImplementedError("non-PPM decoding requires Pillow")
     arr = np.frombuffer(payload, dtype=np.uint8)
@@ -159,11 +311,15 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
                 yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
                 xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
                 small = img[np.ix_(yi, xi)]
-                # real-format inputs re-encode to the same format so a
-                # PPM pipeline round-trips; stub (2-D) payloads stay raw
-                payloads.append(
-                    encode_ppm(small) if small.ndim == 3 else small.tobytes()
-                )
+                # real-format inputs re-encode to the SAME format so a
+                # PPM/PNG pipeline round-trips; stub (2-D) payloads
+                # stay raw
+                if small.ndim != 3:
+                    payloads.append(small.tobytes())
+                elif bytes(payload[:8]) == PNG_SIG:
+                    payloads.append(encode_png(small))
+                else:
+                    payloads.append(encode_ppm(small))
                 metas.append(
                     {"width": out_w, "height": out_h,
                      "sample_rate": None, "n_frames": None}
@@ -259,6 +415,51 @@ def synthesize_ppm_media(docs: DataFrame) -> DataFrame:
                 reps = -(-n // max(arr.size, 1))
                 px = np.tile(arr, reps)[:n].reshape(int(h), int(w), 3)
                 payloads.append(encode_ppm(px))
+                metas.append(
+                    {"width": int(w), "height": int(h),
+                     "sample_rate": None, "n_frames": None}
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "image",
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return base.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def synthesize_png_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL PNG media from documents: same pixel recipe
+    as ``synthesize_ppm_media`` but encoded as 8-bit RGB PNG with the
+    scanline filter CYCLING through all five types per row (offset by
+    doc_id), so a pipeline over this table drives every branch of the
+    real decoder — None/Sub/Up/Average/Paeth — not just the trivial
+    one."""
+    meta_cols = (
+        (F.pmod(F.col("n_chars"), 16) + 4).cast("int").alias("width"),
+        (F.pmod(F.col("doc_id"), 12) + 4).cast("int").alias("height"),
+    )
+    base = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("_txt"),
+        *meta_cols,
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            payloads, metas = [], []
+            for mid, txt, w, h in zip(
+                pdf["media_id"], pdf["_txt"], pdf["width"], pdf["height"]
+            ):
+                arr = np.frombuffer(bytes(txt), dtype=np.uint8)
+                n = int(w) * int(h) * 3
+                reps = -(-n // max(arr.size, 1))
+                px = np.tile(arr, reps)[:n].reshape(int(h), int(w), 3)
+                filters = [(int(mid) + y) % 5 for y in range(int(h))]
+                payloads.append(encode_png(px, filters))
                 metas.append(
                     {"width": int(w), "height": int(h),
                      "sample_rate": None, "n_frames": None}
