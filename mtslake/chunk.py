@@ -27,19 +27,31 @@ allocator before 32 cores; Arrow buffers cross zero-copy.
   (≙ chunk_bounds, mtscomp.py:324-339) — the reference's "write in
   chunk order" barrier (mtscomp.py:473-474) disappears because identity
   lives in keys, not file offsets.
-* rows are sorted ``(xxhash64(url), chunk_id, ts_us, text_sha1)``
-  before encoding — the codec is order-sensitive; the sha1 tiebreak
-  makes duplicate timestamps deterministic (web-data reality the
-  reference never faces). The leading key is numeric on purpose: see
-  ``compress_series``.
+* rows are sorted ``(xxhash64(url), chunk_id, ts_us, <binary
+  channels>)`` before encoding — the codec is order-sensitive; the
+  digest tiebreak makes duplicate timestamps deterministic (web-data
+  reality the reference never faces). The leading key is numeric on
+  purpose: see ``compress_series``.
 * per-chunk SHA1 of the raw bytes is carried in the row (≙ the .ch
   running sha1 ledger, mtscomp.py:321-322,481-483).
 * skew stays bounded: a hot url never forms one giant group because the
   partition key includes chunk_id (SURVEY §7 risk 6); AQE handles the
   rest.
+
+**Channel genericity**: the reference is fully dtype/n_channels-generic
+(dtype + n_channels are declared inputs — mtscomp.py:286,300-303;
+dtype matrix tests tests.py:100-102,240-243). Here the same genericity
+is a declared ``ChannelSpec`` list — (name, dtype → codec family) —
+so adding a value channel means declaring it, never editing the
+engine. ``DEFAULT_CHANNELS`` is the web-pages layout
+(n_chars/value/text_sha1); every function below takes ``channels`` and
+derives its schemas, sort keys, payload columns, and codec calls from
+the spec.
 """
 
 from __future__ import annotations
+
+from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
@@ -53,38 +65,139 @@ from .series import TS_COL
 
 SHA1_W = 20  # text_sha1 stored as fixed-width 20-byte binary stream
 
-CHUNK_SCHEMA = T.StructType(
-    [
-        T.StructField("url", T.StringType(), False),
-        T.StructField("chunk_id", T.LongType(), False),
-        T.StructField("lang", T.StringType(), True),
-        T.StructField("ts_min", T.LongType(), False),
-        T.StructField("ts_max", T.LongType(), False),
-        T.StructField("n_points", T.IntegerType(), False),
-        T.StructField("raw_nbytes", T.LongType(), False),
-        T.StructField("comp_nbytes", T.LongType(), False),
-        T.StructField("raw_signal_nbytes", T.LongType(), False),
-        T.StructField("comp_signal_nbytes", T.LongType(), False),
-        T.StructField("sha1", T.StringType(), False),
-        T.StructField("p_ts", T.BinaryType(), False),
-        T.StructField("p_n_chars", T.BinaryType(), False),
-        T.StructField("p_value", T.BinaryType(), False),
-        T.StructField("p_sha1", T.BinaryType(), False),
-    ]
+
+@dataclass(frozen=True)
+class ChannelSpec:
+    """One value channel of a series: (name, dtype → codec family).
+
+    * numeric channels: ``dtype`` is a numpy dtype name (int8..int64,
+      float32/float64 — the reference's dtype matrix, tests.py:100-102);
+      ints ride CODEC_DELTA, floats CODEC_XOR (Gorilla) unless ``codec``
+      overrides.
+    * fixed-width binary channels: ``width`` > 0 bytes per value;
+      ``hex=True`` means the series column carries 2·width hex chars
+      (the text_sha1 convention) and is unhexed before the kernel.
+      Digest-like binary never compresses, so the entropy stage defaults
+      off for binary (``entropy`` overrides).
+    """
+
+    name: str
+    dtype: str = "float64"
+    width: int = 0  # >0 → fixed-width binary channel (bytes per value)
+    hex: bool = False  # binary column travels as 2*width hex chars
+    codec_id: int | None = None
+    entropy: bool | None = None
+    pcol_name: str | None = None  # payload column override
+
+    @property
+    def is_binary(self) -> bool:
+        return self.width > 0
+
+    @property
+    def pcol(self) -> str:
+        return self.pcol_name or f"p_{self.name}"
+
+    def resolved_codec(self) -> int:
+        if self.codec_id is not None:
+            return self.codec_id
+        if self.is_binary:
+            return codec.CODEC_RAW
+        return codec.default_codec_for(np.dtype(self.dtype))
+
+    def resolved_entropy(self) -> bool:
+        if self.entropy is not None:
+            return self.entropy
+        return not self.is_binary  # digests: a deflate attempt is waste
+
+
+DEFAULT_CHANNELS: tuple[ChannelSpec, ...] = (
+    ChannelSpec("n_chars", "int64"),
+    ChannelSpec("value", "float64"),
+    ChannelSpec("text_sha1", width=SHA1_W, hex=True, pcol_name="p_sha1"),
 )
 
-SERIES_SCHEMA = T.StructType(
-    [
-        T.StructField("url", T.StringType(), False),
-        T.StructField("lang", T.StringType(), True),
-        T.StructField(TS_COL, T.LongType(), False),
-        T.StructField("n_chars", T.LongType(), False),
-        T.StructField("value", T.DoubleType(), False),
-        T.StructField("text_sha1", T.StringType(), False),
-    ]
-)
+_SPARK_NUM_TYPES = {
+    "int8": T.ByteType(),
+    "int16": T.ShortType(),
+    "int32": T.IntegerType(),
+    "int64": T.LongType(),
+    "float32": T.FloatType(),
+    "float64": T.DoubleType(),
+}
 
-_OUT_COLS = [f.name for f in CHUNK_SCHEMA.fields]
+
+def _series_field(c: ChannelSpec) -> T.StructField:
+    if c.is_binary:
+        dt = T.StringType() if c.hex else T.BinaryType()
+    else:
+        dt = _SPARK_NUM_TYPES[c.dtype]
+    return T.StructField(c.name, dt, False)
+
+
+def series_schema(channels: tuple[ChannelSpec, ...] = DEFAULT_CHANNELS
+                  ) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("lang", T.StringType(), True),
+            T.StructField(TS_COL, T.LongType(), False),
+        ]
+        + [_series_field(c) for c in channels]
+    )
+
+
+def chunk_schema(channels: tuple[ChannelSpec, ...] = DEFAULT_CHANNELS
+                 ) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("chunk_id", T.LongType(), False),
+            T.StructField("lang", T.StringType(), True),
+            T.StructField("ts_min", T.LongType(), False),
+            T.StructField("ts_max", T.LongType(), False),
+            T.StructField("n_points", T.IntegerType(), False),
+            T.StructField("raw_nbytes", T.LongType(), False),
+            T.StructField("comp_nbytes", T.LongType(), False),
+            T.StructField("raw_signal_nbytes", T.LongType(), False),
+            T.StructField("comp_signal_nbytes", T.LongType(), False),
+            T.StructField("sha1", T.StringType(), False),
+            T.StructField("p_ts", T.BinaryType(), False),
+        ]
+        + [T.StructField(c.pcol, T.BinaryType(), False) for c in channels]
+    )
+
+
+def _pa_chunk_schema(channels: tuple[ChannelSpec, ...]) -> pa.Schema:
+    return pa.schema(
+        [
+            ("url", pa.string()),
+            ("chunk_id", pa.int64()),
+            ("lang", pa.string()),
+            ("ts_min", pa.int64()),
+            ("ts_max", pa.int64()),
+            ("n_points", pa.int32()),
+            ("raw_nbytes", pa.int64()),
+            ("comp_nbytes", pa.int64()),
+            ("raw_signal_nbytes", pa.int64()),
+            ("comp_signal_nbytes", pa.int64()),
+            ("sha1", pa.string()),
+            ("p_ts", pa.binary()),
+        ]
+        + [(c.pcol, pa.binary()) for c in channels]
+    )
+
+
+# fixed-layout constants for the default (web-pages) spec — external
+# modules (catalog, streaming, tests) import these names
+CHUNK_SCHEMA = chunk_schema(DEFAULT_CHANNELS)
+SERIES_SCHEMA = series_schema(DEFAULT_CHANNELS)
+_PA_CHUNK_SCHEMA = _pa_chunk_schema(DEFAULT_CHANNELS)
+
+ALL_CHANNELS = tuple(c.name for c in DEFAULT_CHANNELS)
+
+
+def _out_cols(channels: tuple[ChannelSpec, ...]) -> list[str]:
+    return [f.name for f in chunk_schema(channels).fields]
 
 
 def _segment_runs(starts, ends, max_points: int | None):
@@ -111,89 +224,122 @@ def _segment_runs(starts, ends, max_points: int | None):
     return np.asarray(s2), np.asarray(e2)
 
 
+def _encode_groups(
+    out: dict[str, list],
+    data: dict[str, np.ndarray],
+    ts_all: np.ndarray,
+    starts,
+    ends,
+    comp_level: int,
+    do_time_diff: bool,
+    channels: tuple[ChannelSpec, ...],
+    emit_key,
+):
+    """Shared per-group encode loop: 1 + len(channels) codec calls per
+    group on contiguous numpy slices, raw/comp byte accounting, and the
+    SHA1 ledger over ts + the NUMERIC channels (binary channels are
+    digests/opaque payloads — hashing a hash adds nothing)."""
+    # ≙ do_time_diff=False (mtscomp.py:55): raw-codec timestamps; decode
+    # is unaffected because payload headers carry the codec id
+    ts_codec = codec.CODEC_DOD if do_time_diff else codec.CODEC_RAW
+    for s, e in zip(starts, ends):
+        ts = ts_all[s:e]
+        p_ts = codec.encode_column(ts, ts_codec, comp_level)
+        raw_sig = ts.nbytes
+        comp_sig = len(p_ts)
+        raw_bin = 0
+        comp_bin = 0
+        sha_src: dict[str, np.ndarray] = {}
+        for c in channels:
+            a = data[c.name][s:e]
+            flat = a.ravel() if c.is_binary else a
+            p = codec.encode_column(
+                flat, c.resolved_codec(), comp_level,
+                entropy=c.resolved_entropy(),
+            )
+            out[c.pcol].append(p)
+            if c.is_binary:
+                raw_bin += flat.nbytes
+                comp_bin += len(p)
+            else:
+                raw_sig += flat.nbytes
+                comp_sig += len(p)
+                sha_src[c.name] = flat
+        emit_key(out, int(s))
+        out["ts_min"].append(int(ts[0]))
+        out["ts_max"].append(int(ts[-1]))
+        out["n_points"].append(int(e - s))
+        out["raw_nbytes"].append(raw_sig + raw_bin)
+        out["comp_nbytes"].append(comp_sig + comp_bin)
+        out["raw_signal_nbytes"].append(raw_sig)
+        out["comp_signal_nbytes"].append(comp_sig)
+        out["sha1"].append(codec.chunk_sha1(ts, sha_src))
+        out["p_ts"].append(p_ts)
+
+
+def _pdf_channel_data(
+    pdf: pd.DataFrame, channels: tuple[ChannelSpec, ...], n: int
+) -> dict[str, np.ndarray]:
+    data: dict[str, np.ndarray] = {}
+    for c in channels:
+        if c.is_binary and c.hex:
+            data[c.name] = np.frombuffer(
+                bytes.fromhex("".join(pdf[c.name])), dtype=np.uint8
+            ).reshape(n, c.width)
+        elif c.is_binary:
+            buf = b"".join(bytes(v) for v in pdf[c.name])
+            if len(buf) != n * c.width:
+                raise ValueError(
+                    f"binary channel {c.name} is not fixed-width "
+                    f"{c.width} (got {len(buf)} bytes for {n} rows)"
+                )
+            data[c.name] = np.frombuffer(buf, dtype=np.uint8).reshape(
+                n, c.width
+            )
+        else:
+            data[c.name] = pdf[c.name].to_numpy(np.dtype(c.dtype))
+    return data
+
+
 def _encode_block(
     pdf: pd.DataFrame,
     max_points: int | None = None,
     comp_level: int = 1,
     do_time_diff: bool = True,
+    channels: tuple[ChannelSpec, ...] = DEFAULT_CHANNELS,
 ) -> pd.DataFrame:
     """Encode every (url, chunk_id) group in a sorted block; one output
-    row per group. Vectorized group detection; per-group work is 4 codec
-    calls on contiguous numpy slices."""
+    row per group. Vectorized group detection; per-group work is
+    1 + n_channels codec calls on contiguous numpy slices. (pandas
+    twin of the Arrow kernel — used by the streaming sealer, which
+    receives pandas frames from applyInPandasWithState.)"""
     n = len(pdf)
     urls = pdf["url"].to_numpy()
     cids = pdf["chunk_id"].to_numpy(np.int64)
     langs = pdf["lang"].to_numpy()
     ts_all = pdf[TS_COL].to_numpy(np.int64)
-    nch_all = pdf["n_chars"].to_numpy(np.int64)
-    val_all = pdf["value"].to_numpy(np.float64)
-    sha_all = np.frombuffer(
-        bytes.fromhex("".join(pdf["text_sha1"])), dtype=np.uint8
-    ).reshape(n, SHA1_W)
+    data = _pdf_channel_data(pdf, channels, n)
 
     change = np.flatnonzero((urls[1:] != urls[:-1]) | (cids[1:] != cids[:-1])) + 1
     starts = np.concatenate(([0], change))
     ends = np.concatenate((change, [n]))
     starts, ends = _segment_runs(starts, ends, max_points)
-    # ≙ do_time_diff=False (mtscomp.py:55): raw-codec timestamps; decode
-    # is unaffected because payload headers carry the codec id
-    ts_codec = codec.CODEC_DOD if do_time_diff else codec.CODEC_RAW
 
-    out: dict[str, list] = {c: [] for c in _OUT_COLS}
-    for s, e in zip(starts, ends):
-        ts = ts_all[s:e]
-        nch = nch_all[s:e]
-        val = val_all[s:e]
-        shab = sha_all[s:e].ravel()
-        p_ts = codec.encode_column(ts, ts_codec, comp_level)
-        p_n_chars = codec.encode_column(nch, codec.CODEC_DELTA, comp_level)
-        p_value = codec.encode_column(val, codec.CODEC_XOR, comp_level)
-        p_sha1 = codec.encode_column(shab, codec.CODEC_RAW, comp_level,
-                                     entropy=False)  # sha1 = digest bytes, never compressible
-        raw_sig = ts.nbytes + nch.nbytes + val.nbytes
-        comp_sig = len(p_ts) + len(p_n_chars) + len(p_value)
-        out["url"].append(urls[s])
-        out["chunk_id"].append(cids[s])
-        out["lang"].append(langs[s])
-        out["ts_min"].append(ts[0])
-        out["ts_max"].append(ts[-1])
-        out["n_points"].append(e - s)
-        out["raw_nbytes"].append(raw_sig + shab.nbytes)
-        out["comp_nbytes"].append(comp_sig + len(p_sha1))
-        out["raw_signal_nbytes"].append(raw_sig)
-        out["comp_signal_nbytes"].append(comp_sig)
-        out["sha1"].append(codec.chunk_sha1(ts, {"n_chars": nch, "value": val}))
-        out["p_ts"].append(p_ts)
-        out["p_n_chars"].append(p_n_chars)
-        out["p_value"].append(p_value)
-        out["p_sha1"].append(p_sha1)
+    out: dict[str, list] = {c: [] for c in _out_cols(channels)}
+
+    def emit_key(o, s):
+        o["url"].append(urls[s])
+        o["chunk_id"].append(cids[s])
+        o["lang"].append(langs[s])
+
+    _encode_groups(out, data, ts_all, starts, ends, comp_level,
+                   do_time_diff, channels, emit_key)
     return pd.DataFrame(out)
-
-
-_PA_CHUNK_SCHEMA = pa.schema(
-    [
-        ("url", pa.string()),
-        ("chunk_id", pa.int64()),
-        ("lang", pa.string()),
-        ("ts_min", pa.int64()),
-        ("ts_max", pa.int64()),
-        ("n_points", pa.int32()),
-        ("raw_nbytes", pa.int64()),
-        ("comp_nbytes", pa.int64()),
-        ("raw_signal_nbytes", pa.int64()),
-        ("comp_signal_nbytes", pa.int64()),
-        ("sha1", pa.string()),
-        ("p_ts", pa.binary()),
-        ("p_n_chars", pa.binary()),
-        ("p_value", pa.binary()),
-        ("p_sha1", pa.binary()),
-    ]
-)
 
 
 def _binary_flat(arr: pa.Array, n: int) -> np.ndarray:
     """Zero-copy view of a BinaryArray's packed value bytes (each value
-    SHA1_W bytes), honoring array offset/slices.
+    a fixed byte width), honoring array offset/slices.
 
     The view assumes 32-bit offsets (pa.binary()) and no nulls; with
     ``spark.sql.execution.arrow.useLargeVarTypes=true`` the column
@@ -201,11 +347,11 @@ def _binary_flat(arr: pa.Array, n: int) -> np.ndarray:
     would silently misalign — fail loudly instead."""
     if arr.type != pa.binary():
         raise TypeError(
-            f"sha_bin must be pa.binary() (got {arr.type}); disable "
+            f"binary channel must be pa.binary() (got {arr.type}); disable "
             "spark.sql.execution.arrow.useLargeVarTypes for this job"
         )
     if arr.null_count:
-        raise ValueError("sha_bin contains nulls (malformed text_sha1 hex?)")
+        raise ValueError("binary channel contains nulls (malformed hex?)")
     offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)
     start = int(offsets[arr.offset])
     end = int(offsets[arr.offset + n])
@@ -218,10 +364,12 @@ def _encode_block_arrow(
     max_points: int | None = None,
     comp_level: int = 1,
     do_time_diff: bool = True,
+    channels: tuple[ChannelSpec, ...] = DEFAULT_CHANNELS,
 ) -> pa.RecordBatch:
     """Arrow-native twin of _encode_block: url/lang stay in Arrow
-    buffers (one .as_py() per GROUP, never per row), sha1 bytes are a
-    zero-copy view. Same codec calls → bit-identical payloads.
+    buffers (one .as_py() per GROUP, never per row), binary-channel
+    bytes are a zero-copy view. Same codec calls → bit-identical
+    payloads.
 
     chunk ids are DERIVED in-kernel (ts // chunk_dur) instead of being
     shipped as a column: the encode phase is Arrow-IPC-bandwidth-bound
@@ -231,11 +379,15 @@ def _encode_block_arrow(
     n = t.num_rows
     url = t.column("url").chunk(0)
     lang = t.column("lang").chunk(0)
-    ts_all = t.column("ts_us").chunk(0).to_numpy()
+    ts_all = t.column(TS_COL).chunk(0).to_numpy()
     cids = ts_all // chunk_dur
-    nch_all = t.column("n_chars").chunk(0).to_numpy()
-    val_all = t.column("value").chunk(0).to_numpy()
-    sha_all = _binary_flat(t.column("sha_bin").chunk(0), n).reshape(n, SHA1_W)
+    data: dict[str, np.ndarray] = {}
+    for c in channels:
+        col = t.column(c.name).chunk(0)
+        if c.is_binary:
+            data[c.name] = _binary_flat(col, n).reshape(n, c.width)
+        else:
+            data[c.name] = col.to_numpy()
 
     urlneq = pa.compute.not_equal(
         url.slice(1), url.slice(0, n - 1)
@@ -244,39 +396,17 @@ def _encode_block_arrow(
     starts = np.concatenate(([0], change))
     ends = np.concatenate((change, [n]))
     starts, ends = _segment_runs(starts, ends, max_points)
-    # ≙ do_time_diff=False (mtscomp.py:55): raw-codec timestamps; decode
-    # is unaffected because payload headers carry the codec id
-    ts_codec = codec.CODEC_DOD if do_time_diff else codec.CODEC_RAW
 
-    out: dict[str, list] = {c: [] for c in _OUT_COLS}
-    for s, e in zip(starts, ends):
-        ts = ts_all[s:e]
-        nch = nch_all[s:e]
-        val = val_all[s:e]
-        shab = sha_all[s:e].ravel()
-        p_ts = codec.encode_column(ts, ts_codec, comp_level)
-        p_n_chars = codec.encode_column(nch, codec.CODEC_DELTA, comp_level)
-        p_value = codec.encode_column(val, codec.CODEC_XOR, comp_level)
-        p_sha1 = codec.encode_column(shab, codec.CODEC_RAW, comp_level,
-                                     entropy=False)  # sha1 = digest bytes, never compressible
-        raw_sig = ts.nbytes + nch.nbytes + val.nbytes
-        comp_sig = len(p_ts) + len(p_n_chars) + len(p_value)
-        out["url"].append(url[int(s)].as_py())
-        out["chunk_id"].append(int(cids[s]))
-        out["lang"].append(lang[int(s)].as_py())
-        out["ts_min"].append(int(ts[0]))
-        out["ts_max"].append(int(ts[-1]))
-        out["n_points"].append(int(e - s))
-        out["raw_nbytes"].append(raw_sig + shab.nbytes)
-        out["comp_nbytes"].append(comp_sig + len(p_sha1))
-        out["raw_signal_nbytes"].append(raw_sig)
-        out["comp_signal_nbytes"].append(comp_sig)
-        out["sha1"].append(codec.chunk_sha1(ts, {"n_chars": nch, "value": val}))
-        out["p_ts"].append(p_ts)
-        out["p_n_chars"].append(p_n_chars)
-        out["p_value"].append(p_value)
-        out["p_sha1"].append(p_sha1)
-    return pa.RecordBatch.from_pydict(out, schema=_PA_CHUNK_SCHEMA)
+    out: dict[str, list] = {c: [] for c in _out_cols(channels)}
+
+    def emit_key(o, s):
+        o["url"].append(url[s].as_py())
+        o["chunk_id"].append(int(cids[s]))
+        o["lang"].append(lang[s].as_py())
+
+    _encode_groups(out, data, ts_all, starts, ends, comp_level,
+                   do_time_diff, channels, emit_key)
+    return pa.RecordBatch.from_pydict(out, schema=_pa_chunk_schema(channels))
 
 
 def _encode_stream(
@@ -285,13 +415,14 @@ def _encode_stream(
     max_points: int | None = None,
     comp_level: int = 1,
     do_time_diff: bool = True,
+    channels: tuple[ChannelSpec, ...] = DEFAULT_CHANNELS,
 ):
     """Streaming group encoder over Arrow RecordBatches (mapInArrow):
     groups are contiguous (sorted partition); the last group of each
     batch may continue into the next, so it is buffered and prepended.
 
     Arrow-native on purpose: a pandas handoff materializes one Python
-    object per row for every string column (url + sha1 = tens of
+    object per row for every string column (url + digests = tens of
     millions of allocations per task wave), which serializes on the
     kernel allocator well before 32 cores. Keeping rows in Arrow
     buffers makes the encode stage scale with cores."""
@@ -324,18 +455,18 @@ def _encode_stream(
                 n_full = (buf.num_rows // max_points) * max_points
                 yield _encode_block_arrow(
                     buf.slice(0, n_full), chunk_dur, max_points,
-                    comp_level, do_time_diff,
+                    comp_level, do_time_diff, channels,
                 )
                 buf = buf.slice(n_full) if n_full < buf.num_rows else None
             continue
         buf = t.slice(n - n_tail)
         yield _encode_block_arrow(
             t.slice(0, n - n_tail), chunk_dur, max_points, comp_level,
-            do_time_diff,
+            do_time_diff, channels,
         )
     if buf is not None and buf.num_rows:
         yield _encode_block_arrow(
-            buf, chunk_dur, max_points, comp_level, do_time_diff
+            buf, chunk_dur, max_points, comp_level, do_time_diff, channels
         )
 
 
@@ -343,6 +474,7 @@ def compress_series(
     series: DataFrame,
     cfg: EngineConfig = DEFAULT,
     pre_partitioned: bool = False,
+    channels: tuple[ChannelSpec, ...] = DEFAULT_CHANNELS,
 ) -> DataFrame:
     """series → compressed chunk rows (one row per (url, chunk_id)).
 
@@ -357,15 +489,20 @@ def compress_series(
     contiguous. This is the bucketed-table co-location pattern — at
     warehouse scale, write the series url-bucketed once and every
     compress run skips its shuffle.
+
+    ``channels`` declares the value channels (see ChannelSpec) — the
+    series must carry (url, lang, ts_us, *channel columns).
     """
     keyed = series.withColumn(
         "chunk_id", F.floor(F.col(TS_COL) / F.lit(cfg.chunk_duration_us))
-    ).withColumn(
-        # sha1 crosses the Arrow boundary as 20 raw bytes, not 40 hex
-        # chars: half the IPC bytes and no per-row Python strings; the
-        # sort tiebreak is order-identical (lowercase hex ≅ byte order)
-        "sha_bin", F.unhex("text_sha1")
-    ).drop("text_sha1")
+    )
+    for c in channels:
+        if c.is_binary and c.hex:
+            # digests cross the Arrow boundary as raw bytes, not hex
+            # chars: half the IPC bytes and no per-row Python strings;
+            # the sort tiebreak is order-identical (lowercase hex ≅
+            # byte order)
+            keyed = keyed.withColumn(c.name, F.unhex(c.name))
     if not pre_partitioned:
         keyed = keyed.repartition("url", "chunk_id")
     from functools import partial
@@ -376,6 +513,7 @@ def compress_series(
         max_points=cfg.hot_chunk_points,
         comp_level=cfg.comp_level,
         do_time_diff=cfg.do_time_diff,
+        channels=channels,
     )
     # NUMERIC sort key instead of url: web urls share a long common
     # prefix ("https://..."), so Spark's 8-byte string prefix comparator
@@ -393,54 +531,62 @@ def compress_series(
     # (derived there from ts; the narrow projection after the sort
     # preserves partition order). ~9% fewer Arrow-IPC bytes on the
     # bandwidth-bound boundary (BENCH/PROFILE_NOTES.md).
+    # Binary channels are the deterministic tiebreak for colliding
+    # timestamps (numeric channels stay out of the key — a digest
+    # already uniquifies real duplicates).
+    tiebreak = [c.name for c in channels if c.is_binary]
     return keyed.withColumn("_gh", F.xxhash64("url")).sortWithinPartitions(
-        "_gh", "chunk_id", TS_COL, "sha_bin"
+        "_gh", "chunk_id", TS_COL, *tiebreak
     ).select(
-        "url", "lang", TS_COL, "n_chars", "value", "sha_bin"
-    ).mapInArrow(encode, schema=CHUNK_SCHEMA)
+        "url", "lang", TS_COL, *[c.name for c in channels]
+    ).mapInArrow(encode, schema=chunk_schema(channels))
 
 
-def _hex_rows(sha_concat: bytes, n: int) -> list[str]:
-    big = sha_concat.hex()
-    return [big[i * 40:(i + 1) * 40] for i in range(n)]
+def _hex_rows(concat: bytes, n: int, width: int) -> list[str]:
+    big = concat.hex()
+    w2 = 2 * width
+    return [big[i * w2:(i + 1) * w2] for i in range(n)]
 
 
-ALL_CHANNELS = ("n_chars", "value", "text_sha1")
+def _bytes_rows(concat: bytes, n: int, width: int) -> list[bytes]:
+    return [concat[i * width:(i + 1) * width] for i in range(n)]
 
 
-def _decode_batch(pdf: pd.DataFrame, verify: bool,
-                  channels: tuple[str, ...]) -> pd.DataFrame:
-    want_n = "n_chars" in channels
-    want_v = "value" in channels
-    want_s = "text_sha1" in channels
-    urls, langs, tss, nchs, vals, shas, counts = [], [], [], [], [], [], []
+def _decode_batch(
+    pdf: pd.DataFrame,
+    verify: bool,
+    want: tuple[ChannelSpec, ...],
+    spec: tuple[ChannelSpec, ...],
+) -> pd.DataFrame:
+    numeric = [c for c in spec if not c.is_binary]
+    urls, langs, tss, counts = [], [], [], []
+    ch_parts: dict[str, list] = {c.name: [] for c in want}
     for row in pdf.itertuples(index=False):  # per-CHUNK, not per-point
         ts = codec.decode_column(row.p_ts)
+        decoded: dict[str, np.ndarray] = {}
         if verify:
-            nch = codec.decode_column(row.p_n_chars)
-            val = codec.decode_column(row.p_value)
-            got = codec.chunk_sha1(ts, {"n_chars": nch, "value": val})
+            for c in numeric:
+                decoded[c.name] = codec.decode_column(getattr(row, c.pcol))
+            got = codec.chunk_sha1(
+                ts, {c.name: decoded[c.name] for c in numeric}
+            )
             if got != row.sha1:
                 # ≙ "CRITICAL ERROR" hard failure, mtscomp.py:880-888
                 raise RuntimeError(
                     f"chunk integrity failure url={row.url} "
                     f"expected sha1={row.sha1} got={got}"
                 )
-        else:
-            nch = codec.decode_column(row.p_n_chars) if want_n else None
-            val = codec.decode_column(row.p_value) if want_v else None
         tss.append(ts)
         counts.append(len(ts))
         urls.append(row.url)
         langs.append(row.lang)
-        if want_n:
-            nchs.append(nch)
-        if want_v:
-            vals.append(val)
-        if want_s:
-            shas.append(codec.decode_column(row.p_sha1))
+        for c in want:
+            a = decoded.get(c.name)
+            if a is None:
+                a = codec.decode_column(getattr(row, c.pcol))
+            ch_parts[c.name].append(a)
     if not tss:
-        cols = ["url", "lang", TS_COL, *channels]
+        cols = ["url", "lang", TS_COL, *[c.name for c in want]]
         return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
     counts = np.asarray(counts)
 
@@ -459,14 +605,17 @@ def _decode_batch(pdf: pd.DataFrame, verify: bool,
         "lang": _cat(langs),
         TS_COL: np.concatenate(tss),
     }
-    if want_n:
-        out["n_chars"] = np.concatenate(nchs)
-    if want_v:
-        out["value"] = np.concatenate(vals)
-    if want_s:
-        out["text_sha1"] = _hex_rows(
-            np.concatenate(shas).tobytes(), int(counts.sum())
-        )
+    n_total = int(counts.sum())
+    for c in want:
+        if c.is_binary:
+            concat = np.concatenate(ch_parts[c.name]).tobytes()
+            out[c.name] = (
+                _hex_rows(concat, n_total, c.width)
+                if c.hex
+                else _bytes_rows(concat, n_total, c.width)
+            )
+        else:
+            out[c.name] = np.concatenate(ch_parts[c.name])
     return pd.DataFrame(out)
 
 
@@ -474,6 +623,7 @@ def decompress_chunks(
     chunks: DataFrame,
     verify: bool = False,
     channels: tuple[str, ...] = ALL_CHANNELS,
+    spec: tuple[ChannelSpec, ...] = DEFAULT_CHANNELS,
 ) -> DataFrame:
     """chunk rows → series rows, shuffle-free (mapInPandas).
 
@@ -481,23 +631,21 @@ def decompress_chunks(
     + the parallel bulk path Reader.tofile (mtscomp.py:701-743).
 
     ``channels`` is **projection pushdown into the codec**: only the
-    requested channel payloads are read (Parquet column pruning on the
-    p_* columns) and decoded. The reference decodes whole chunks and
-    selects afterwards (mtscomp.py:835-842); per-channel payload columns
-    make the projection free.
+    requested channel payloads (names into ``spec``) are read (Parquet
+    column pruning on the p_* columns) and decoded. The reference
+    decodes whole chunks and selects afterwards (mtscomp.py:835-842);
+    per-channel payload columns make the projection free.
 
     With verify=True each chunk's raw-byte SHA1 is recomputed and any
     mismatch raises (≙ post-write check, mtscomp.py:866-888: tampering
     must be a hard error, tests.py:345-379).
     """
-    channels = tuple(c for c in ALL_CHANNELS if c in channels)
+    by_name = {c.name: c for c in spec}
+    want = tuple(by_name[n] for n in by_name if n in channels)
     need = {"url", "lang", "sha1", "p_ts"}
-    if verify or "n_chars" in channels:
-        need.add("p_n_chars")
-    if verify or "value" in channels:
-        need.add("p_value")
-    if "text_sha1" in channels:
-        need.add("p_sha1")
+    need.update(c.pcol for c in want)
+    if verify:  # the ledger covers every numeric channel
+        need.update(c.pcol for c in spec if not c.is_binary)
     src = chunks.select(*sorted(need))
 
     fields = [
@@ -505,13 +653,13 @@ def decompress_chunks(
         T.StructField("lang", T.StringType(), True),
         T.StructField(TS_COL, T.LongType(), False),
     ]
-    by_name = {f.name: f for f in SERIES_SCHEMA.fields}
-    fields += [by_name[c] for c in channels]
+    series_by_name = {f.name: f for f in series_schema(spec).fields}
+    fields += [series_by_name[c.name] for c in want]
     schema = T.StructType(fields)
 
-    def gen(batches, _verify=verify, _channels=channels):
+    def gen(batches, _verify=verify, _want=want, _spec=spec):
         for pdf in batches:
-            out = _decode_batch(pdf, _verify, _channels)
+            out = _decode_batch(pdf, _verify, _want, _spec)
             if not out.empty:
                 yield out
 

@@ -174,3 +174,84 @@ def test_pre_partitioned_compress_equivalent(spark, store):
     chunks = ch.compress_series(pre, DEFAULT, pre_partitioned=True)
     decoded = ch.decompress_chunks(chunks, verify=True)
     assert _canon(decoded) == _canon(series)
+
+
+def test_generic_channel_spec_roundtrip(spark):
+    """Channel genericity (≙ the reference's dtype/n_channels matrix,
+    mtscomp.py:286,300-303; tests.py:100-102,240-243): a DECLARED
+    4-numeric-channel mixed int/float spec plus a raw fixed-width
+    binary channel round-trips bit-exactly through the same
+    compress/decompress engine — no engine edits, just the spec."""
+    import numpy as np
+
+    from mtslake.chunk import (ChannelSpec, compress_series,
+                               decompress_chunks)
+
+    spec = (
+        ChannelSpec("temp", "float32"),
+        ChannelSpec("hum", "int16"),
+        ChannelSpec("count", "int64"),
+        ChannelSpec("press", "float64"),
+        ChannelSpec("tag", width=8),  # raw binary, non-hex
+    )
+    rng = np.random.default_rng(3)
+    n = 4000
+    rows = []
+    for i in range(n):
+        rows.append((
+            f"https://s{i % 7}.example.com/x",
+            "en",
+            int(rng.integers(0, 5)) * 86_400_000_000
+            + int(rng.integers(0, 86_400_000_000)),
+            float(np.float32(rng.normal() * 30)),
+            int(rng.integers(-300, 300)),
+            int(rng.integers(-2**40, 2**40)),
+            float(rng.normal() * 1e5),
+            bytes(rng.integers(0, 256, size=8, dtype=np.uint8)),
+        ))
+    series = spark.createDataFrame(
+        rows,
+        "url string, lang string, ts_us long, temp float, hum short, "
+        "count long, press double, tag binary",
+    )
+    chunks = compress_series(series, DEFAULT, channels=spec)
+    decoded = decompress_chunks(chunks, verify=True, spec=spec,
+                                channels=tuple(c.name for c in spec))
+    got = {tuple(r) for r in decoded.select(
+        "url", TS_COL, "temp", "hum", "count", "press", "tag").collect()}
+    want = {tuple(r) for r in series.select(
+        "url", TS_COL, "temp", "hum", "count", "press", "tag").collect()}
+    assert got == want
+
+    # projection pushdown holds for generic specs too: a two-channel
+    # read over the stored table must not scan the other payload columns
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        chunks.write.parquet(f"{tmp}/chunks")
+        stored = spark.read.parquet(f"{tmp}/chunks")
+        narrow = decompress_chunks(stored, spec=spec,
+                                   channels=("hum", "tag"))
+        plan = narrow._jdf.queryExecution().executedPlan().toString()
+        assert "p_temp" not in plan and "p_press" not in plan
+        assert set(narrow.columns) == {"url", "lang", "ts_us", "hum", "tag"}
+        got2 = {tuple(r) for r in narrow.select("url", TS_COL, "hum",
+                                                "tag").collect()}
+        want2 = {tuple(r) for r in series.select("url", TS_COL, "hum",
+                                                 "tag").collect()}
+        assert got2 == want2
+
+
+def test_generic_spec_matches_default_layout(spark):
+    """The DEFAULT_CHANNELS spec routed through the generic machinery
+    must produce byte-identical chunk rows to itself across runs (the
+    spec IS the fixed layout — regression guard for the genericization
+    refactor)."""
+    from mtslake.chunk import DEFAULT_CHANNELS, compress_series
+
+    pages = generate_pages(spark, n_urls=6, snapshots_per_url=24)
+    series = pages_to_series(pages)
+    a = {tuple(r) for r in compress_series(series, DEFAULT).collect()}
+    b = {tuple(r) for r in compress_series(
+        series, DEFAULT, channels=DEFAULT_CHANNELS).collect()}
+    assert a == b
