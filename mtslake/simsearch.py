@@ -118,6 +118,72 @@ def _cell_scores(col, cents) -> F.Column:
     return F.array(*[cosine(col, _lit_vec(c)) for c in cents])
 
 
+def train_centroids(
+    e: DataFrame,
+    n_cells: int,
+    n_iter: int = 3,
+    sample_fraction: float | None = None,
+    vectorized: bool | None = None,
+) -> list:
+    """Spherical-k-means refinement of the seeded-sample quantizer: a
+    few distributed Lloyd iterations — assign (the same vectorized
+    broadcast-centroid kernel the quantizer uses) then re-center.
+
+    Seeded-sample centroids are just random vectors: on skewed
+    embedding distributions several land in one dense region while
+    sparse regions get none, so probes are wasted re-ranking
+    near-duplicate cells (recall@k at fixed n_probe measurably drops —
+    pytest in tests/test_trainops.py shows the trained quantizer
+    strictly improving it on a clustered set). Each iteration:
+
+    * assignment: one pass over the (sampled) table — numpy GEMM per
+      Arrow batch via ``_assign_cells``;
+    * update: per-(cell, component) mean via ``posexplode`` + partial-
+      aggregated groupBy — the shuffle carries (cell, pos, sum, cnt)
+      partials, never vectors — then an O(n_cells × dim) collect
+      (metadata-scale; 1024 cells × 64 dims = 65k rows). Cosine
+      assignment is scale-invariant, so means need no renormalization.
+      Empty cells keep their previous centroid.
+
+    ``sample_fraction``: train on a seeded sample — at 100 TB the
+    quantizer trains on ~10⁶ vectors, not the corpus. Deterministic
+    given the input (up to float reduction order in the means; the
+    search contract itself never depends on the quantizer — full probe
+    is quantizer-independent)."""
+    cents = _seeded_centroids(e, n_cells)
+    train = (
+        e.sample(fraction=sample_fraction, seed=7)
+        if sample_fraction is not None
+        else e
+    )
+    train = train.select("_v").persist()
+    try:
+        for _ in range(max(0, int(n_iter))):
+            assigned = _assign_cells(train, cents, vectorized=vectorized)
+            stats = (
+                assigned.select("cell", F.posexplode("_v").alias("pos", "x"))
+                .groupBy("cell", "pos")
+                .agg(F.sum("x").alias("s"), F.count("*").alias("c"))
+                .collect()
+            )
+            dim = len(cents[0])
+            new = [list(c) for c in cents]  # empty cells keep centroids
+            acc: dict[int, np.ndarray] = {}
+            cnt: dict[int, int] = {}
+            for r in stats:
+                cell = int(r["cell"]) - 1
+                if cell not in acc:
+                    acc[cell] = np.zeros(dim)
+                acc[cell][int(r["pos"])] = r["s"]
+                cnt[cell] = int(r["c"])
+            for cell, s in acc.items():
+                new[cell] = (s / cnt[cell]).tolist()
+            cents = new
+    finally:
+        train.unpersist()
+    return cents
+
+
 # Above this many cells the expression-tree quantizer (one cosine
 # expression per centroid, O(n_cells*dim) literals per row) outgrows
 # whole-stage codegen; real 100-TB IVF wants 10^3-10^5 cells, which only
@@ -210,6 +276,8 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     vectorized: bool | None = None,
+    train_iters: int = 0,
+    train_sample: float | None = None,
 ) -> None:
     """Materialize the IVF layout for 100-TB search: the embedding
     table written ONCE partitioned by its assigned cell, centroids in a
@@ -217,7 +285,11 @@ def build_ivf_index(
     partitions (directory-level pruning — the inverted-list read is
     O(probed cells), never a full scan; plan-asserted in
     tests/test_plans.py). Quantizer auto-vectorizes past
-    ``_EXPR_QUANTIZER_MAX_CELLS`` (see ``_assign_cells``)."""
+    ``_EXPR_QUANTIZER_MAX_CELLS`` (see ``_assign_cells``).
+
+    ``train_iters`` > 0 refines the seeded-sample quantizer with that
+    many Lloyd iterations (``train_centroids``) over ``train_sample``
+    of the table — better probe efficiency on skewed distributions."""
     import json
     import os
 
@@ -225,7 +297,11 @@ def build_ivf_index(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
-    cents = _seeded_centroids(e, n_cells)
+    if train_iters > 0:
+        cents = train_centroids(e, n_cells, train_iters, train_sample,
+                                vectorized)
+    else:
+        cents = _seeded_centroids(e, n_cells)
     assigned = _assign_cells(e, cents, vectorized=vectorized)
     assigned.repartition("cell").write.mode("overwrite").partitionBy(
         "cell"
@@ -278,12 +354,14 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     vectorized: bool | None = None,
+    train_iters: int = 0,
 ) -> DataFrame:
     """IVF ANN — the inverted-file sibling of ``lsh_topk``.
 
     Coarse quantizer: ``n_cells`` deterministic centroids (the vectors
-    with the smallest ``xxhash64(id)`` — a seeded sample, no training
-    loop, so results are reproducible). Every vector is assigned to its
+    with the smallest ``xxhash64(id)`` — a seeded sample; pass
+    ``train_iters`` > 0 for Lloyd-refined centroids on skewed
+    distributions, see ``train_centroids``). Every vector is assigned to its
     max-cosine centroid (the inverted lists) — JVM-side expressions for
     small quantizers, a broadcast-centroid numpy GEMM per Arrow batch
     past ``_EXPR_QUANTIZER_MAX_CELLS`` (10³-10⁵ cells, the real-IVF
@@ -297,7 +375,11 @@ def ivf_topk(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
-    cents = _seeded_centroids(e, n_cells)
+    if train_iters > 0:
+        cents = train_centroids(e, n_cells, train_iters,
+                                vectorized=vectorized)
+    else:
+        cents = _seeded_centroids(e, n_cells)
     assigned = _assign_cells(e, cents, vectorized=vectorized)
 
     p = probes.select(

@@ -65,6 +65,8 @@ def streaming_compress(
     series_stream: DataFrame,
     cfg: EngineConfig = DEFAULT,
     watermark: str = "0 seconds",
+    late_policy: str = "seal",
+    late_counter=None,
 ) -> DataFrame:
     """Custom stateful streaming operator (``applyInPandasWithState``):
     the streaming sibling of ``chunk.compress_series``.
@@ -79,9 +81,27 @@ def streaming_compress(
 
     An event-time timeout is armed at the earliest open chunk's end
     boundary, so urls that stop receiving data still flush as the
-    global watermark advances. Rows later than the watermark are
-    dropped by Spark before they reach the state handler — the
-    streaming retention horizon.
+    global watermark advances.
+
+    **Late data is handled HERE, not by Spark**: for arbitrary stateful
+    operators Spark's watermark drives timeouts and state cleanup but
+    does NOT filter late input rows (verified empirically —
+    ``numRowsDroppedByWatermark`` stays 0 and late rows reach the
+    handler). A row landing in a chunk already closed by the watermark
+    is *late*; ``late_policy`` decides:
+
+    * ``"seal"`` (default) — no data loss: late rows are sealed
+      immediately as their own segment row of the already-closed chunk
+      (a layout the store supports — hot-chunk segmentation — and that
+      ``compact`` later merges);
+    * ``"drop"`` — the streaming retention horizon: late rows are
+      discarded.
+
+    Either way the count is OBSERVABLE: pass ``late_counter`` (a
+    ``sparkContext.accumulator(0)``) and every late row increments it —
+    silent late-data loss is the one failure mode a pipeline must never
+    hide (the batch analogue is the hard-failing integrity check,
+    mtscomp.py:497-506). ``record_late_drops`` persists it as lineage.
 
     State is bounded to O(hot_chunk_points) rows per url even while a
     single giant chunk streams through: once an OPEN chunk's buffer
@@ -102,6 +122,9 @@ def streaming_compress(
     from . import chunk as chunk_mod
     from .series import TS_COL
 
+    if late_policy not in ("seal", "drop"):
+        raise ValueError(f"late_policy must be 'seal' or 'drop', "
+                         f"got {late_policy!r}")
     dur = cfg.chunk_duration_us
     cols = ["lang", TS_COL, "n_chars", "value", "text_sha1"]
 
@@ -124,12 +147,29 @@ def streaming_compress(
                 "value": pd.Series(val, dtype="float64"),
                 "text_sha1": sha,
             }))
-        parts += [p[cols] for p in pdfs if len(p)]
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        new_parts = [p[cols] for p in pdfs if len(p)]
+        if new_parts and wm_us > 0:
+            # late = NEW rows behind the current watermark (Spark does
+            # not filter them for arbitrary stateful ops — see the
+            # operator docstring). Count always; drop only under the
+            # retention-horizon policy. State-restored rows were
+            # on-time when they arrived and are never late.
+            new = pd.concat(new_parts, ignore_index=True)
+            late_mask = new[TS_COL] < wm_us
+            n_late = int(late_mask.sum())
+            if n_late and late_counter is not None:
+                late_counter.add(n_late)
+            if n_late and late_policy == "drop":
+                new = new[~late_mask]
+            new_parts = [new] if len(new) else []
+        parts += new_parts
         if not parts:
+            if not state.exists:
+                return
             state.remove()
             return
         pdf = pd.concat(parts, ignore_index=True)
-        wm_us = state.getCurrentWatermarkMs() * 1000
         closed_below = wm_us // dur  # chunk ids < this are sealed
         pdf["chunk_id"] = pdf[TS_COL] // dur
         pdf = pdf.sort_values(
@@ -192,16 +232,66 @@ def streaming_compress(
     )
 
 
+def late_drop_counts(query, late_counter=None) -> dict:
+    """Late-data counts for a streaming query, from two sources:
+
+    * ``per_batch``/``total`` — rows Spark itself dropped at the
+      watermark (``stateOperators[].numRowsDroppedByWatermark``;
+      nonzero for windowed aggregations like ``streaming_rollup``);
+    * ``sealer_late_rows`` — late rows the ``streaming_compress``
+      handler observed via its accumulator (Spark does NOT filter late
+      input for arbitrary stateful ops, so the operator counts its own
+      — see ``streaming_compress``).
+
+    A real pipeline must alarm on late-data loss rather than let it
+    vanish (the batch analogue is the hard-failing integrity check,
+    mtscomp.py:497-506; a retention horizon may drop data, but never
+    silently)."""
+    per_batch: dict[int, int] = {}
+    for p in query.recentProgress:
+        dropped = sum(
+            int(op.get("numRowsDroppedByWatermark", 0))
+            for op in p.get("stateOperators", [])
+        )
+        per_batch[int(p["batchId"])] = dropped
+    out = {"total": sum(per_batch.values()), "per_batch": per_batch}
+    if late_counter is not None:
+        out["sealer_late_rows"] = int(late_counter.value)
+        out["total"] += out["sealer_late_rows"]
+    return out
+
+
+def record_late_drops(store, query, job_id: str = "stream",
+                      late_counter=None) -> dict:
+    """Persist the late-data counts as lineage rows (``lineage_stream``
+    table) so a scheduled job can alarm on loss — the streaming sibling
+    of the per-partition compress lineage."""
+    counts = late_drop_counts(query, late_counter)
+    rows = [
+        (job_id, int(b), int(n)) for b, n in sorted(counts["per_batch"].items())
+    ]
+    if counts.get("sealer_late_rows"):
+        rows.append((job_id, -1, int(counts["sealer_late_rows"])))
+    if rows:
+        store.spark.createDataFrame(
+            rows, "job_id string, batch_id long, rows_dropped_late long"
+        ).write.mode("append").parquet(store.path("lineage_stream"))
+    return counts
+
+
 def run_compress_stream_to_parquet(
     series_stream: DataFrame,
     out_path: str,
     checkpoint_path: str,
     cfg: EngineConfig = DEFAULT,
     watermark: str = "0 seconds",
+    late_policy: str = "seal",
+    late_counter=None,
 ):
     """writeStream of sealed streaming chunks (append = sealed-only);
     restart resumes from the checkpoint without re-emitting."""
-    sealed = streaming_compress(series_stream, cfg, watermark)
+    sealed = streaming_compress(series_stream, cfg, watermark,
+                                late_policy, late_counter)
     return (
         sealed.writeStream.format("parquet")
         .option("path", out_path)

@@ -157,3 +157,70 @@ def test_streaming_tier_reaggregates_into_batch_1h(spark, series_parquet,
     g = {tuple(r) for r in got_1h.filter(F.col("bucket_us") < cutoff).collect()}
     e = {tuple(r) for r in exp_1h.filter(F.col("bucket_us") < cutoff).collect()}
     assert g == e
+
+
+def test_late_rows_past_watermark_are_counted(spark, tmp_path):
+    """Spark does NOT filter late input for applyInPandasWithState —
+    the sealer handles lateness itself. Under both policies the late
+    count must be observable via the accumulator + record_late_drops;
+    'seal' keeps the rows (own segment of the closed chunk), 'drop'
+    discards them (retention-horizon semantics)."""
+    import pandas as pd
+
+    from mtslake.catalog import ChunkStore
+
+    cfg = DEFAULT.with_overrides(chunk_duration_us=US_PER_HOUR)
+    t0 = 1_700_000_000_000_000 - (1_700_000_000_000_000 % US_PER_HOUR)
+
+    def mk(ts_list, tag):
+        return pd.DataFrame({
+            "url": "https://late.example.com/",
+            "lang": "en",
+            "ts_us": ts_list,
+            "n_chars": 100,
+            "value": 1.0,
+            "text_sha1": [f"{tag}{i:039x}"[:40]
+                          for i in range(len(ts_list))],
+        })
+
+    # batch 0: fresh data 3 hours in -> watermark advances to its max
+    # batch 1: 5 rows from hour 0, far behind the watermark -> LATE
+    fresh = mk([t0 + 3 * US_PER_HOUR + i * 1_000_000 for i in range(20)], "a")
+    late = mk([t0 + i * 1_000_000 for i in range(5)], "b")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, pdf in enumerate([fresh, late]):
+        part = spark.createDataFrame(pdf, schema=chunk.SERIES_SCHEMA)
+        d = str(tmp_path / f"stage{i}")
+        part.coalesce(1).write.parquet(d)
+        f = glob.glob(f"{d}/part-*.parquet")[0]
+        dst = f"{src}/{i:02d}.parquet"
+        shutil.move(f, dst)
+        os.utime(dst, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
+
+    for policy, expect_rows in (("drop", 0), ("seal", 1)):
+        ctr = spark.sparkContext.accumulator(0)
+        stream = spark.readStream.schema(
+            chunk.SERIES_SCHEMA).option("maxFilesPerTrigger", "1").parquet(src)
+        out = str(tmp_path / f"chunks_{policy}")
+        ck = str(tmp_path / f"ck_{policy}")
+        q = streaming.run_compress_stream_to_parquet(
+            stream, out, ck, cfg, late_policy=policy, late_counter=ctr
+        ).start()
+        q.awaitTermination()
+
+        st = ChunkStore(spark, str(tmp_path / f"store_{policy}"))
+        counts = streaming.record_late_drops(st, q, job_id="t",
+                                             late_counter=ctr)
+        assert counts["sealer_late_rows"] == 5, counts
+        assert counts["total"] == 5, counts
+        # the loss/lateness is persisted for alerting
+        persisted = spark.read.parquet(st.path("lineage_stream"))
+        assert persisted.agg(F.sum("rows_dropped_late")).first()[0] == 5
+        # drop: late rows truly absent; seal: present as their own
+        # segment row of the long-closed chunk
+        sealed = spark.read.parquet(out)
+        got = sealed.filter(F.col("chunk_id") == t0 // US_PER_HOUR)
+        assert got.count() == expect_rows, policy
+        if expect_rows:
+            assert got.first()["n_points"] == 5
