@@ -569,6 +569,16 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_features(_docs(spark, sf_dir))
 
 
+def q_doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms over the corpus. The scoring is
+    transcendental-free ((tf/doc_len)·((N+1)/(df+1)) — IEEE divisions
+    and one multiply), so rank order is bit-identical to the DuckDB
+    oracle, which replays the whole pipeline in SQL."""
+    from mtslake.textops import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf_dir), k=3)
+
+
 def q_ts_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compaction graded end-to-end with a TRUE SQL oracle: the events
     series is compressed under hot_chunk_points=2 (every (url, day)
@@ -1075,6 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_ppm_pipeline": q_mm_ppm_pipeline,
         "mm_png_pipeline": q_mm_png_pipeline,
         "doc_repetition": q_doc_repetition,
+        "doc_tfidf_topk": q_doc_tfidf_topk,
         "doc_url_normalize": q_doc_url_normalize,
         "doc_corpus_clean": q_doc_corpus_clean,
         "emb_cosine_topk": q_emb_cosine_topk,
@@ -1491,6 +1502,35 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS rows_after,
                    CAST(SUM(cnt) AS BIGINT) AS n_points
             FROM g
+        """,
+        "doc_tfidf_topk": r"""
+            WITH toks AS (
+                SELECT doc_id, unnest(
+                    list_filter(string_split_regex(lower(trim(text)),
+                        '\s+'), x -> x <> '')) AS term
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM toks GROUP BY doc_id, term
+            ), scored AS (
+                SELECT doc_id, term,
+                       (CAST(tf AS DOUBLE)
+                        / CAST(sum(tf) OVER (PARTITION BY doc_id)
+                               AS DOUBLE))
+                       * ((CAST((SELECT count(*) FROM documents) AS DOUBLE)
+                           + 1.0)
+                          / (CAST(count(*) OVER (PARTITION BY term)
+                                  AS DOUBLE) + 1.0)) AS score
+                FROM tf
+            )
+            SELECT doc_id, term, ROUND(score, 9) AS score, rank
+            FROM (
+                SELECT doc_id, term, score,
+                       CAST(row_number() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY score DESC, term) AS INT) AS rank
+                FROM scored
+            ) WHERE rank <= 3
         """,
         "doc_repetition": r"""
             WITH toks AS (

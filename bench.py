@@ -141,6 +141,18 @@ def main() -> None:
                 best = it
         timings.update(best)
 
+        # pure decompress throughput: full decode of every channel, no
+        # rollup — the direct column for the reference's single-thread
+        # decompression MB/s (README.md:177); MB = the catalog's
+        # raw_nbytes (true decoded width, 44 B/point)
+        timed("decode_full", lambda: read.read_range(store).count())
+        raw_nbytes = store.catalog().agg(
+            F.sum("raw_nbytes")
+        ).first()[0]
+        decode_mb_s = round(
+            raw_nbytes / 1e6 / timings["decode_full"], 1
+        )
+
         # headline random access: 1-day window mid-horizon
         t0p = series.agg(F.min("ts_us")).first()[0]
         timed(
@@ -188,6 +200,7 @@ def main() -> None:
             "n_rolled_points_1m": rolled_points,
             "cpus": cpus,
             "pipeline_sec": round(pipeline_sec, 3),
+            "decode_mb_s": decode_mb_s,
         }
         print(json.dumps(result))
     finally:

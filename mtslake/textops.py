@@ -189,3 +189,56 @@ def repetition_features(docs: DataFrame, text_col: str = "text",
             ).alias("top_2gram_frac"),
         )
     )
+
+
+def tfidf_topk(docs: DataFrame, k: int = 3, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Per-document top-k terms by TF-IDF — the keyword-extraction /
+    salient-term primitive of corpus analysis pipelines.
+
+    Scoring is deliberately transcendental-free:
+
+        score = (tf / doc_len) · ((N + 1) / (df + 1))
+
+    — two IEEE divisions and one multiply, each correctly rounded on
+    every engine, so the RANKING (not just the rounded score) is
+    bit-identical between Spark and the SQL oracle. A log-idf variant
+    would hinge on ulp-level libm agreement for near-ties.
+
+    Scale shape: one explode + (doc, term) hash aggregation, then two
+    narrow window passes (doc_len over doc, df over term) and a final
+    per-doc top-k window — every shuffle carries only (doc_id, term,
+    tf). N (corpus size) is a broadcast scalar. Ties: score desc, term
+    asc."""
+    from pyspark.sql import Window as W
+
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda x: x != "",
+    )
+    tf = (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    n = docs.select(F.count("*").cast("double").alias("_n"))
+    scored = (
+        tf.withColumn("dl", F.sum("tf").over(W.partitionBy("doc_id")))
+        .withColumn("df", F.count("*").over(W.partitionBy("term")))
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            (F.col("tf").cast("double") / F.col("dl").cast("double"))
+            * ((F.col("_n") + F.lit(1.0))
+               / (F.col("df").cast("double") + F.lit(1.0))),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id", "term", F.round("score", 9).alias("score"), "rank"
+        )
+    )

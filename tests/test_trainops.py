@@ -579,3 +579,28 @@ def test_trained_ivf_centroids_improve_recall(spark):
                               n_probe=1, train_iters=4))
     assert trained > seeded, (seeded, trained)
     assert trained >= 0.9, trained
+
+
+def test_tfidf_topk_hand_case(spark):
+    """Known corpus: rare terms outrank common ones; ties break on
+    term; scores match the closed-form (tf/dl)*((N+1)/(df+1))."""
+    from mtslake.textops import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "banana banana banana"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {(r["doc_id"], r["rank"]): (r["term"], r["score"])
+            for r in tfidf_topk(docs, k=2).collect()}
+    # doc 1: apple tf=2 dl=3 df=1 -> (2/3)*(4/2)=4/3; banana tf=1 df=3 -> (1/3)*1=1/3
+    assert rows[(1, 1)] == ("apple", round((2 / 3) * (4 / 2), 9))
+    assert rows[(1, 2)] == ("banana", round((1 / 3) * (4 / 4), 9))
+    # doc 2: cherry (1/2)*(4/2)=1.0 beats banana (1/2)*(4/4)=0.25
+    assert rows[(2, 1)] == ("cherry", 1.0)
+    # doc 3: only banana
+    assert rows[(3, 1)] == ("banana", round(1.0 * (4 / 4), 9))
+    assert (3, 2) not in rows
