@@ -801,6 +801,78 @@ def q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_validity(out, emb, k=5)
 
 
+def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization compression + ADC search graded end-to-end
+    as a validity construction: codebooks train on the corpus, every
+    vector's CODES are re-derived by an independent numpy argmin
+    (grading encode), every returned ADC distance is re-summed from
+    the codebook tables (grading search), ranks are recounted. Oracle
+    = the exact constants a correct run must hit."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from mtslake.pq import pq_encode, pq_search, pq_train
+
+    from pyspark.sql import Window as W
+
+    emb = _emb(spark, sf_dir)
+    books = pq_train(emb, m=8, n_iter=5, sample=2000)
+    enc = pq_encode(emb, books)
+    probes = (
+        emb.orderBy("vec_id").limit(3)
+        .select(F.col("vec_id").alias("probe_id"),
+                F.col("embedding").alias("probe_vec"))
+    )
+    out = pq_search(enc, books, probes, k=5)
+
+    mats = [np.asarray(b, dtype=np.float64) for b in books]
+    m = len(mats)
+    sub = mats[0].shape[1]
+
+    @pandas_udf("struct<code_bad: long, d2_bad: long>")
+    def verify(codes: pd.Series, vecs: pd.Series, pvecs: pd.Series,
+               d2s: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        code_bad, d2_bad = [], []
+        for c, v, p, d in zip(codes, vecs, pvecs, d2s):
+            v = np.asarray(v, dtype=np.float64)
+            p = np.asarray(p, dtype=np.float64)
+            got = np.frombuffer(bytes(c), dtype=np.uint8)
+            want = np.empty(m, dtype=np.uint8)
+            d2 = 0.0
+            for j in range(m):
+                C = mats[j]
+                diff = C - v[j * sub:(j + 1) * sub][None, :]
+                want[j] = int((diff * diff).sum(axis=1).argmin())
+                pd_ = C[got[j]] - p[j * sub:(j + 1) * sub]
+                d2 += float((pd_ * pd_).sum())
+            code_bad.append(int(not (got == want).all()))
+            d2_bad.append(int(abs(round(d2, 9) - d) > 1e-9))
+        return pd.DataFrame({"code_bad": code_bad, "d2_bad": d2_bad})
+
+    e = emb.select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("_ev"))
+    p = probes.select("probe_id",
+                      F.col("probe_vec").cast("array<double>").alias("_pv"))
+    joined = (
+        out.join(enc, "vec_id").join(e, "vec_id")
+        .join(F.broadcast(p), "probe_id")
+        .withColumn("_chk", verify(F.col("codes"), F.col("_ev"),
+                                   F.col("_pv"), F.col("adc_d2")))
+    )
+    w = W.partitionBy("probe_id").orderBy(F.asc("adc_d2"), F.asc("vec_id"))
+    checked = joined.withColumn("_rk", F.row_number().over(w))
+    return checked.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("_chk.code_bad").cast("long").alias("n_code_mismatch"),
+        F.sum("_chk.d2_bad").cast("long").alias("n_d2_mismatch"),
+        F.sum(F.when(F.col("rank") != F.col("_rk"), 1).otherwise(0))
+        .cast("long").alias("n_rank_bad"),
+        F.countDistinct("probe_id").alias("n_probes"),
+    )
+
+
 def _ann_validity(out: DataFrame, emb: DataFrame, k: int) -> DataFrame:
     """Validity construction for approximate top-k (the
     ts_verify_roundtrip pattern): the ANN's rows are re-scored by an
@@ -1093,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_topk": q_emb_ivf_topk,
         "emb_ivf_full_probe": q_emb_ivf_full_probe,
         "emb_near_dup": q_emb_near_dup,
+        "emb_pq_topk": q_emb_pq_topk,
         "emb_lsh_planted_recall": q_emb_lsh_planted_recall,
         "doc_minhash_lsh_recall": q_doc_minhash_lsh_recall,
         "rel_pricing_summary": q_rel_pricing_summary,
@@ -1439,6 +1512,15 @@ def oracle_sql() -> dict[str, str]:
         "emb_lsh_topk": """
             SELECT CAST(15 AS BIGINT) AS n_rows,
                    CAST(0 AS BIGINT) AS n_cos_mismatch,
+                   CAST(0 AS BIGINT) AS n_rank_bad,
+                   CAST(3 AS BIGINT) AS n_probes
+        """,
+        # PQ validity construction (see q_emb_pq_topk): codes re-derived
+        # independently, ADC distances re-summed from the tables
+        "emb_pq_topk": """
+            SELECT CAST(15 AS BIGINT) AS n_rows,
+                   CAST(0 AS BIGINT) AS n_code_mismatch,
+                   CAST(0 AS BIGINT) AS n_d2_mismatch,
                    CAST(0 AS BIGINT) AS n_rank_bad,
                    CAST(3 AS BIGINT) AS n_probes
         """,
