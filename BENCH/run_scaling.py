@@ -188,14 +188,17 @@ Two host-ceiling probes at the same pinning, no Spark: the ALU probe
 bytes copied per worker). Phase analysis (BENCH/profile notes) shows
 the pipeline's dominant phases — Arrow IPC, partition sort, shuffle,
 cache scans — are bandwidth-bound: during them ALL cores are busy while
-total core-seconds inflate ~3.6× from 8 to 32 workers, and the
-bandwidth probe reproduces the engine's 8→32 ratio almost exactly
-(memcpy aggregate bandwidth only doubles from 8 to 32 workers on this
-box). A real 4× cluster adds a memory bus per executor; this single box
-does not — which is precisely what the N→4N criterion's real-cluster
-form would not suffer. The north_rule's ≥0.8 criterion is met in the
-host's linear zone (2→8); at 8→32 the engine tracks the host's
-memory-bandwidth ceiling.
+total core-seconds inflate ~3.6× from 8 to 32 workers. The probe
+ceilings FLUCTUATE run-to-run on this shared host (across rounds the
+8→32 bandwidth ceiling has measured anywhere from 0.31 to 0.71, ALU
+0.63–0.70), so the honest statement is a band: the engine's 8→32
+efficiency consistently lands at ≈ 0.52–0.53, i.e. between the two
+host ceilings observed at the same pinning, while every probe agrees
+the host stops scaling linearly past ~8–16 pinned vCPUs. A real 4×
+cluster adds a memory bus and an L3 per executor; this single box does
+not — which is precisely what the N→4N criterion's real-cluster form
+would not suffer. The north_rule's ≥0.8 criterion is met in the host's
+linear zone (2→8); at 8→32 the engine tracks the host ceilings.
 
 Reference single-node numbers (BASELINE.md): compression 88 MB/s on 20
 threads ≈ 2,000,000 points/sec at our 44 B/point row width;
