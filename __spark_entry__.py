@@ -107,6 +107,23 @@ def q_ts_rollup_1d_from_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_moving_avg_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 24-hour moving aggregates over the 1h tier — the TSDB
+    dashboard read. RANGE-framed on the numeric bucket so sparse holes
+    are NOT silently smoothed over (a ROWS frame would average across a
+    week-long gap); the moving mean derives from the tier's exact
+    decimal sums. The SQL oracle replays the identical RANGE window."""
+    from mtslake.rollup import moving_aggregate
+
+    series = events_to_series(_events(spark, sf_dir))
+    rolled = _rollup.rollup_from_series(series, "1h")
+    mov = moving_aggregate(rolled, "1h", n_buckets=24)
+    return mov.select(
+        "url_prefix", "lang", "bucket_us", "cnt", "mov_cnt",
+        "mov_vmin", "mov_vmax", F.round("mov_vmean", 6).alias("mov_vmean"),
+    )
+
+
 def q_ts_read_range_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded = _roundtrip_series(spark, sf_dir)
     return (
@@ -428,6 +445,40 @@ def q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(
         _docs(spark, sf_dir), n_hashes=64, bands=64, jaccard_threshold=0.5,
         max_bucket=None,
+    )
+
+
+def q_doc_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nightly-ingest dedup against the TRUE SQL oracle: the banded
+    MinHash index is built on the OLD corpus (doc_id < 400), the NEW
+    batch (doc_id ≥ 400) probes it (partition/row-group-pruned scan,
+    O(batch + touched buckets), never O(corpus)) and the pairs
+    involving new docs — at full-recall 64×1 banding, no skew cap —
+    provably equal the exact all-pairs Jaccard set restricted to
+    id_b ≥ 400, which DuckDB computes directly."""
+    import shutil
+    import tempfile
+
+    from mtslake.dedup import build_minhash_index, incremental_minhash_pairs
+
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") < 400)
+    new = docs.filter(F.col("doc_id") >= 400)
+    tmp = tempfile.mkdtemp(prefix="mtslake_mh_idx_")
+    try:
+        build_minhash_index(old, tmp, n_hashes=64, bands=64)
+        out = incremental_minhash_pairs(
+            new, tmp, docs, jaccard_threshold=0.5, max_bucket=None,
+            update_index=False,
+        )
+        # the probe materializes its candidates eagerly
+        # (localCheckpoint), so collecting here is safe after cleanup;
+        # but the exact verify is lazy — force it before rmtree
+        rows = out.collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows or [], "id_a long, id_b long, jaccard double"
     )
 
 
@@ -1131,6 +1182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_rollup_1h_codec": q_ts_rollup_1h_codec,
         "ts_rollup_1d_from_1h": q_ts_rollup_1d_from_1h,
         "ts_read_range_codec": q_ts_read_range_codec,
+        "ts_moving_avg_24h": q_ts_moving_avg_24h,
         "ts_gapfill_1h_locf": q_ts_gapfill_1h_locf,
         "ts_gapfill_1h_interp": q_ts_gapfill_1h_interp,
         "ts_catalog_stats": q_ts_catalog_stats,
@@ -1149,6 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "doc_minhash_lsh": q_doc_minhash_lsh,
         "doc_simhash": q_doc_simhash,
+        "doc_dedup_incremental": q_doc_dedup_incremental,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_cluster_chain": q_doc_cluster_chain,
         "ts_sessionize": q_ts_sessionize,
@@ -1217,6 +1270,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT url_prefix, lang, bucket_us, cnt, vmin, vmax,
                    ROUND(CAST(vsum_dec AS DOUBLE), 6) AS vsum
             FROM ({_ROLLUP_1H})
+        """,
+        "ts_moving_avg_24h": f"""
+            SELECT url_prefix, lang, bucket_us, cnt,
+                   sum(cnt) OVER w AS mov_cnt,
+                   min(vmin) OVER w AS mov_vmin,
+                   max(vmax) OVER w AS mov_vmax,
+                   ROUND(CAST(sum(vsum_dec) OVER w AS DOUBLE)
+                         / sum(cnt) OVER w, 6) AS mov_vmean
+            FROM ({_ROLLUP_1H})
+            WINDOW w AS (PARTITION BY url_prefix, lang ORDER BY bucket_us
+                         RANGE BETWEEN 82800000000 PRECEDING
+                               AND CURRENT ROW)
         """,
         "ts_rollup_1d_from_1h": f"""
             SELECT {_PREFIX} AS url_prefix, 'en' AS lang,
@@ -1504,6 +1569,29 @@ def oracle_sql() -> dict[str, str]:
                        AS jaccard
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+        """,
+        # incremental index probe ≡ exact all-pairs restricted to the
+        # new batch (full-recall banding; see q_doc_dedup_incremental)
+        "doc_dedup_incremental": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\s+') AS t
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct([array_to_string(t[i:i+2], ' ')
+                           FOR i IN generate_series(1,
+                               greatest(len(t) - 2, 1))]) AS s
+                FROM toks
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.s, b.s))), 6)
+                       AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE b.doc_id >= 400
+              AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
         """,
         # validity constructions (see _ann_validity): exact constants a

@@ -57,11 +57,17 @@ def id_range_predicate(col: str, ids: list[int]) -> F.Column:
         lo = prev = i
     runs.append((lo, prev))
     c = F.col(col)
-    pred = None
-    for lo, hi in runs:
-        term = (c == lo) if lo == hi else c.between(lo, hi)
-        pred = term if pred is None else pred | term
-    return pred
+    terms = [
+        (c == lo) if lo == hi else c.between(lo, hi) for lo, hi in runs
+    ]
+    # balanced OR: a left-chained fold is O(runs) deep and overflows
+    # Catalyst's recursive converters past a few hundred terms
+    while len(terms) > 1:
+        terms = [
+            terms[i] | terms[i + 1] if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return terms[0]
 
 
 def fragmented_chunk_ids(store: ChunkStore,

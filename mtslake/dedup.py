@@ -94,38 +94,27 @@ def minhash_signature(shingle_col, n_hashes: int = 64) -> F.Column:
     return F.array(*sigs)
 
 
-def minhash_lsh_pairs(
+def band_signatures(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_hashes: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
-    jaccard_threshold: float = 0.5,
-    max_bucket: int | None = 1000,
 ) -> DataFrame:
-    """Near-duplicate pairs via MinHash banding, then EXACT Jaccard
-    verification on the candidates (so the threshold is real, not
-    probabilistic). Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """(_id, band, bucket) — the narrow banded MinHash frame.
 
-    ``max_bucket``: skew guard — buckets larger than this are dropped
-    from candidate generation (a bucket that size is almost surely a
-    degenerate shingle; at web scale you cap, log, and route to exact
-    verify separately). Dropping a bucket drops its true pairs too, so
-    full-recall runs (e.g. an oracle-graded 64×1 banding) must pass
-    ``max_bucket=None``."""
+    Band on (_id, band, bucket) ONLY — the shingle arrays must NOT ride
+    the ×bands explode / candidate join: at web scale the shingle
+    payload dominates the table, and carrying it here would shuffle
+    ~bands× that volume. Candidates are narrow id-pairs; the exact
+    Jaccard verify joins them back to a fresh shingle projection
+    (two narrow hash joins instead of a wide banded shuffle)."""
     rows_per_band = n_hashes // bands
     base = _spread(docs, F.col(id_col).alias("_id"), text_col).select(
         "_id", shingles(text_col, shingle_k).alias("_sh")
     ).withColumn("_sig", minhash_signature(F.col("_sh"), n_hashes))
-
-    # Band on (_id, band, bucket) ONLY — the shingle arrays must NOT ride
-    # the ×bands explode / candidate self-join: at web scale the shingle
-    # payload dominates the table, and carrying it here would shuffle
-    # ~bands× that volume. Candidates are narrow id-pairs; the exact
-    # Jaccard verify joins them back to a fresh shingle projection below
-    # (two narrow hash joins instead of a wide banded shuffle).
-    banded = base.select(
+    return base.select(
         "_id",
         F.explode(
             F.transform(
@@ -147,6 +136,30 @@ def minhash_lsh_pairs(
         ).alias("_b"),
     ).select("_id", F.col("_b.band").alias("band"),
              F.col("_b.bucket").alias("bucket"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding, then EXACT Jaccard
+    verification on the candidates (so the threshold is real, not
+    probabilistic). Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    ``max_bucket``: skew guard — buckets larger than this are dropped
+    from candidate generation (a bucket that size is almost surely a
+    degenerate shingle; at web scale you cap, log, and route to exact
+    verify separately). Dropping a bucket drops its true pairs too, so
+    full-recall runs (e.g. an oracle-graded 64×1 banding) must pass
+    ``max_bucket=None``."""
+    banded = band_signatures(docs, text_col, id_col, n_hashes, bands,
+                             shingle_k)
     # Bucket-size skew guard as a WINDOW count over (band, bucket): the
     # cap then lives downstream of the same (band, bucket) exchange the
     # self-join needs, so the whole banded subtree — including the
@@ -169,9 +182,22 @@ def minhash_lsh_pairs(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    # exact-Jaccard verify: join the surviving id-pairs back to the
-    # shingle base (recomputed projection — cheaper than caching the
-    # full shingle table, and Catalyst prunes the scan to (_id, text))
+    return exact_jaccard_verify(cand_ids, docs, text_col, id_col,
+                                shingle_k, jaccard_threshold)
+
+
+def exact_jaccard_verify(
+    cand_ids: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Exact-Jaccard verify: join (id_a, id_b) candidate pairs back to
+    the shingle base (recomputed projection — cheaper than caching the
+    full shingle table, and Catalyst prunes the scan to (_id, text)).
+    ``docs`` must contain every id appearing in the pairs."""
     sh = docs.select(
         F.col(id_col).alias("_id"), shingles(text_col, shingle_k).alias("_sh")
     )
@@ -189,6 +215,191 @@ def minhash_lsh_pairs(
         cand.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def _or_tree(terms: list) -> F.Column:
+    """Balanced OR of predicate terms (a left-chained fold builds an
+    O(n)-deep expression tree that can overflow Catalyst's recursive
+    converters past a few hundred terms)."""
+    if not terms:
+        return F.lit(False)
+    while len(terms) > 1:
+        terms = [
+            terms[i] | terms[i + 1] if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return terms[0]
+
+
+_MINHASH_INDEX_META = "_minhash_index.json"
+_INDEX_BPREFIX = 8  # bucket-prefix partitions per band (dir fan-out cap)
+
+
+def build_minhash_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the banded MinHash index — the INCREMENTAL dedup layout.
+
+    A nightly ingest must not re-minhash and re-self-join the whole
+    corpus to dedup one day of new documents. The banded frame
+    (_id, band, bucket) is written ONCE, partitioned by (band,
+    bucket-prefix) — directory count capped at bands × 8, like the LSH
+    store — and sorted by bucket inside each file so Parquet min/max
+    row-group stats prune probe reads to the buckets the new batch
+    actually hashes into. Banding params are pinned in a JSON sidecar;
+    probing with different params would silently produce disjoint
+    buckets, so ``incremental_minhash_pairs`` always reads them from
+    the store."""
+    import json
+    import os
+
+    banded = band_signatures(docs, text_col, id_col, n_hashes, bands,
+                             shingle_k)
+    (
+        banded.withColumn(
+            "bprefix", F.pmod(F.col("bucket"), F.lit(_INDEX_BPREFIX))
+        )
+        .repartition("band", "bprefix")
+        .sortWithinPartitions("bucket")
+        .write.mode(mode)
+        .partitionBy("band", "bprefix")
+        .parquet(path)
+    )
+    meta = {"n_hashes": n_hashes, "bands": bands, "shingle_k": shingle_k}
+    mp = os.path.join(path, _MINHASH_INDEX_META)
+    if mode == "overwrite" or not os.path.exists(mp):
+        with open(mp, "w") as f:
+            json.dump(meta, f)
+    else:
+        with open(mp) as f:
+            pinned = json.load(f)
+        if pinned != meta:
+            raise ValueError(
+                f"append with banding params {meta} conflicts with the "
+                f"index's pinned {pinned}: buckets would be disjoint"
+            )
+
+
+def incremental_minhash_pairs(
+    new_docs: DataFrame,
+    index_path: str,
+    corpus_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.5,
+    max_bucket: int | None = 1000,
+    update_index: bool = True,
+) -> DataFrame:
+    """Near-dup pairs INVOLVING the new batch — (new × indexed) via the
+    persisted index plus (new × new) via a self-join of the batch's own
+    banded frame — exact-Jaccard verified against ``corpus_docs``
+    (which must contain both old and new texts, e.g. the corpus table
+    after the ingest append).
+
+    Cost is O(new batch + touched buckets), never O(corpus): the index
+    scan is pruned to the (band, bucket-prefix) partitions the batch
+    hashes into, and row-group bucket stats narrow it further. With
+    ``update_index`` the batch's bands are appended afterward, so
+    tomorrow's ingest probes today's documents too. Returns
+    (id_a, id_b, jaccard) with id_a < id_b; union with prior runs'
+    outputs for corpus-wide pairs.
+
+    Eager: materializes the candidate id-pairs (localCheckpoint) BEFORE
+    appending to the index, so the probe never sees the batch's own
+    freshly-appended rows (which would duplicate the new × new join)."""
+    import json
+    import os
+
+    spark = new_docs.sparkSession
+    with open(os.path.join(index_path, _MINHASH_INDEX_META)) as f:
+        params = json.load(f)
+
+    newb = band_signatures(
+        new_docs, text_col, id_col,
+        params["n_hashes"], params["bands"], params["shingle_k"],
+    ).withColumn(
+        "bprefix", F.pmod(F.col("bucket"), F.lit(_INDEX_BPREFIX))
+    ).localCheckpoint(eager=True)
+
+    # partition pruning: the batch touches a bounded set of
+    # (band, bprefix) dirs — ≤ bands × 8 regardless of batch size.
+    # (Every doc emits every band, so band-level pruning only bites for
+    # probes with banding subsets; the heavy pruning is the per-file
+    # bucket min/max stats from the sorted write.) The predicate is
+    # grouped per band and BALANCED — a flat left-chained OR over
+    # bands × 8 terms overflows Catalyst's converter stack.
+    touched = [
+        (int(r["band"]), int(r["bprefix"]))
+        for r in newb.select("band", "bprefix").distinct().collect()
+    ]
+    by_band: dict[int, list[int]] = {}
+    for band, bp in touched:
+        by_band.setdefault(band, []).append(bp)
+    terms = [
+        (F.col("band") == band) & (F.col("bprefix").isin(sorted(bps)))
+        for band, bps in sorted(by_band.items())
+    ]
+    store = spark.read.parquet(index_path).filter(_or_tree(terms))
+
+    probe = newb
+    if max_bucket is not None:
+        # skew guard with the SAME semantics as minhash_lsh_pairs:
+        # an oversized bucket (counting old + new members together)
+        # generates no candidates — pairs can still surface via the
+        # doc's other bands
+        sizes = F.broadcast(
+            store.select("band", "bucket")
+            .unionByName(newb.select("band", "bucket"))
+            .groupBy("band", "bucket").count()
+            .filter(F.col("count") > max_bucket)
+        )
+        store = store.join(sizes, ["band", "bucket"], "left_anti")
+        probe = newb.join(sizes, ["band", "bucket"], "left_anti")
+
+    old_new = (
+        store.alias("a").join(
+            probe.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") != F.col("b._id")),
+        )
+        .select(
+            F.least("a._id", "b._id").alias("id_a"),
+            F.greatest("a._id", "b._id").alias("id_b"),
+        )
+    )
+    a, b = probe.alias("a"), probe.alias("b")
+    new_new = a.join(
+        b, (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a._id") < F.col("b._id")),
+    ).select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+    cand_ids = (
+        old_new.unionByName(new_new)
+        .dropDuplicates(["id_a", "id_b"])
+        .localCheckpoint(eager=True)
+    )
+
+    if update_index:
+        (
+            newb.repartition("band", "bprefix")
+            .sortWithinPartitions("bucket")
+            .write.mode("append").partitionBy("band", "bprefix")
+            .parquet(index_path)
+        )
+        spark.catalog.refreshByPath(index_path)
+
+    return exact_jaccard_verify(
+        cand_ids, corpus_docs, text_col, id_col,
+        params["shingle_k"], jaccard_threshold,
     )
 
 

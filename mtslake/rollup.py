@@ -322,3 +322,47 @@ def materialize_tiers(store, series: DataFrame) -> None:
                 one_h.unpersist()
     finally:
         one_m.unpersist()
+
+
+def moving_aggregate(
+    rolled: DataFrame,
+    tier: str,
+    n_buckets: int = 24,
+    keys: tuple[str, ...] = ("url_prefix", "lang"),
+) -> DataFrame:
+    """Trailing moving aggregates over a rollup tier — the smoothing
+    read every TSDB dashboard runs (TimescaleDB's moving-window
+    continuous-aggregate query shape).
+
+    RANGE-framed on the numeric bucket (``range between
+    (n-1)·tier_us preceding and current row``), not ROWS-framed: tier
+    tables are sparse (buckets with no data have no row), and a ROWS
+    frame would silently smooth over holes — a 24-row trailing mean
+    next to a week-long gap is not a 24-hour mean. The mean is derived
+    from the exact decimal ``vsum``/``cnt`` carried by the tier, so a
+    moving mean over 1h tiles equals the same window computed from raw
+    (never a mean of means).
+
+    One window pass, partitioned by key, sorted by bucket — the same
+    single-shuffle shape as any per-key window (hot keys are bounded
+    by the tier's bucket count, not by raw row counts)."""
+    from pyspark.sql import Window as W
+
+    us = TIER_US[tier]
+    w = (
+        W.partitionBy(*keys)
+        .orderBy("bucket_us")
+        .rangeBetween(-(int(n_buckets) - 1) * us, 0)
+    )
+    return rolled.select(
+        *keys,
+        "bucket_us",
+        "cnt",
+        F.sum("cnt").over(w).alias("mov_cnt"),
+        F.min("vmin").over(w).alias("mov_vmin"),
+        F.max("vmax").over(w).alias("mov_vmax"),
+        (
+            F.sum("vsum").over(w).cast("double")
+            / F.sum("cnt").over(w)
+        ).alias("mov_vmean"),
+    )

@@ -691,3 +691,62 @@ def test_pq_encode_adc_and_recall(spark):
         rerank = sorted(d, key=lambda v: (d[v], v))[:10]
         recalls.append(len(set(rerank) & exact[pid]) / 10)
     assert np.mean(recalls) >= 0.9, recalls
+
+
+def test_incremental_minhash_index_equals_full_run(spark, docs, tmp_path):
+    """Nightly-ingest dedup: build the banded index on the OLD corpus,
+    probe it with the NEW batch — (new x old) + (new x new) pairs plus
+    the old corpus's own pairs must equal a from-scratch full-corpus
+    run at the same full-recall parameters. A second batch then probes
+    the UPDATED index (old + batch1) and still matches."""
+    from mtslake.dedup import (build_minhash_index,
+                               incremental_minhash_pairs,
+                               minhash_lsh_pairs)
+
+    kw = dict(n_hashes=64, bands=64, jaccard_threshold=0.5)
+    corpus = docs.filter(F.col("doc_id") < 420)
+    old = corpus.filter(F.col("doc_id") < 300)
+    b1 = corpus.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 360))
+    b2 = corpus.filter(F.col("doc_id") >= 360)
+
+    idx = str(tmp_path / "mh_idx")
+    build_minhash_index(old, idx, n_hashes=64, bands=64)
+
+    def pairs(df):
+        return {(r["id_a"], r["id_b"], r["jaccard"]) for r in df.collect()}
+
+    old_pairs = pairs(minhash_lsh_pairs(old, max_bucket=None, **kw))
+    inc1 = pairs(incremental_minhash_pairs(
+        b1, idx, corpus, max_bucket=None, jaccard_threshold=0.5))
+    inc2 = pairs(incremental_minhash_pairs(
+        b2, idx, corpus, max_bucket=None, jaccard_threshold=0.5))
+    full = pairs(minhash_lsh_pairs(corpus, max_bucket=None, **kw))
+    assert old_pairs | inc1 | inc2 == full
+    # incremental outputs are disjoint slices (each pair found once)
+    assert not (inc1 & old_pairs) and not (inc2 & (old_pairs | inc1))
+
+
+def test_minhash_index_probe_is_partition_pruned(spark, docs, tmp_path):
+    """The index probe must read only the (band, bprefix) partitions
+    the batch hashes into — PartitionFilters in the store scan."""
+    import json
+    import os
+
+    from mtslake.dedup import _MINHASH_INDEX_META, build_minhash_index
+
+    old = docs.filter(F.col("doc_id") < 200)
+    idx = str(tmp_path / "mh_idx2")
+    build_minhash_index(old, idx, n_hashes=64, bands=16)
+    with open(os.path.join(idx, _MINHASH_INDEX_META)) as f:
+        assert json.load(f)["bands"] == 16
+    store = spark.read.parquet(idx).filter(
+        (F.col("band") == 3) & (F.col("bprefix") == 5)
+    )
+    plan = store._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "PartitionFilters: []" not in plan
+    # append with conflicting params must refuse
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        build_minhash_index(old, idx, n_hashes=64, bands=32, mode="append")
