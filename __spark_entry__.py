@@ -924,6 +924,96 @@ def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed IVF-PQ store (cell partitions × residual PQ codes)
+    graded as a validity construction: for every returned row the
+    vector's residual codes are re-derived by an independent numpy
+    argmin against the sidecar codebooks AND the ADC distance is
+    re-summed from the per-(probe, cell) tables; ranks recounted.
+    Oracle = exact constants."""
+    import json
+    import shutil
+    import tempfile
+
+    import numpy as np
+    from pyspark.sql import Window as W
+    from pyspark.sql.functions import pandas_udf
+
+    from mtslake.pq import build_ivfpq_index, ivfpq_search
+
+    emb = _emb(spark, sf_dir)
+    probes = (
+        emb.orderBy("vec_id").limit(3)
+        .select(F.col("vec_id").alias("probe_id"),
+                F.col("embedding").alias("probe_vec"))
+    )
+    tmp = tempfile.mkdtemp(prefix="mtslake_ivfpq_")
+    try:
+        build_ivfpq_index(emb, tmp, n_cells=8, m=8, n_iter=5, sample=2000)
+        out = ivfpq_search(spark, tmp, probes, k=5, n_probe=8)
+        with open(f"{tmp}/_ivfpq.json") as f:
+            meta = json.load(f)
+        store = spark.read.parquet(tmp).select("vec_id", "cell", "codes")
+        joined = (
+            out.join(store, "vec_id")
+            .join(emb.select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("_ev")),
+                "vec_id")
+            .join(F.broadcast(probes.select(
+                "probe_id",
+                F.col("probe_vec").cast("array<double>").alias("_pv"))),
+                "probe_id")
+        )
+        C = np.asarray(meta["centroids"], dtype=np.float64)
+        mats = [np.asarray(b, dtype=np.float64) for b in meta["codebooks"]]
+        m = len(mats)
+        sub = mats[0].shape[1]
+
+        @pandas_udf("struct<code_bad: long, d2_bad: long>")
+        def verify(cells: pd.Series, codes: pd.Series, vecs: pd.Series,
+                   pvecs: pd.Series, d2s: pd.Series) -> pd.DataFrame:
+            import numpy as np
+
+            code_bad, d2_bad = [], []
+            for cell, c, v, p, d in zip(cells, codes, vecs, pvecs, d2s):
+                v = np.asarray(v, dtype=np.float64) - C[int(cell) - 1]
+                pres = np.asarray(p, dtype=np.float64) - C[int(cell) - 1]
+                got = np.frombuffer(bytes(c), dtype=np.uint8)
+                want = np.empty(m, dtype=np.uint8)
+                d2 = 0.0
+                for j in range(m):
+                    Cb = mats[j]
+                    diff = Cb - v[j * sub:(j + 1) * sub][None, :]
+                    want[j] = int((diff * diff).sum(axis=1).argmin())
+                    pd_ = Cb[got[j]] - pres[j * sub:(j + 1) * sub]
+                    d2 += float((pd_ * pd_).sum())
+                code_bad.append(int(not (got == want).all()))
+                d2_bad.append(int(abs(round(d2, 9) - d) > 1e-9))
+            return pd.DataFrame({"code_bad": code_bad, "d2_bad": d2_bad})
+
+        w = W.partitionBy("probe_id").orderBy(F.asc("adc_d2"),
+                                              F.asc("vec_id"))
+        checked = joined.withColumn(
+            "_chk", verify(F.col("cell"), F.col("codes"), F.col("_ev"),
+                           F.col("_pv"), F.col("adc_d2"))
+        ).withColumn("_rk", F.row_number().over(w))
+        rows = checked.agg(
+            F.count("*").alias("n_rows"),
+            F.sum("_chk.code_bad").cast("long").alias("n_code_mismatch"),
+            F.sum("_chk.d2_bad").cast("long").alias("n_d2_mismatch"),
+            F.sum(F.when(F.col("rank") != F.col("_rk"), 1).otherwise(0))
+            .cast("long").alias("n_rank_bad"),
+            F.countDistinct("probe_id").alias("n_probes"),
+        ).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "n_rows long, n_code_mismatch long, n_d2_mismatch long, "
+              "n_rank_bad long, n_probes long",
+    )
+
+
 def _ann_validity(out: DataFrame, emb: DataFrame, k: int) -> DataFrame:
     """Validity construction for approximate top-k (the
     ts_verify_roundtrip pattern): the ANN's rows are re-scored by an
@@ -1219,6 +1309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_full_probe": q_emb_ivf_full_probe,
         "emb_near_dup": q_emb_near_dup,
         "emb_pq_topk": q_emb_pq_topk,
+        "emb_ivfpq_topk": q_emb_ivfpq_topk,
         "emb_lsh_planted_recall": q_emb_lsh_planted_recall,
         "doc_minhash_lsh_recall": q_doc_minhash_lsh_recall,
         "rel_pricing_summary": q_rel_pricing_summary,
@@ -1606,6 +1697,14 @@ def oracle_sql() -> dict[str, str]:
         # PQ validity construction (see q_emb_pq_topk): codes re-derived
         # independently, ADC distances re-summed from the tables
         "emb_pq_topk": """
+            SELECT CAST(15 AS BIGINT) AS n_rows,
+                   CAST(0 AS BIGINT) AS n_code_mismatch,
+                   CAST(0 AS BIGINT) AS n_d2_mismatch,
+                   CAST(0 AS BIGINT) AS n_rank_bad,
+                   CAST(3 AS BIGINT) AS n_probes
+        """,
+        # IVF-PQ validity construction (see q_emb_ivfpq_topk)
+        "emb_ivfpq_topk": """
             SELECT CAST(15 AS BIGINT) AS n_rows,
                    CAST(0 AS BIGINT) AS n_code_mismatch,
                    CAST(0 AS BIGINT) AS n_d2_mismatch,

@@ -4,7 +4,7 @@ The chunk codec compresses the time-series side of the lake; PQ is the
 embedding side's compression story (Jégou, Douze, Schmid: "Product
 Quantization for Nearest Neighbor Search", TPAMI 2011 — public paper,
 same family as FAISS's IVF-PQ): split the d-dim space into ``m``
-subspaces, k-means each subspace to 2^nbits centroids, and store每
+subspaces, k-means each subspace to 2^nbits centroids, and store every
 vector as ``m`` one-byte codes — a 64-dim float32 vector (256 B)
 becomes 8 B, a 32× shrink that turns a 100-TB embedding corpus into a
 ~3-TB scan.
@@ -209,6 +209,175 @@ def pq_search(
         )
         .filter(F.col("vec_id") != F.col("probe_id"))
     )
+    w = W.partitionBy("probe_id").orderBy(F.asc("adc_d2"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "vec_id",
+                F.round("adc_d2", 9).alias("adc_d2"), "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the composed 100-TB layout (coarse cells -> residual codes)
+# ---------------------------------------------------------------------------
+
+def build_ivfpq_index(
+    embeddings: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    m: int = 8,
+    nbits: int = 8,
+    n_iter: int = 8,
+    train_iters: int = 0,
+    sample: int = 20_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """The composed FAISS-style layout: IVF coarse cells + PQ codes of
+    the RESIDUAL (vector − its cell centroid; residual energy is much
+    lower than raw, so the same byte budget quantizes far finer).
+
+    On disk: (vec_id, codes) partitioned by ``cell`` + a JSON sidecar
+    holding centroids and codebooks — a query reads O(probed cells) of
+    an already-32×-compressed table: the two scale levers multiply.
+    Codebooks train on the residuals of the seeded sample; cell
+    assignment uses the same vectorized kernel as the IVF store."""
+    import json
+    import os
+
+    from .simsearch import _assign_cells, _seeded_centroids, train_centroids
+
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    if train_iters > 0:
+        cents = train_centroids(e, n_cells, train_iters)
+    else:
+        cents = _seeded_centroids(e, n_cells)
+    C = np.asarray(cents, dtype=np.float64)
+    assigned = _assign_cells(e, cents)
+
+    # codebooks on residuals of the seeded sample
+    srows = (
+        assigned.withColumn("_h", F.xxhash64("vec_id"))
+        .orderBy("_h", "vec_id").limit(int(sample))
+        .select("cell", "_v").collect()
+    )
+    R = np.vstack([
+        np.asarray(r["_v"], dtype=np.float64) - C[int(r["cell"]) - 1]
+        for r in srows
+    ])
+    rid = list(range(R.shape[0]))
+    rdf = embeddings.sparkSession.createDataFrame(
+        [(i, [float(x) for x in R[i]]) for i in rid],
+        "vec_id long, embedding array<double>",
+    )
+    books = pq_train(rdf, m=m, nbits=nbits, n_iter=n_iter,
+                     sample=R.shape[0])
+
+    mats = _code_matrices(books)
+    sub = mats[0].shape[1]
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _enc_residual(vs: pd.Series, cells: pd.Series) -> pd.Series:
+        X = _as_matrix(vs.to_numpy())
+        X = X - C[cells.to_numpy(np.int64) - 1]
+        out = np.empty((X.shape[0], m), dtype=np.uint8)
+        for j, Cb in enumerate(mats):
+            Xj = X[:, j * sub:(j + 1) * sub]
+            d2 = -2.0 * (Xj @ Cb.T) + (Cb * Cb).sum(axis=1)[None, :]
+            out[:, j] = d2.argmin(axis=1).astype(np.uint8)
+        return pd.Series([r.tobytes() for r in out])
+
+    (
+        assigned.select(
+            "vec_id", "cell",
+            _enc_residual(F.col("_v"), F.col("cell")).alias("codes"),
+        )
+        .repartition("cell")
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
+    )
+    with open(os.path.join(path, "_ivfpq.json"), "w") as f:
+        json.dump({"centroids": cents, "codebooks": books}, f)
+
+
+def ivfpq_search(
+    spark,
+    path: str,
+    probes: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Search the IVF-PQ store: probed cells prune the partitioned
+    scan; within them, ADC over residual codes with per-(probe, cell)
+    lookup tables (the residual table depends on the cell centroid, so
+    each probe carries one m × 2^nbits table per probed cell —
+    metadata-scale, broadcast via closure). Returns
+    (probe_id, vec_id, adc_d2, rank); compose with an exact re-rank of
+    the shortlist for refined results."""
+    import json
+    import os
+
+    from .simsearch import _probe_cells
+
+    with open(os.path.join(path, "_ivfpq.json")) as f:
+        meta = json.load(f)
+    cents = meta["centroids"]
+    mats = _code_matrices(meta["codebooks"])
+    C = np.asarray(cents, dtype=np.float64)
+    m = len(mats)
+    sub = mats[0].shape[1]
+
+    p = probes.select(
+        "probe_id", F.col("probe_vec").cast("array<double>").alias("_p")
+    )
+    probed = _probe_cells(p, cents, n_probe).select("probe_id", "cell")
+    pvecs = {
+        int(r["probe_id"]): np.asarray(r["_p"], dtype=np.float64)
+        for r in p.collect()
+    }
+    cell_probes: dict[int, list[int]] = {}
+    for r in probed.collect():
+        cell_probes.setdefault(int(r["cell"]), []).append(int(r["probe_id"]))
+    tables: dict[tuple[int, int], np.ndarray] = {}
+    for cell, pids in cell_probes.items():
+        for pid in pids:
+            res = pvecs[pid] - C[cell - 1]
+            t = np.empty((m, mats[0].shape[0]))
+            for j, Cb in enumerate(mats):
+                diff = Cb - res[j * sub:(j + 1) * sub][None, :]
+                t[j] = (diff * diff).sum(axis=1)
+            tables[(pid, cell)] = t
+
+    cells = sorted(cell_probes)
+    store = spark.read.parquet(path).filter(F.col("cell").isin(cells))
+
+    def gen(batches):
+        cols = np.arange(m)
+        for pdf in batches:
+            outs = []
+            for cell, grp in pdf.groupby("cell"):
+                Cd = np.frombuffer(
+                    b"".join(grp["codes"].to_numpy()), dtype=np.uint8
+                ).reshape(len(grp), m)
+                for pid in cell_probes.get(int(cell), []):
+                    t = tables[(pid, int(cell))]
+                    d = t[cols, Cd].sum(axis=1)
+                    outs.append(pd.DataFrame({
+                        "probe_id": pid,
+                        "vec_id": grp["vec_id"].to_numpy(),
+                        "adc_d2": d,
+                    }))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    scored = store.mapInPandas(
+        gen, schema="probe_id long, vec_id long, adc_d2 double"
+    ).filter(F.col("vec_id") != F.col("probe_id"))
     w = W.partitionBy("probe_id").orderBy(F.asc("adc_d2"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))

@@ -750,3 +750,84 @@ def test_minhash_index_probe_is_partition_pruned(spark, docs, tmp_path):
 
     with _pytest.raises(ValueError):
         build_minhash_index(old, idx, n_hashes=64, bands=32, mode="append")
+
+
+def test_ivfpq_store_search_and_pruning(spark, tmp_path):
+    """IVF-PQ composed layout: residual codes in a cell-partitioned
+    store; search prunes to probed cells, ADC distances match an
+    independent recompute, and full-probe + shortlist re-rank recovers
+    exact neighbors on clustered data."""
+    import numpy as np
+
+    from mtslake.pq import build_ivfpq_index, ivfpq_search
+
+    rng = np.random.default_rng(17)
+    dim, n_clusters = 32, 8
+    centers = rng.normal(size=(n_clusters, dim))
+    rows, vid = [], 0
+    for ci in range(n_clusters):
+        for p in centers[ci] + 0.05 * rng.normal(size=(50, dim)):
+            rows.append((vid, [float(x) for x in p]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, path, n_cells=n_clusters, m=4, n_iter=6,
+                      train_iters=3, sample=400)
+
+    probes = spark.createDataFrame(
+        [(9000 + ci, [float(x) for x in centers[ci]]) for ci in range(3)],
+        "probe_id long, probe_vec array<double>",
+    )
+    out = ivfpq_search(spark, path, probes, k=10, n_probe=2)
+    res = out.collect()
+    assert {r["probe_id"] for r in res} == {9000, 9001, 9002}
+    assert all(1 <= r["rank"] <= 10 for r in res)
+
+    # pruned scan: the store read carries a cell partition filter
+    store = spark.read.parquet(path).filter(F.col("cell").isin([1, 2]))
+    plan = store._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "PartitionFilters: []" not in plan
+
+    # independent ADC recompute from the sidecar
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivfpq.json")) as f:
+        meta = json.load(f)
+    C = np.asarray(meta["centroids"])
+    mats = [np.asarray(b) for b in meta["codebooks"]]
+    m, sub = len(mats), dim // len(mats)
+    codes = {
+        r["vec_id"]: (int(r["cell"]), bytes(r["codes"]))
+        for r in spark.read.parquet(path).collect()
+    }
+    pvec = {9000 + ci: centers[ci] for ci in range(3)}
+    for r in res:
+        cell, cbytes = codes[r["vec_id"]]
+        cs = np.frombuffer(cbytes, dtype=np.uint8)
+        resid = pvec[r["probe_id"]] - C[cell - 1]
+        d2 = 0.0
+        for j in range(m):
+            diff = mats[j][cs[j]] - resid[j * sub:(j + 1) * sub]
+            d2 += float((diff * diff).sum())
+        assert abs(r["adc_d2"] - round(d2, 9)) < 1e-9
+
+    # cluster recall at n_probe=2: every hit from the probe's cluster
+    for r in res:
+        assert r["vec_id"] // 50 == r["probe_id"] - 9000, r
+
+    # full probe + exact re-rank of top-30 == exact top-10
+    allX = np.vstack([np.asarray(v) for _, v in rows])
+    full = ivfpq_search(spark, path, probes, k=30,
+                        n_probe=n_clusters).collect()
+    by_probe = {}
+    for r in full:
+        by_probe.setdefault(r["probe_id"], []).append(r["vec_id"])
+    for pid, cands in by_probe.items():
+        p = pvec[pid]
+        d = {v: float(((allX[v] - p) ** 2).sum()) for v in cands}
+        rerank = sorted(d, key=lambda v: (d[v], v))[:10]
+        dall = ((allX - p[None, :]) ** 2).sum(axis=1)
+        exact = list(np.argsort(dall, kind="stable")[:10])
+        assert len(set(rerank) & set(exact)) >= 9, (pid, rerank, exact)
