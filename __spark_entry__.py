@@ -124,6 +124,28 @@ def q_ts_moving_avg_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_histogram_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket fixed-bin value histograms (the mergeable
+    distribution sketch behind approximate percentiles) summarized as
+    count + p50/p95. Binning and the percentile rule are deterministic
+    single-IEEE-op arithmetic, so the SQL oracle replays them exactly
+    via a running-count window over the same bins."""
+    series = events_to_series(_events(spark, sf_dir))
+    h = _rollup.histogram_rollup(series, "1h", lo=-100.0, hi=100.0,
+                                 n_bins=32)
+    total = F.aggregate(
+        F.col("hist"), F.lit(0).cast("bigint"), lambda a, x: a + x
+    )
+    return h.select(
+        "url_prefix", "lang", "bucket_us",
+        total.alias("n"),
+        _rollup.hist_percentile("hist", 0.5, -100.0, 100.0, 32)
+        .alias("p50"),
+        _rollup.hist_percentile("hist", 0.95, -100.0, 100.0, 32)
+        .alias("p95"),
+    )
+
+
 def q_ts_read_range_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded = _roundtrip_series(spark, sf_dir)
     return (
@@ -1273,6 +1295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_rollup_1d_from_1h": q_ts_rollup_1d_from_1h,
         "ts_read_range_codec": q_ts_read_range_codec,
         "ts_moving_avg_24h": q_ts_moving_avg_24h,
+        "ts_histogram_1h": q_ts_histogram_1h,
         "ts_gapfill_1h_locf": q_ts_gapfill_1h_locf,
         "ts_gapfill_1h_interp": q_ts_gapfill_1h_interp,
         "ts_catalog_stats": q_ts_catalog_stats,
@@ -1373,6 +1396,35 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY url_prefix, lang ORDER BY bucket_us
                          RANGE BETWEEN 82800000000 PRECEDING
                                AND CURRENT ROW)
+        """,
+        "ts_histogram_1h": f"""
+            WITH s AS (
+                SELECT {_PREFIX} AS url_prefix, 'en' AS lang,
+                       epoch_us(ts) - epoch_us(ts) % {_HOUR_US}
+                           AS bucket_us,
+                       least(greatest(CAST(floor((value - (-100.0))
+                           / 6.25) AS BIGINT), 0), 31) AS bin
+                FROM events
+            ), b AS (
+                SELECT url_prefix, lang, bucket_us, bin, count(*) AS c
+                FROM s GROUP BY url_prefix, lang, bucket_us, bin
+            ), r AS (
+                SELECT *,
+                       sum(c) OVER (PARTITION BY url_prefix, lang,
+                           bucket_us ORDER BY bin) AS rc,
+                       sum(c) OVER (PARTITION BY url_prefix, lang,
+                           bucket_us) AS tot
+                FROM b
+            )
+            SELECT url_prefix, lang, bucket_us,
+                   CAST(max(tot) AS BIGINT) AS n,
+                   CAST(-100.0 AS DOUBLE) + (min(CASE WHEN rc >= CAST(
+                       ceil(CAST(tot AS DOUBLE) * 0.5) AS BIGINT)
+                       THEN bin END) + 1) * CAST(6.25 AS DOUBLE) AS p50,
+                   CAST(-100.0 AS DOUBLE) + (min(CASE WHEN rc >= CAST(
+                       ceil(CAST(tot AS DOUBLE) * 0.95) AS BIGINT)
+                       THEN bin END) + 1) * CAST(6.25 AS DOUBLE) AS p95
+            FROM r GROUP BY url_prefix, lang, bucket_us
         """,
         "ts_rollup_1d_from_1h": f"""
             SELECT {_PREFIX} AS url_prefix, 'en' AS lang,

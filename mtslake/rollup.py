@@ -366,3 +366,104 @@ def moving_aggregate(
             / F.sum("cnt").over(w)
         ).alias("mov_vmean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# histogram tiers: mergeable distribution sketches per bucket
+# ---------------------------------------------------------------------------
+
+def hist_expr(value_col, lo: float, hi: float, n_bins: int) -> F.Column:
+    """Fixed-range bin index for one value: floor((v-lo)/width) clamped
+    to [0, n_bins-1]. Deterministic and engine-portable (one subtract,
+    one divide, one floor — replayable bit-for-bit in SQL)."""
+    c = F.col(value_col) if isinstance(value_col, str) else value_col
+    width = (hi - lo) / n_bins
+    idx = F.floor((c - F.lit(float(lo))) / F.lit(float(width)))
+    return F.least(
+        F.greatest(idx, F.lit(0)), F.lit(int(n_bins) - 1)
+    ).cast("int")
+
+
+def histogram_rollup(
+    series: DataFrame,
+    tier: str,
+    lo: float = -100.0,
+    hi: float = 100.0,
+    n_bins: int = 32,
+) -> DataFrame:
+    """Per-(url_prefix, lang, bucket) fixed-bin value histogram — the
+    mergeable distribution sketch behind approximate percentiles (the
+    TimescaleDB ``percentile_agg`` shape, with a deterministic sketch
+    instead of t-digest so the oracle can replay it EXACTLY).
+
+    One hash aggregation: rows bin via ``hist_expr`` (clamped ends
+    catch outliers), counts pivot into an ``array<long>`` of length
+    ``n_bins``. Histograms MERGE by element-wise addition
+    (``merge_histograms``) — tier-from-tier re-aggregation is exact,
+    like the decimal sums — and percentiles derive from the array at
+    query time (``hist_percentile``)."""
+    binned = (
+        series.select(
+            url_prefix(),
+            F.col("lang"),
+            bucket_expr(TS_COL, tier).alias("bucket_us"),
+            hist_expr("value", lo, hi, n_bins).alias("_bin"),
+        )
+        .groupBy("url_prefix", "lang", "bucket_us", "_bin")
+        .agg(F.count("*").alias("_c"))
+    )
+    # pivot the (bin, count) rows into a dense array; missing bins -> 0
+    pairs = F.map_from_entries(
+        F.collect_list(F.struct(F.col("_bin"), F.col("_c")))
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(int(n_bins) - 1)),
+        lambda i: F.coalesce(F.element_at(pairs, i.cast("int")), F.lit(0)),
+    )
+    return (
+        binned.groupBy("url_prefix", "lang", "bucket_us")
+        .agg(dense.alias("hist"))
+    )
+
+
+def merge_histograms(hists: F.Column) -> F.Column:
+    """Element-wise sum of an aggregated collect_list of histogram
+    arrays — the exact merge that makes histogram tiers compose
+    (1d(raw) ≡ 1d(1h(raw)) bit-for-bit)."""
+    return F.aggregate(
+        hists,
+        F.lit(None).cast("array<bigint>"),
+        lambda acc, h: F.when(acc.isNull(), h).otherwise(
+            F.zip_with(acc, h, lambda a, b: a + b)
+        ),
+    )
+
+
+def histogram_from_tier(lower: DataFrame, tier: str) -> DataFrame:
+    """Coarser histogram tier from the finer one — exact merge."""
+    return lower.groupBy(
+        "url_prefix", "lang", bucket_expr("bucket_us", tier).alias("bucket_us")
+    ).agg(merge_histograms(F.collect_list("hist")).alias("hist"))
+
+
+def hist_percentile(hist_col, q: float, lo: float = -100.0,
+                    hi: float = 100.0, n_bins: int = 32) -> F.Column:
+    """Approximate percentile from the histogram: the UPPER EDGE of the
+    first bin where the running count reaches q·total — deterministic
+    (no interpolation; resolution = bin width), so engines agree
+    exactly. q in (0, 1]."""
+    h = F.col(hist_col) if isinstance(hist_col, str) else hist_col
+    width = (hi - lo) / n_bins
+    total = F.aggregate(h, F.lit(0).cast("bigint"), lambda a, x: a + x)
+    target = F.ceil(total.cast("double") * F.lit(float(q))).cast("bigint")
+    # running counts as an array, then the first index reaching target
+    running = F.transform(
+        F.sequence(F.lit(1), F.lit(int(n_bins))),
+        lambda i: F.aggregate(
+            F.slice(h, 1, i), F.lit(0).cast("bigint"), lambda a, x: a + x
+        ),
+    )
+    idx = F.array_position(
+        F.transform(running, lambda r: r >= target), F.lit(True)
+    )
+    return (F.lit(float(lo)) + idx.cast("double") * F.lit(float(width)))

@@ -451,3 +451,42 @@ def test_refresh_tiers_deletes_stale_empty_partitions(
         got = _rows(spark.read.parquet(st.path(f"rollup_{tier}")))
         exp = _rows(spark.read.parquet(full.path(f"rollup_{tier}")))
         assert got == exp, f"tier {tier} diverged after stale-refresh"
+
+
+def test_histogram_tiers_merge_exactly_and_percentiles(spark, series):
+    """Histogram tiers must compose exactly (1d from raw == merge of 1h
+    histograms) and hist_percentile must agree with numpy percentiles
+    to within one bin width."""
+    import numpy as np
+
+    h1h = rollup.histogram_rollup(series, "1h")
+    h1d_direct = rollup.histogram_rollup(series, "1d")
+    h1d_merged = rollup.histogram_from_tier(h1h, "1d")
+    a = {(r["url_prefix"], r["lang"], r["bucket_us"], tuple(r["hist"]))
+         for r in h1d_direct.collect()}
+    b = {(r["url_prefix"], r["lang"], r["bucket_us"], tuple(r["hist"]))
+         for r in h1d_merged.collect()}
+    assert a == b
+
+    # percentile sanity on one bucket: within a bin width of numpy
+    out = h1d_direct.withColumn(
+        "p50", rollup.hist_percentile("hist", 0.5)
+    ).withColumn("p95", rollup.hist_percentile("hist", 0.95))
+    row = out.orderBy("url_prefix", "bucket_us").first()
+    from mtslake.series import url_prefix
+
+    vals = (
+        series.select(url_prefix(), "lang", "ts_us", "value")
+        .filter(
+            (F.col("url_prefix") == row["url_prefix"])
+            & (F.col("lang") == row["lang"])
+            & (rollup.bucket_expr("ts_us", "1d") == row["bucket_us"])
+        )
+        .select("value").toPandas()["value"].to_numpy()
+    )
+    width = 200.0 / 32
+    assert abs(row["p50"] - np.percentile(vals, 50)) <= width + 1e-9
+    assert abs(row["p95"] - np.percentile(vals, 95)) <= width + 1e-9
+    # histogram counts the bucket's rows exactly
+    hist_total = sum(row["hist"])
+    assert hist_total == len(vals)
