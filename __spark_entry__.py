@@ -146,6 +146,70 @@ def q_ts_histogram_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB display downsampling graded by independent
+    reimplementation: the vectorized per-bucket kernel's kept points
+    for every series must exactly equal a direct scalar transcription
+    of the published algorithm (Steinarsson 2013), recomputed per key
+    in a cogrouped verifier. Oracle = series count + zero mismatches."""
+    import numpy as np
+
+    from mtslake.downsample import lttb_downsample
+
+    series = events_to_series(_events(spark, sf_dir)).select(
+        "url", "ts_us", "value"
+    )
+    out = lttb_downsample(series, n_out=40)
+
+    def check(key, raw, kept):
+        raw = raw.sort_values("ts_us", ignore_index=True)
+        kept = kept.sort_values("pt_seq", ignore_index=True)
+        ts = raw["ts_us"].to_numpy(np.float64)
+        vs = raw["value"].to_numpy(np.float64)
+        n, n_out = len(ts), 40
+        if n_out >= n or n_out < 3:
+            want = list(range(n))
+        else:
+            edges = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
+            want, a = [0], 0
+            for b in range(n_out - 2):
+                lo, hi = int(edges[b]), int(edges[b + 1])
+                if hi <= lo:
+                    continue
+                nlo = int(edges[b + 1])
+                nhi = int(edges[b + 2]) if b + 2 < len(edges) else n
+                if nhi <= nlo:
+                    nlo, nhi = n - 1, n
+                cx = float(np.mean(ts[nlo:nhi]))
+                cy = float(np.mean(vs[nlo:nhi]))
+                best, best_area = lo, -1.0
+                for i in range(lo, hi):
+                    area = abs((ts[a] - cx) * (vs[i] - vs[a])
+                               - (ts[a] - ts[i]) * (cy - vs[a]))
+                    if area > best_area:
+                        best, best_area = i, area
+                want.append(best)
+                a = best
+            want.append(n - 1)
+        exp = list(zip(
+            raw["ts_us"].to_numpy(np.int64)[want],
+            raw["value"].to_numpy(np.float64)[want],
+        ))
+        got = list(zip(kept["ts_us"].to_numpy(np.int64),
+                       kept["value"].to_numpy(np.float64)))
+        return pd.DataFrame({"url": [key[0]], "bad": [int(got != exp)]})
+
+    checked = (
+        series.groupBy("url")
+        .cogroup(out.groupBy("url"))
+        .applyInPandas(check, "url string, bad long")
+    )
+    return checked.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("bad").cast("long").alias("n_mismatch"),
+    )
+
+
 def q_ts_read_range_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded = _roundtrip_series(spark, sf_dir)
     return (
@@ -1296,6 +1360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_read_range_codec": q_ts_read_range_codec,
         "ts_moving_avg_24h": q_ts_moving_avg_24h,
         "ts_histogram_1h": q_ts_histogram_1h,
+        "ts_lttb_downsample": q_ts_lttb_downsample,
         "ts_gapfill_1h_locf": q_ts_gapfill_1h_locf,
         "ts_gapfill_1h_interp": q_ts_gapfill_1h_interp,
         "ts_catalog_stats": q_ts_catalog_stats,
@@ -1425,6 +1490,12 @@ def oracle_sql() -> dict[str, str]:
                        ceil(CAST(tot AS DOUBLE) * 0.95) AS BIGINT)
                        THEN bin END) + 1) * CAST(6.25 AS DOUBLE) AS p95
             FROM r GROUP BY url_prefix, lang, bucket_us
+        """,
+        # independent-reimplementation validity (see q_ts_lttb_downsample)
+        "ts_lttb_downsample": """
+            SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys,
+                   CAST(0 AS BIGINT) AS n_mismatch
+            FROM events
         """,
         "ts_rollup_1d_from_1h": f"""
             SELECT {_PREFIX} AS url_prefix, 'en' AS lang,

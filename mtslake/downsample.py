@@ -1,0 +1,94 @@
+"""Display downsampling: Largest-Triangle-Three-Buckets per series.
+
+The rollup tiers answer aggregate queries; LTTB (Sveinn Steinarsson,
+"Downsampling Time Series for Visual Representation", MSc thesis,
+University of Iceland 2013 — public) answers *plotting*: pick the
+``n_out`` points that preserve the visual shape of a series, exactly
+what every dashboard's zoomed-out view needs.
+
+LTTB is inherently sequential per series (each kept point depends on
+the previous kept point), so this is the documented
+``applyInPandas``-per-group case (SURVEY: custom operators Spark
+lacks): one group = one (url, channel) series, vectorized numpy inside
+the kernel (per-bucket argmax of the triangle areas — no per-point
+Python). Scale shape: one hash shuffle on the series key; per-task
+memory is one series' plotted RANGE, which a display query has already
+pruned to a window via ``read_range`` — you downsample what you plot,
+not the corpus. For an unboundedly long range, downsample a rollup
+tier instead of raw points (the tiers exist precisely to bound that).
+
+Determinism: ties in the triangle-area argmax take the FIRST maximal
+point (np.argmax), so output is reproducible and the contract query
+grades it against an independent scalar transcription of the published
+algorithm.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+def _lttb_kernel(ts: np.ndarray, vs: np.ndarray, n_out: int) -> np.ndarray:
+    """Indices kept by LTTB over one sorted series (vectorized per
+    bucket). First and last points are always kept."""
+    n = ts.size
+    if n_out >= n or n_out < 3:
+        return np.arange(n)
+    # bucket boundaries over the interior points (exclude first/last)
+    edges = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
+    kept = [0]
+    a = 0  # index of the previously kept point
+    for b in range(n_out - 2):
+        lo, hi = edges[b], edges[b + 1]
+        if hi <= lo:  # degenerate bucket (n_out close to n): nothing
+            continue  # to pick here; output just has < n_out points
+        nlo, nhi = edges[b + 1], (edges[b + 2] if b + 2 < len(edges) else n)
+        # average of the NEXT bucket = the third triangle vertex (for
+        # the last interior bucket this collapses to the final point,
+        # as in the published algorithm)
+        if nhi <= nlo:
+            nlo, nhi = n - 1, n
+        cx = ts[nlo:nhi].mean()
+        cy = vs[nlo:nhi].mean()
+        # triangle area for every candidate in this bucket (vectorized)
+        ax, ay = ts[a], vs[a]
+        bx, by = ts[lo:hi], vs[lo:hi]
+        area = np.abs((ax - cx) * (by - ay) - (ax - bx) * (cy - ay))
+        a = lo + int(np.argmax(area))
+        kept.append(a)
+    kept.append(n - 1)
+    return np.asarray(kept)
+
+
+def lttb_downsample(
+    series: DataFrame,
+    n_out: int = 200,
+    key_cols: tuple[str, ...] = ("url",),
+    ts_col: str = "ts_us",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key LTTB: keep ≤ ``n_out`` visually-representative points.
+
+    Input rows need ``key_cols + (ts_col, value_col)``; output keeps
+    those columns plus ``pt_seq`` (0-based kept-point order)."""
+    out_fields = ", ".join(
+        [f"`{c}` string" for c in key_cols]
+        + [f"`{ts_col}` long", f"`{value_col}` double", "pt_seq int"]
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col, kind="mergesort", ignore_index=True)
+        ts = pdf[ts_col].to_numpy(np.int64)
+        vs = pdf[value_col].to_numpy(np.float64)
+        idx = _lttb_kernel(ts.astype(np.float64), vs, n_out)
+        out = pdf.iloc[idx][list(key_cols) + [ts_col, value_col]].copy()
+        out["pt_seq"] = np.arange(len(idx), dtype=np.int32)
+        return out
+
+    return (
+        series.select(*key_cols, ts_col, value_col)
+        .groupBy(*key_cols)
+        .applyInPandas(fn, schema=out_fields)
+    )

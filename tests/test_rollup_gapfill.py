@@ -490,3 +490,71 @@ def test_histogram_tiers_merge_exactly_and_percentiles(spark, series):
     # histogram counts the bucket's rows exactly
     hist_total = sum(row["hist"])
     assert hist_total == len(vals)
+
+
+def test_lttb_matches_scalar_reference_and_shape(spark):
+    """LTTB kernel vs a direct scalar transcription of the published
+    algorithm on random series (several sizes incl. n_out ~ n), and the
+    Spark operator keeps endpoints, order, and per-key independence."""
+    import numpy as np
+
+    from mtslake.downsample import _lttb_kernel, lttb_downsample
+
+    def scalar_lttb(ts, vs, n_out):
+        n = len(ts)
+        if n_out >= n or n_out < 3:
+            return list(range(n))
+        edges = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
+        kept = [0]
+        a = 0
+        for b in range(n_out - 2):
+            lo, hi = int(edges[b]), int(edges[b + 1])
+            if hi <= lo:
+                continue
+            nlo = int(edges[b + 1])
+            nhi = int(edges[b + 2]) if b + 2 < len(edges) else n
+            if nhi <= nlo:
+                nlo, nhi = n - 1, n
+            cx = float(np.mean(ts[nlo:nhi]))
+            cy = float(np.mean(vs[nlo:nhi]))
+            best, best_area = lo, -1.0
+            for i in range(lo, hi):
+                area = abs((ts[a] - cx) * (vs[i] - vs[a])
+                           - (ts[a] - ts[i]) * (cy - vs[a]))
+                if area > best_area:
+                    best, best_area = i, area
+            kept.append(best)
+            a = best
+        kept.append(n - 1)
+        return kept
+
+    rng = np.random.default_rng(23)
+    for n, n_out in [(500, 50), (100, 10), (40, 35), (10, 3), (5, 8)]:
+        ts = np.sort(rng.choice(10 * n, size=n, replace=False)).astype(
+            np.float64)
+        vs = rng.normal(size=n)
+        got = _lttb_kernel(ts, vs, n_out).tolist()
+        want = scalar_lttb(ts, vs, n_out)
+        assert got == want, (n, n_out)
+
+    # Spark operator: two keys, endpoints kept, sorted output per key
+    rows = []
+    for key in ("a", "b"):
+        t = 0
+        for i in range(300):
+            t += 1 + int(rng.integers(0, 5))
+            rows.append((f"https://{key}/", t, float(rng.normal())))
+    df = spark.createDataFrame(rows, "url string, ts_us long, value double")
+    out = lttb_downsample(df, n_out=40)
+    by_key = {}
+    for r in out.collect():
+        by_key.setdefault(r["url"], []).append(
+            (r["pt_seq"], r["ts_us"], r["value"]))
+    for key, pts in by_key.items():
+        pts.sort()
+        assert len(pts) == 40
+        src = sorted((t, v) for u, t, v in rows if u == key)
+        assert (pts[0][1], pts[0][2]) == src[0]
+        assert (pts[-1][1], pts[-1][2]) == src[-1]
+        ts_seq = [t for _, t, _ in pts]
+        assert ts_seq == sorted(ts_seq)
