@@ -218,6 +218,24 @@ def q_ts_read_range_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_value_filtered_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-stat pruned read: the per-chunk channel min/max columns
+    (Iceberg-manifest-style stats) prune chunk rows BEFORE decode, the
+    exact row filter applies after. A chunk stat understating its max
+    silently drops rows — which the SQL oracle (a plain WHERE over the
+    raw events) would catch as a hash mismatch."""
+    from mtslake.catalog import prune_chunks_by_value
+
+    series = events_to_series(_events(spark, sf_dir))
+    chunks = _chunk.compress_series(series, DEFAULT)
+    pruned = prune_chunks_by_value(chunks, "value", lower=5.0)
+    decoded = _chunk.decompress_chunks(pruned, channels=("n_chars", "value"))
+    return (
+        decoded.filter(F.col("value") >= 5.0)
+        .select("url", TS_COL, "n_chars", "value")
+    )
+
+
 def q_ts_gapfill_1h_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     series = events_to_series(_events(spark, sf_dir))
     rolled = _rollup.rollup_from_series(series, "1h")
@@ -1361,6 +1379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_moving_avg_24h": q_ts_moving_avg_24h,
         "ts_histogram_1h": q_ts_histogram_1h,
         "ts_lttb_downsample": q_ts_lttb_downsample,
+        "ts_value_filtered_read": q_ts_value_filtered_read,
         "ts_gapfill_1h_locf": q_ts_gapfill_1h_locf,
         "ts_gapfill_1h_interp": q_ts_gapfill_1h_interp,
         "ts_catalog_stats": q_ts_catalog_stats,
@@ -1512,6 +1531,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(props) AS BIGINT) AS n_chars, value
             FROM events
             WHERE epoch_us(ts) BETWEEN {T0} AND {T1}
+        """,
+        "ts_value_filtered_read": f"""
+            SELECT {_URL} AS url, epoch_us(ts) AS ts_us,
+                   CAST(length(props) AS BIGINT) AS n_chars, value
+            FROM events
+            WHERE value >= 5.0
         """,
         "ts_gapfill_1h_locf": f"""
             WITH rolled AS ({_ROLLUP_1H}),

@@ -28,6 +28,9 @@ CATALOG_COLS = [
     "url", "chunk_id", "lang", "ts_min", "ts_max",
     "n_points", "raw_nbytes", "comp_nbytes",
     "raw_signal_nbytes", "comp_signal_nbytes", "sha1",
+    # per-channel value stats (Iceberg-manifest-style column stats):
+    # value predicates prune chunks from the catalog alone
+    "n_chars_min", "n_chars_max", "value_min", "value_max",
 ]
 
 
@@ -261,4 +264,26 @@ def prune_chunks(
         out = out.filter(F.col("url") == url)
     if url_prefix is not None:
         out = out.filter(F.col("url").startswith(url_prefix))
+    return out
+
+
+def prune_chunks_by_value(
+    chunks: DataFrame,
+    channel: str,
+    lower=None,
+    upper=None,
+) -> DataFrame:
+    """Value-stat pruning (Iceberg-manifest column stats, one level
+    deeper than the reference's time-only chunk_bounds): keep only
+    chunk rows whose [``{channel}_min``, ``{channel}_max``] interval
+    can contain a row matching ``lower <= value <= upper`` — the
+    pruned-out chunks are never read (Parquet row-group stats on the
+    stat columns) and never decoded. Rows inside surviving chunks
+    still need the exact post-decode filter (``read.read_range``
+    applies it)."""
+    out = chunks
+    if lower is not None:
+        out = out.filter(F.col(f"{channel}_max") >= lower)
+    if upper is not None:
+        out = out.filter(F.col(f"{channel}_min") <= upper)
     return out

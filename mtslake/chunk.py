@@ -146,8 +146,29 @@ def series_schema(channels: tuple[ChannelSpec, ...] = DEFAULT_CHANNELS
     )
 
 
+def _numeric(channels: tuple[ChannelSpec, ...]) -> list[ChannelSpec]:
+    return [c for c in channels if not c.is_binary]
+
+
+def _stat_type(c: ChannelSpec) -> T.DataType:
+    # widened stat slots: any int channel -> long, any float -> double
+    return (
+        T.DoubleType() if np.dtype(c.dtype).kind == "f" else T.LongType()
+    )
+
+
 def chunk_schema(channels: tuple[ChannelSpec, ...] = DEFAULT_CHANNELS
                  ) -> T.StructType:
+    """Chunk-row schema: keys, time bounds, byte accounting, sha1
+    ledger, then per-NUMERIC-channel min/max stats (the Iceberg-
+    manifest-style value-pruning columns — a value predicate skips
+    whole chunks without decoding them), then the payloads."""
+    stat_fields = []
+    for c in _numeric(channels):
+        stat_fields.append(T.StructField(f"{c.name}_min", _stat_type(c),
+                                         False))
+        stat_fields.append(T.StructField(f"{c.name}_max", _stat_type(c),
+                                         False))
     return T.StructType(
         [
             T.StructField("url", T.StringType(), False),
@@ -161,13 +182,21 @@ def chunk_schema(channels: tuple[ChannelSpec, ...] = DEFAULT_CHANNELS
             T.StructField("raw_signal_nbytes", T.LongType(), False),
             T.StructField("comp_signal_nbytes", T.LongType(), False),
             T.StructField("sha1", T.StringType(), False),
-            T.StructField("p_ts", T.BinaryType(), False),
         ]
+        + stat_fields
+        + [T.StructField("p_ts", T.BinaryType(), False)]
         + [T.StructField(c.pcol, T.BinaryType(), False) for c in channels]
     )
 
 
 def _pa_chunk_schema(channels: tuple[ChannelSpec, ...]) -> pa.Schema:
+    stat_fields = []
+    for c in _numeric(channels):
+        t = (
+            pa.float64() if np.dtype(c.dtype).kind == "f" else pa.int64()
+        )
+        stat_fields.append((f"{c.name}_min", t))
+        stat_fields.append((f"{c.name}_max", t))
     return pa.schema(
         [
             ("url", pa.string()),
@@ -181,8 +210,9 @@ def _pa_chunk_schema(channels: tuple[ChannelSpec, ...]) -> pa.Schema:
             ("raw_signal_nbytes", pa.int64()),
             ("comp_signal_nbytes", pa.int64()),
             ("sha1", pa.string()),
-            ("p_ts", pa.binary()),
         ]
+        + stat_fields
+        + [("p_ts", pa.binary())]
         + [(c.pcol, pa.binary()) for c in channels]
     )
 
@@ -265,6 +295,15 @@ def _encode_groups(
                 raw_sig += flat.nbytes
                 comp_sig += len(p)
                 sha_src[c.name] = flat
+                # per-chunk value stats (Iceberg-manifest-style): a
+                # value predicate prunes chunk rows without decoding
+                is_f = flat.dtype.kind == "f"
+                out[f"{c.name}_min"].append(
+                    float(flat.min()) if is_f else int(flat.min())
+                )
+                out[f"{c.name}_max"].append(
+                    float(flat.max()) if is_f else int(flat.max())
+                )
         emit_key(out, int(s))
         out["ts_min"].append(int(ts[0]))
         out["ts_max"].append(int(ts[-1]))

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .catalog import ChunkStore, prune_chunks
+from .catalog import ChunkStore, prune_chunks, prune_chunks_by_value
 from .chunk import decompress_chunks
 from .config import EngineConfig, DEFAULT
 from .series import TS_COL
@@ -30,24 +30,44 @@ def read_range(
     columns: list[str] | None = None,
     cfg: EngineConfig = DEFAULT,
     verify: bool = False,
+    channel_range: dict | None = None,
 ) -> DataFrame:
+    """Range read with pruning pushed to the scan.
+
+    ``channel_range``: {channel: (lower, upper)} value predicates —
+    chunk rows are first pruned on the per-chunk stat columns (chunks
+    whose [min, max] can't match are never read nor decoded), then the
+    exact row filter applies after decode. Either bound may be None."""
     from .chunk import ALL_CHANNELS
 
     pruned = prune_chunks(
         store.chunks(), t0_us, t1_us, url=url, url_prefix=url_prefix, cfg=cfg
     )
+    channel_range = channel_range or {}
+    for ch, (lo, hi) in channel_range.items():
+        pruned = prune_chunks_by_value(pruned, ch, lo, hi)
     # channel projection (≙ r[:, cols], mtscomp.py:835-842) is pushed
     # INTO the decode: unrequested payload columns are never read from
     # Parquet nor decoded (the reference decodes whole chunks first)
-    channels = ALL_CHANNELS if columns is None else tuple(
+    requested = ALL_CHANNELS if columns is None else tuple(
         c for c in ALL_CHANNELS if c in columns
     )
-    decoded = decompress_chunks(pruned, verify=verify, channels=channels)
+    # filter-only channels decode too, but are dropped from the output
+    need = set(requested) | set(channel_range)
+    decoded = decompress_chunks(
+        pruned, verify=verify,
+        channels=tuple(c for c in ALL_CHANNELS if c in need),
+    )
     if t0_us is not None:
         decoded = decoded.filter(F.col(TS_COL) >= int(t0_us))
     if t1_us is not None:
         decoded = decoded.filter(F.col(TS_COL) <= int(t1_us))
-    return decoded
+    for ch, (lo, hi) in channel_range.items():
+        if lo is not None:
+            decoded = decoded.filter(F.col(ch) >= lo)
+        if hi is not None:
+            decoded = decoded.filter(F.col(ch) <= hi)
+    return decoded.select("url", "lang", TS_COL, *requested)
 
 
 def read_step(

@@ -238,3 +238,28 @@ def test_refresh_tiers_scans_are_partition_pruned(spark, tmp_path):
     tplan = tier_scan._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in tplan and "part_id" in tplan
     assert "PartitionFilters: []" not in tplan
+
+
+def test_value_stat_pruning_skips_chunks(spark, store):
+    """Per-chunk channel min/max stats must prune the chunk scan for
+    value predicates (PushedFilters on the stat columns) and return
+    exactly the rows the unpruned read + exact filter returns."""
+    from mtslake.catalog import prune_chunks_by_value
+
+    chunks = store.chunks()
+    lo = chunks.agg(F.expr("percentile(value_max, 0.9)")).first()[0]
+    pruned = prune_chunks_by_value(chunks, "value", lower=lo)
+    assert pruned.count() < chunks.count()
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "value_max" in plan and "PushedFilters" in plan
+
+    got = read.read_range(store, channel_range={"value": (lo, None)})
+    full = read.read_range(store).filter(F.col("value") >= lo)
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in full.collect()
+    }
+    # filter-only channel decode: projecting other columns still works
+    slim = read.read_range(store, columns=["n_chars"],
+                           channel_range={"value": (lo, None)})
+    assert set(slim.columns) == {"url", "lang", "ts_us", "n_chars"}
+    assert slim.count() == got.count()
