@@ -403,6 +403,43 @@ def q_ts_stream_rollup_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def q_ts_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (F.session_window) graded with a TRUE
+    SQL oracle: the events series replayed through readStream →
+    watermark → per-url 30-minute-gap session aggregation →
+    append-mode sink. Append emits sessions whose end (last event +
+    gap) the final watermark passed; both sides restrict to sessions
+    ending ≥1 s before max(ts) — strictly inside the emitted set — so
+    the comparison is deterministic. The oracle replays gap
+    sessionization with the lag/running-sum window and aggregates the
+    same sessions."""
+    import shutil
+    import tempfile
+
+    from mtslake.streaming import run_sessions_stream_to_parquet
+
+    series = events_to_series(_events(spark, sf_dir))
+    tmp = tempfile.mkdtemp(prefix="mtslake_stream_sess_")
+    src, out, ck = (os.path.join(tmp, d) for d in ("src", "out", "ck"))
+    series.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(series.schema).parquet(src)
+    q = run_sessions_stream_to_parquet(
+        stream, out, ck, key="url", gap="30 minutes",
+        watermark="0 seconds",
+    ).start()
+    q.awaitTermination()
+    max_ts = int(series.agg(F.max(TS_COL)).first()[0])
+    sessions = spark.read.parquet(out).filter(
+        F.col("session_end_us") + 1_000_000 <= F.lit(max_ts)
+    )
+    result = sessions.select(
+        "url", "session_start_us", "session_end_us", "n_events"
+    )
+    rows, schema = result.collect(), result.schema
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 def q_ts_stream_compress_seal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The custom stateful streaming operator graded end-to-end: the
     applyInPandasWithState chunk sealer replays the events series,
@@ -1389,6 +1426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_step_read": q_ts_step_read,
         "ts_asof_join": q_ts_asof_join,
         "ts_stream_rollup_1m": q_ts_stream_rollup_1m,
+        "ts_stream_sessions": q_ts_stream_sessions,
         "ts_stream_compress_seal": q_ts_stream_compress_seal,
         "doc_simhash_planted": q_doc_simhash_planted,
         "doc_dedup_exact": q_doc_dedup_exact,
@@ -1683,6 +1721,33 @@ def oracle_sql() -> dict[str, str]:
             WHERE epoch_us(ts) - epoch_us(ts) % 60000000
                   + 2 * 60000000 <= m.mx
             GROUP BY 1, 2, 3
+        """,
+        "ts_stream_sessions": f"""
+            WITH e AS (
+                SELECT {_URL} AS url, epoch_us(ts) AS ts_us FROM events
+            ), s AS (
+                SELECT url, ts_us,
+                       CASE WHEN lag(ts_us) OVER w IS NULL
+                                 OR ts_us - lag(ts_us) OVER w
+                                    > 1800000000
+                            THEN 1 ELSE 0 END AS b
+                FROM e WINDOW w AS (PARTITION BY url ORDER BY ts_us)
+            ), r AS (
+                SELECT url, ts_us,
+                       sum(b) OVER (PARTITION BY url ORDER BY ts_us
+                           ROWS UNBOUNDED PRECEDING) AS seq
+                FROM s
+            ), g AS (
+                SELECT url, seq,
+                       CAST(count(*) AS BIGINT) AS n_events,
+                       min(ts_us) AS session_start_us,
+                       max(ts_us) + 1800000000 AS session_end_us
+                FROM r GROUP BY url, seq
+            )
+            SELECT url, session_start_us, session_end_us, n_events
+            FROM g
+            WHERE session_end_us + 1000000
+                  <= (SELECT max(epoch_us(ts)) FROM events)
         """,
         "ts_stream_compress_seal": f"""
             WITH m AS (

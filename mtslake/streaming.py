@@ -61,6 +61,56 @@ def streaming_rollup(
     )
 
 
+def streaming_sessions(
+    series_stream: DataFrame,
+    key: str = "url",
+    gap: str = "30 minutes",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Session-window aggregation (``F.session_window``) — the
+    streaming sibling of ``sessions.sessionize``: per-key gap sessions
+    maintained as merging state, emitted (append mode) once the
+    watermark passes a session's end (= last event + gap). State is
+    bounded to the open sessions per key — the third streaming shape
+    next to the tumbling rollup and the custom stateful sealer.
+
+    Output: (key, session_start_us, session_end_us, n_events) with the
+    same integer-μs convention as the batch operators."""
+    with_ts = series_stream.withColumn(
+        "event_ts", F.timestamp_micros(F.col("ts_us"))
+    ).withWatermark("event_ts", watermark)
+    return (
+        with_ts.groupBy(
+            F.col(key), F.session_window("event_ts", gap).alias("w")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key,
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+def run_sessions_stream_to_parquet(
+    series_stream: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    key: str = "url",
+    gap: str = "30 minutes",
+    watermark: str = "0 seconds",
+):
+    sessions = streaming_sessions(series_stream, key, gap, watermark)
+    return (
+        sessions.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+
+
 def streaming_compress(
     series_stream: DataFrame,
     cfg: EngineConfig = DEFAULT,
