@@ -236,6 +236,41 @@ def q_ts_value_filtered_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counter-rate derivative per url over the CODEC ROUND TRIP:
+    events → compress → decompress → unique-timestamp series (decimal-
+    exact per-ts sum) → value delta over time delta per second. Grades
+    the codec path and the window arithmetic; the SQL oracle replays
+    the identical pipeline over raw events."""
+    from mtslake.series import rate
+
+    decoded = _roundtrip_series(spark, sf_dir)
+    uniq = (
+        decoded.groupBy("url", TS_COL)
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,9)"))
+            .cast("double").alias("value")
+        )
+    )
+    out = rate(uniq, key="url", per_seconds=1.0)
+    # + 0.0 collapses IEEE negative zero (repr differs across engines)
+    return out.select(
+        "url", TS_COL,
+        (F.round("value", 6) + F.lit(0.0)).alias("value"),
+        (F.round("rate", 6) + F.lit(0.0)).alias("rate"),
+    )
+
+
+def q_ts_topk_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters per day: top-5 urls by event count in every 1-day
+    bucket (ties: url asc) — the windowed top-k dashboard query. One
+    hash aggregation then a rank window over the aggregate."""
+    from mtslake.series import topk_per_bucket
+
+    series = events_to_series(_events(spark, sf_dir))
+    return topk_per_bucket(series, US_PER_DAY, k=5, key="url")
+
+
 def q_ts_gapfill_1h_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     series = events_to_series(_events(spark, sf_dir))
     rolled = _rollup.rollup_from_series(series, "1h")
@@ -1417,6 +1452,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_histogram_1h": q_ts_histogram_1h,
         "ts_lttb_downsample": q_ts_lttb_downsample,
         "ts_value_filtered_read": q_ts_value_filtered_read,
+        "ts_rate": q_ts_rate,
+        "ts_topk_daily": q_ts_topk_daily,
         "ts_gapfill_1h_locf": q_ts_gapfill_1h_locf,
         "ts_gapfill_1h_interp": q_ts_gapfill_1h_interp,
         "ts_catalog_stats": q_ts_catalog_stats,
@@ -1569,6 +1606,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(props) AS BIGINT) AS n_chars, value
             FROM events
             WHERE epoch_us(ts) BETWEEN {T0} AND {T1}
+        """,
+        "ts_rate": f"""
+            WITH u AS (
+                SELECT {_URL} AS url, epoch_us(ts) AS ts_us,
+                       CAST(SUM(CAST(value AS DECIMAL(18,9)))
+                            AS DOUBLE) AS value
+                FROM events GROUP BY 1, 2
+            ), r AS (
+                SELECT url, ts_us, value,
+                       (value - lag(value) OVER w)
+                       / (CAST(ts_us - lag(ts_us) OVER w AS DOUBLE)
+                          / 1000000.0) AS rate
+                FROM u WINDOW w AS (PARTITION BY url ORDER BY ts_us)
+            )
+            SELECT url, ts_us, ROUND(value, 6) + 0.0 AS value,
+                   ROUND(rate, 6) + 0.0 AS rate
+            FROM r WHERE rate IS NOT NULL
+        """,
+        "ts_topk_daily": f"""
+            WITH c AS (
+                SELECT epoch_us(ts) - epoch_us(ts) % {US_PER_DAY}
+                           AS bucket_us,
+                       {_URL} AS url, count(*) AS cnt
+                FROM events GROUP BY 1, 2
+            )
+            SELECT bucket_us, url, cnt, rank FROM (
+                SELECT bucket_us, url, cnt,
+                       CAST(row_number() OVER (PARTITION BY bucket_us
+                           ORDER BY cnt DESC, url) AS INT) AS rank
+                FROM c
+            ) WHERE rank <= 5
         """,
         "ts_value_filtered_read": f"""
             SELECT {_URL} AS url, epoch_us(ts) AS ts_us,

@@ -82,3 +82,69 @@ def url_prefix(col: str = "url") -> F.Column:
     return F.substring_index(
         F.substring_index(F.col(col), "://", -1), "/", 1
     ).alias("url_prefix")
+
+
+def rate(
+    series: DataFrame,
+    key: str = "url",
+    ts_col: str = TS_COL,
+    value_col: str = "value",
+    per_seconds: float = 1.0,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Counter/gauge rate — the TSDB derivative query: per key, the
+    value delta between consecutive observations divided by the time
+    delta (scaled to ``per_seconds``). First observation per key has no
+    predecessor and is dropped. One key shuffle + partition-local sort;
+    division of exact deltas is one IEEE op, so the SQL oracle replays
+    it bit-for-bit.
+
+    ``tiebreak``: extra ordering column when timestamps can collide —
+    without it, rate over duplicate timestamps is order-dependent
+    (zero time delta → ±inf anyway; pre-aggregate to unique timestamps
+    for the canonical shape)."""
+    from pyspark.sql import Window as W
+
+    order = [ts_col, tiebreak] if tiebreak else [ts_col]
+    w = W.partitionBy(key).orderBy(*order)
+    prev_v = F.lag(value_col).over(w)
+    prev_t = F.lag(ts_col).over(w)
+    return (
+        series.withColumn(
+            "rate",
+            (F.col(value_col) - prev_v)
+            / ((F.col(ts_col) - prev_t).cast("double")
+               / F.lit(1e6 * per_seconds)),
+        )
+        .filter(F.col("rate").isNotNull())
+        .select(key, ts_col, value_col, "rate")
+    )
+
+
+def topk_per_bucket(
+    series: DataFrame,
+    tier_us: int,
+    k: int = 5,
+    key: str = "url",
+    ts_col: str = TS_COL,
+) -> DataFrame:
+    """Heavy hitters per time bucket: the top-``k`` keys by event count
+    in every ``tier_us`` window (ties: key asc). One hash aggregation +
+    one per-bucket rank window over the already-aggregated (bucket,
+    key, cnt) rows — the window input is the aggregate, never the raw
+    events."""
+    from pyspark.sql import Window as W
+
+    b = (F.col(ts_col) - F.pmod(F.col(ts_col), F.lit(int(tier_us)))).cast(
+        "long"
+    )
+    counts = (
+        series.select(b.alias("bucket_us"), F.col(key))
+        .groupBy("bucket_us", key)
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = W.partitionBy("bucket_us").orderBy(F.desc("cnt"), F.asc(key))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= int(k))
+    )
