@@ -290,3 +290,36 @@ def test_compact_merges_fragmented_chunks(spark, tmp_path):
 
     # idempotent
     assert compact(st, DEFAULT)["chunk_ids"] == []
+
+
+def test_dedup_job_build_and_probe(spark, tmp_path, sf_dir, capsys):
+    """jobs/dedup.py smoke: build the index from an old corpus, probe a
+    new batch, pairs land in parquet and the index grows."""
+    from mtslake.jobs import dedup as job_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old_p, new_p = str(tmp_path / "old"), str(tmp_path / "new")
+    docs.filter(F.col("doc_id") < 300).write.parquet(old_p)
+    docs.filter(F.col("doc_id") >= 300).write.parquet(new_p)
+    corpus_p = str(tmp_path / "corpus")
+    docs.write.parquet(corpus_p)
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "pairs")
+
+    common = ["--store", str(tmp_path / "lake"), "--master", "local[4]"]
+    job_dedup.main(["build", "--docs", old_p, "--index", idx,
+                    "--bands", "64", *common])
+    before = spark.read.parquet(idx).count()
+    job_dedup.main([
+        "probe", "--docs", corpus_p, "--index", idx, "--new-docs", new_p,
+        "--out", out, "--jaccard-threshold", "0.5", *common,
+    ])
+    spark.catalog.refreshByPath(idx)
+    after = spark.read.parquet(idx).count()
+    assert after > before  # the batch was appended
+    pairs = spark.read.parquet(out)
+    assert set(pairs.columns) == {"id_a", "id_b", "jaccard"}
+    # every pair involves a new doc (old-old pairs belong to build time)
+    assert pairs.filter(
+        (F.col("id_a") < 300) & (F.col("id_b") < 300)
+    ).count() == 0
