@@ -86,6 +86,18 @@ def main() -> None:
         timings[name] = round(time.monotonic() - t0, 3)
         return out
 
+    def timed_min(name: str, fn, n: int = 2):
+        # min-of-N for standalone timed queries (the pipeline has its
+        # own best-of-N loop): a single cold shot on this host can read
+        # 1.5-2x the warm cost — worker spin-up, first-scan page cache,
+        # co-tenant bursts
+        for _ in range(n):
+            t0 = time.monotonic()
+            fn()
+            dt = round(time.monotonic() - t0, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+
     def _warm_workers():
         # Python worker pool warm-up: 2*cpus trivial Arrow tasks force
         # worker spawn + numpy/pandas/codec imports BEFORE timing (a
@@ -145,7 +157,7 @@ def main() -> None:
         # rollup — the direct column for the reference's single-thread
         # decompression MB/s (README.md:177); MB = the catalog's
         # raw_nbytes (true decoded width, 44 B/point)
-        timed("decode_full", lambda: read.read_range(store).count())
+        timed_min("decode_full", lambda: read.read_range(store).count())
         raw_nbytes = store.catalog().agg(
             F.sum("raw_nbytes")
         ).first()[0]
@@ -155,13 +167,13 @@ def main() -> None:
 
         # headline random access: 1-day window mid-horizon
         t0p = series.agg(F.min("ts_us")).first()[0]
-        timed(
+        timed_min(
             "read_range_1d",
             lambda: read.read_range(
                 store, t0p + 3 * 86_400_000_000, t0p + 4 * 86_400_000_000
             ).count(),
         )
-        timed(
+        timed_min(
             "gapfill_1h",
             lambda: gapfill.gapfill_locf(
                 spark.read.parquet(store.path("rollup_1h")), "1h"
@@ -172,13 +184,16 @@ def main() -> None:
         pipeline_sec = timings["compress_write"] + timings["decode_rollup_tiers_write"]
         points_per_sec = n_points / pipeline_sec if pipeline_sec else 0.0
 
-        # driver-table queries (events/documents) for cross-round tracking
+        # driver-table queries (events/documents) for cross-round
+        # tracking — min-of-N like the pipeline (a single cold shot on
+        # this host can read 1.5-2x the warm cost: worker spin-up,
+        # first-scan page cache, co-tenant bursts)
         if not os.environ.get("SPARK_GRAFT_BENCH_SKIP_AUX"):
             import __spark_entry__ as entry
 
             for qname in ("ts_rollup_1h_codec", "emb_cosine_topk"):
                 fn = entry.queries()[qname]
-                timed(qname, lambda f=fn: f(spark, sf_dir).count())
+                timed_min(qname, lambda f=fn: f(spark, sf_dir).count())
             # time the PRODUCTION-banding LSH (16 bands x 4 rows — the
             # r1/r2-comparable shape); the contract query now runs
             # full-recall 64x1 banding sized for the sf0.01 oracle gate
@@ -186,9 +201,9 @@ def main() -> None:
 
             docs = spark.read.parquet(os.path.join(sf_dir,
                                                    "documents.parquet"))
-            timed("doc_minhash_lsh",
-                  lambda: minhash_lsh_pairs(
-                      docs, jaccard_threshold=0.5).count())
+            timed_min("doc_minhash_lsh",
+                      lambda: minhash_lsh_pairs(
+                          docs, jaccard_threshold=0.5).count())
 
         result = {
             "metric": "rolled_up_points_per_sec",
