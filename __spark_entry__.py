@@ -796,6 +796,42 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_features(_docs(spark, sf_dir))
 
 
+def q_doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub graded against a full SQL replay: deterministic PII
+    (emails / IPv4s / phone runs, synthesized per doc_id so no real
+    data is involved) is appended to each document, redacted by the
+    sequential pattern chain, and the oracle replays the identical
+    regex chain (conservative dialect-portable patterns) — per-doc
+    match counts plus an md5 of the cleaned text."""
+    from mtslake.textops import redact_pii
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.pmod(F.col("doc_id"), 3) == 0,
+                F.concat(F.lit(" contact user"),
+                         F.col("doc_id").cast("string"),
+                         F.lit("@example.com now")),
+            ).when(
+                F.pmod(F.col("doc_id"), 3) == 1,
+                F.concat(F.lit(" from 10.2.3."),
+                         F.pmod(F.col("doc_id"), 256).cast("string")),
+            ).otherwise(
+                F.concat(F.lit(" call +1 (555) 123-45"),
+                         F.pmod(F.col("doc_id"), 90).cast("string"),
+                         F.lit("9")),
+            ),
+        ),
+    )
+    out = redact_pii(docs)
+    return out.select(
+        "doc_id", "n_email", "n_ipv4", "n_phone",
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+    )
+
+
 def q_doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 TF-IDF terms over the corpus. The scoring is
     transcendental-free ((tf/doc_len)·((N+1)/(df+1)) — IEEE divisions
@@ -1483,6 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_png_pipeline": q_mm_png_pipeline,
         "doc_repetition": q_doc_repetition,
         "doc_tfidf_topk": q_doc_tfidf_topk,
+        "doc_pii_redact": q_doc_pii_redact,
         "doc_url_normalize": q_doc_url_normalize,
         "doc_corpus_clean": q_doc_corpus_clean,
         "emb_cosine_topk": q_emb_cosine_topk,
@@ -2052,6 +2089,49 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS rows_after,
                    CAST(SUM(cnt) AS BIGINT) AS n_points
             FROM g
+        """,
+        "doc_pii_redact": r"""
+            WITH aug AS (
+                SELECT doc_id,
+                       text || CASE
+                           WHEN doc_id % 3 = 0 THEN
+                               ' contact user' || CAST(doc_id AS VARCHAR)
+                               || '@example.com now'
+                           WHEN doc_id % 3 = 1 THEN
+                               ' from 10.2.3.'
+                               || CAST(doc_id % 256 AS VARCHAR)
+                           ELSE ' call +1 (555) 123-45'
+                               || CAST(doc_id % 90 AS VARCHAR) || '9'
+                       END AS t
+                FROM documents
+            ), s1 AS (
+                SELECT doc_id, t,
+                       CAST(len(regexp_extract_all(t,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'
+                       )) AS BIGINT) AS n_email,
+                       regexp_replace(t,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g') AS t1
+                FROM aug
+            ), s2 AS (
+                SELECT doc_id, n_email,
+                       CAST(len(regexp_extract_all(t1,
+                           '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT)
+                           AS n_ipv4,
+                       regexp_replace(t1, '([0-9]{1,3}\.){3}[0-9]{1,3}',
+                           '<IPV4>', 'g') AS t2
+                FROM s1
+            ), s3 AS (
+                SELECT doc_id, n_email, n_ipv4,
+                       CAST(len(regexp_extract_all(t2,
+                           '\+?[0-9][0-9()\-. ]{7,}[0-9]')) AS BIGINT)
+                           AS n_phone,
+                       regexp_replace(t2, '\+?[0-9][0-9()\-. ]{7,}[0-9]',
+                           '<PHONE>', 'g') AS t3
+                FROM s2
+            )
+            SELECT doc_id, n_email, n_ipv4, n_phone, md5(t3) AS clean_md5
+            FROM s3
         """,
         "doc_tfidf_topk": r"""
             WITH toks AS (

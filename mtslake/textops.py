@@ -242,3 +242,35 @@ def tfidf_topk(docs: DataFrame, k: int = 3, text_col: str = "text",
             "doc_id", "term", F.round("score", 9).alias("score"), "rank"
         )
     )
+
+
+# conservative, engine-portable PII patterns: no lookaround, no \b
+# dialect traps — the same pattern strings compile identically under
+# Java regex (Spark) and RE2/PCRE-style engines (DuckDB oracle)
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"([0-9]{1,3}\.){3}[0-9]{1,3}"),
+    ("phone", r"\+?[0-9][0-9()\-. ]{7,}[0-9]"),
+)
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """PII redaction — the scrub pass every released training corpus
+    runs: emails, IPv4 addresses, and phone-like digit runs replaced by
+    typed placeholders (``<EMAIL>`` …), plus per-doc match counts for
+    audit. Pure ``regexp_replace``/``regexp_count`` built-ins (JVM,
+    whole-stage codegen); patterns avoid lookaround so the SQL oracle
+    replays them verbatim. Order matters (emails first: their local
+    parts can contain digit runs a later pattern would mangle) and is
+    pinned by PII_PATTERNS."""
+    out = F.col(text_col)
+    counts = []
+    for name, pat in PII_PATTERNS:
+        counts.append(
+            F.regexp_count(out, F.lit(pat)).cast("long").alias(f"n_{name}")
+        )
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return docs.select(
+        id_col, *counts, out.alias("clean_text"),
+    )

@@ -831,3 +831,25 @@ def test_ivfpq_store_search_and_pruning(spark, tmp_path):
         dall = ((allX - p[None, :]) ** 2).sum(axis=1)
         exact = list(np.argsort(dall, kind="stable")[:10])
         assert len(set(rerank) & set(exact)) >= 9, (pid, rerank, exact)
+
+
+def test_redact_pii_hand_cases(spark):
+    from mtslake.textops import redact_pii
+
+    rows = [
+        (1, "mail a.b+c@ex-ample.org and d@e.io today"),
+        (2, "server 192.168.0.1 and 10.0.0.255 up"),
+        (3, "call +44 (0)20 7946-0958 or 555 123 4567 now"),
+        (4, "clean text with no pii at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert got[1]["n_email"] == 2
+    assert got[1]["clean_text"] == "mail <EMAIL> and <EMAIL> today"
+    assert got[2]["n_ipv4"] == 2
+    assert got[2]["clean_text"] == "server <IPV4> and <IPV4> up"
+    assert got[3]["n_phone"] >= 1
+    assert "<PHONE>" in got[3]["clean_text"]
+    assert "7946" not in got[3]["clean_text"]
+    assert got[4]["clean_text"] == rows[3][1]
+    assert (got[4]["n_email"], got[4]["n_ipv4"], got[4]["n_phone"]) == (0, 0, 0)
