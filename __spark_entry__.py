@@ -740,6 +740,24 @@ def q_doc_cluster_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_pairs(pairs)
 
 
+def q_doc_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the REAL near-dup graph, graded by a
+    TRUE SQL oracle: edges = the full-recall MinHash pair set (itself
+    provably the exact all-pairs Jaccard ≥ 0.5 set), labels = min
+    member id per component via pointer-jumping label propagation; the
+    oracle recomputes the same edges in SQL and the same components
+    with a recursive-CTE transitive closure. Non-planted, end-to-end:
+    a wrong edge set, a split component, or a wrong canonical id each
+    breaks the hash."""
+    from mtslake.dedup import cluster_pairs, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        _docs(spark, sf_dir), n_hashes=64, bands=64,
+        jaccard_threshold=0.5, max_bucket=None,
+    )
+    return cluster_pairs(pairs).orderBy("doc_id")
+
+
 def q_ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization over the raw events stream: 30-minute-gap
     sessions per user, one row per session with count/span — the
@@ -1512,6 +1530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_incremental": q_doc_dedup_incremental,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_cluster_chain": q_doc_cluster_chain,
+        "doc_cluster_components": q_doc_cluster_components,
         "ts_sessionize": q_ts_sessionize,
         "doc_split": q_doc_split,
         "ts_compact": q_ts_compact,
@@ -1979,6 +1998,40 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+        """,
+        # connected components over the exact near-dup graph: recursive
+        # transitive closure -> min reachable id per node (see
+        # q_doc_cluster_components)
+        "doc_cluster_components": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\s+') AS t
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct([array_to_string(t[i:i+2], ' ')
+                           FOR i IN generate_series(1,
+                               greatest(len(t) - 2, 1))]) AS s
+                FROM toks
+            ), pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+            ), edges AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ), nodes AS (
+                SELECT DISTINCT u AS id FROM edges
+            ), reach AS (
+                WITH RECURSIVE r(id, rid) AS (
+                    SELECT id, id FROM nodes
+                    UNION
+                    SELECT e.u, r.rid FROM edges e JOIN r ON e.v = r.id
+                )
+                SELECT id, min(rid) AS cluster_id FROM r GROUP BY id
+            )
+            SELECT id AS doc_id, cluster_id FROM reach ORDER BY doc_id
         """,
         # incremental index probe ≡ exact all-pairs restricted to the
         # new batch (full-recall banding; see q_doc_dedup_incremental)
