@@ -475,6 +475,58 @@ def q_ts_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def q_ts_stream_enriched_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment graded with a TRUE SQL oracle: the
+    events stream broadcast-joined to a customer-segment dimension
+    (user_id mapped into c_custkey space), then a watermarked 1h
+    tumbling count/sum per market segment in append mode. The oracle
+    replays the join + aggregation and both sides restrict to buckets
+    two full buckets before max(ts) — the deterministic emitted set."""
+    import shutil
+    import tempfile
+
+    from mtslake.streaming import streaming_enriched_rollup
+
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    n_cust = cust.count()
+    dim = cust.select(
+        F.col("c_custkey").alias("user_key"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    series = events_to_series(_events(spark, sf_dir)).withColumn(
+        "user_key",
+        F.pmod(
+            F.regexp_extract("url", r"user-(\d+)", 1).cast("long"),
+            F.lit(n_cust),
+        ) + 1,
+    )
+    tmp = tempfile.mkdtemp(prefix="mtslake_stream_enrich_")
+    src, out, ck = (os.path.join(tmp, d) for d in ("src", "out", "ck"))
+    series.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(series.schema).parquet(src)
+    rolled = streaming_enriched_rollup(
+        stream, dim, join_key="user_key", group_col="segment", tier="1h"
+    )
+    q = (
+        rolled.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append").trigger(availableNow=True)
+    ).start()
+    q.awaitTermination()
+    max_ts = int(series.agg(F.max(TS_COL)).first()[0])
+    got = spark.read.parquet(out).filter(
+        F.col("bucket_us") + 2 * _HOUR_US <= F.lit(max_ts)
+    )
+    result = got.select(
+        "segment", "bucket_us", "cnt",
+        (F.round(F.col("vsum").cast("double"), 6) + F.lit(0.0))
+        .alias("vsum"),
+    )
+    rows, schema = result.collect(), result.schema
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 def q_ts_stream_compress_seal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The custom stateful streaming operator graded end-to-end: the
     applyInPandasWithState chunk sealer replays the events series,
@@ -1518,6 +1570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_asof_join": q_ts_asof_join,
         "ts_stream_rollup_1m": q_ts_stream_rollup_1m,
         "ts_stream_sessions": q_ts_stream_sessions,
+        "ts_stream_enriched_rollup": q_ts_stream_enriched_rollup,
         "ts_stream_compress_seal": q_ts_stream_compress_seal,
         "doc_simhash_planted": q_doc_simhash_planted,
         "doc_dedup_exact": q_doc_dedup_exact,
@@ -1872,6 +1925,22 @@ def oracle_sql() -> dict[str, str]:
             FROM g
             WHERE session_end_us + 1000000
                   <= (SELECT max(epoch_us(ts)) FROM events)
+        """,
+        "ts_stream_enriched_rollup": f"""
+            WITH m AS (SELECT max(epoch_us(ts)) AS mx FROM events),
+            n AS (SELECT count(*) AS nc FROM customer)
+            SELECT c.c_mktsegment AS segment,
+                   epoch_us(e.ts) - epoch_us(e.ts) % {_HOUR_US}
+                       AS bucket_us,
+                   count(*) AS cnt,
+                   ROUND(CAST(SUM(CAST(e.value AS DECIMAL(18,9)))
+                       AS DOUBLE), 6) + 0.0 AS vsum
+            FROM events e, m, n
+            JOIN customer c
+              ON c.c_custkey = e.user_id % n.nc + 1
+            WHERE epoch_us(e.ts) - epoch_us(e.ts) % {_HOUR_US}
+                  + 2 * {_HOUR_US} <= m.mx
+            GROUP BY 1, 2
         """,
         "ts_stream_compress_seal": f"""
             WITH m AS (

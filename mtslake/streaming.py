@@ -61,6 +61,43 @@ def streaming_rollup(
     )
 
 
+def streaming_enriched_rollup(
+    series_stream: DataFrame,
+    dim: DataFrame,
+    join_key: str,
+    group_col: str,
+    tier: str = "1h",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Stream-static enrichment: the event stream joined to a
+    broadcast dimension table (Spark re-plans the static side per
+    micro-batch; small dims broadcast, so the stream never shuffles
+    for the join), then a watermarked tumbling aggregation grouped by
+    a dim attribute — the classic "sessionize by customer segment"
+    enrichment shape.
+
+    Output: (group_col, bucket_us, cnt, vsum) with the engine's usual
+    integer buckets and decimal-exact sums."""
+    with_ts = series_stream.withColumn(
+        "event_ts", F.timestamp_micros(F.col("ts_us"))
+    ).withWatermark("event_ts", watermark)
+    joined = with_ts.join(F.broadcast(dim), join_key)
+    win = F.window("event_ts", TIER_DURATION[tier])
+    return (
+        joined.groupBy(F.col(group_col), win.alias("w"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(vsum_cast("value")).alias("vsum"),
+        )
+        .select(
+            group_col,
+            F.unix_micros(F.col("w.start")).alias("bucket_us"),
+            "cnt",
+            F.col("vsum").cast("decimal(38,18)").alias("vsum"),
+        )
+    )
+
+
 def streaming_sessions(
     series_stream: DataFrame,
     key: str = "url",
