@@ -99,6 +99,24 @@ def _code_matrices(codebooks) -> list[np.ndarray]:
     return [np.asarray(b, dtype=np.float64) for b in codebooks]
 
 
+# ADC tables are built driver-side and closed over into the scan
+# kernel — metadata for probe BATCHES (a dashboard's queries), not for
+# probe TABLES. Cap the budget loudly instead of letting a
+# million-probe call OOM the driver silently.
+_MAX_TABLE_ENTRIES = 50_000_000  # doubles ≈ 400 MB
+
+
+def _guard_table_budget(n_tables: int, m: int, ksz: int) -> None:
+    entries = n_tables * m * ksz
+    if entries > _MAX_TABLE_ENTRIES:
+        raise ValueError(
+            f"ADC table budget exceeded: {n_tables} probe tables × {m} "
+            f"subspaces × {ksz} codes = {entries} entries (> "
+            f"{_MAX_TABLE_ENTRIES}). Batch the probes (ADC search is "
+            "per-probe-batch by design), or reduce n_probe."
+        )
+
+
 def pq_encode(
     embeddings: DataFrame,
     codebooks,
@@ -156,6 +174,7 @@ def pq_search(
     prows = probes.select(
         "probe_id", F.col("probe_vec").cast("array<double>").alias("_p")
     ).collect()
+    _guard_table_budget(len(prows), m, mats[0].shape[0])
     tables = {}
     for r in prows:
         p = np.asarray(r["_p"], dtype=np.float64)
@@ -343,6 +362,9 @@ def ivfpq_search(
     cell_probes: dict[int, list[int]] = {}
     for r in probed.collect():
         cell_probes.setdefault(int(r["cell"]), []).append(int(r["probe_id"]))
+    _guard_table_budget(
+        sum(len(v) for v in cell_probes.values()), m, mats[0].shape[0]
+    )
     tables: dict[tuple[int, int], np.ndarray] = {}
     for cell, pids in cell_probes.items():
         for pid in pids:
