@@ -866,6 +866,15 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_features(_docs(spark, sf_dir))
 
 
+def q_doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: 64-token disjoint chunks per document (last
+    short chunk kept) — the LLM context-window chunking pass, replayed
+    exactly by list-slicing SQL."""
+    from mtslake.textops import pack_chunks
+
+    return pack_chunks(_docs(spark, sf_dir), k=64)
+
+
 def q_doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub graded against a full SQL replay: deterministic PII
     (emails / IPv4s / phone runs, synthesized per doc_id so no real
@@ -1592,6 +1601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "doc_tfidf_topk": q_doc_tfidf_topk,
         "doc_pii_redact": q_doc_pii_redact,
+        "doc_pack_chunks": q_doc_pack_chunks,
         "doc_url_normalize": q_doc_url_normalize,
         "doc_corpus_clean": q_doc_corpus_clean,
         "emb_cosine_topk": q_emb_cosine_topk,
@@ -2211,6 +2221,31 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS rows_after,
                    CAST(SUM(cnt) AS BIGINT) AS n_points
             FROM g
+        """,
+        "doc_pack_chunks": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(text)),
+                           '\s+'), x -> x <> '') AS t
+                FROM documents
+            ), p AS (
+                SELECT doc_id, t,
+                       least(greatest(CAST(ceil(
+                           CAST(len(t) - 64 AS DOUBLE) / 64) AS BIGINT)
+                           * 64 + 1, 1),
+                           greatest(len(t), 1)) AS last_start
+                FROM toks
+            ), c AS (
+                SELECT doc_id, t,
+                       unnest(range(1, CAST(last_start AS BIGINT) + 1,
+                                    64)) AS s
+                FROM p
+            )
+            SELECT doc_id,
+                   CAST((s - 1) // 64 AS INT) AS chunk_idx,
+                   CAST(len(t[s:s+63]) AS BIGINT) AS n_tokens,
+                   array_to_string(t[s:s+63], ' ') AS chunk_text
+            FROM c
         """,
         "doc_pii_redact": r"""
             WITH aug AS (

@@ -274,3 +274,54 @@ def redact_pii(docs: DataFrame, text_col: str = "text",
     return docs.select(
         id_col, *counts, out.alias("clean_text"),
     )
+
+
+def pack_chunks(docs: DataFrame, k: int = 64, stride: int | None = None,
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Sequence packing: split each document into ≤``k``-token chunks
+    with ``stride`` (default k → disjoint; < k → overlapping windows) —
+    the context-window chunking pass of an LLM training pipeline.
+
+    JVM-side: tokenize once, build chunk start positions with
+    ``sequence``, slice per start, explode. Output one row per chunk
+    (doc_id, chunk_idx, n_tokens, chunk_text); the final short chunk is
+    kept (training pipelines pad it). Chunk starts are 1-based token
+    positions 1, 1+stride, … up to the last start that begins a new
+    chunk (a start past the end would duplicate the tail)."""
+    stride = int(stride if stride is not None else k)
+    if stride <= 0 or k <= 0:
+        raise ValueError("k and stride must be positive")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda x: x != "",
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
+    n = F.size("_t")
+    # starts: 1, 1+stride, ... while start <= max(n-?, 1). Keep at least
+    # one chunk for empty/short docs; never start past the end.
+    last_start = F.greatest(
+        ((F.ceil((n - F.lit(k)).cast("double") / F.lit(stride)))
+         .cast("long") * F.lit(stride) + 1),
+        F.lit(1),
+    )
+    # clamp: a start must have at least one NEW token (start <= n) and
+    # cover the tail exactly once
+    last_start = F.least(last_start, F.greatest(n, F.lit(1)))
+    starts = F.sequence(F.lit(1).cast("long"), last_start,
+                        F.lit(stride).cast("long"))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            ((s - 1) / stride).cast("int").alias("chunk_idx"),
+            F.slice(F.col("_t"), s, k).alias("ctoks"),
+        ),
+    )
+    exploded = base.select(
+        "doc_id", F.explode(chunks).alias("_c")
+    ).select(
+        "doc_id",
+        F.col("_c.chunk_idx").alias("chunk_idx"),
+        F.size("_c.ctoks").cast("long").alias("n_tokens"),
+        F.concat_ws(" ", F.col("_c.ctoks")).alias("chunk_text"),
+    )
+    return exploded

@@ -853,3 +853,35 @@ def test_redact_pii_hand_cases(spark):
     assert "7946" not in got[3]["clean_text"]
     assert got[4]["clean_text"] == rows[3][1]
     assert (got[4]["n_email"], got[4]["n_ipv4"], got[4]["n_phone"]) == (0, 0, 0)
+
+
+def test_pack_chunks_hand_cases(spark):
+    from mtslake.textops import pack_chunks
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),  # 7 tokens
+            (2, "x y"),            # short doc
+            (3, ""),               # empty
+        ],
+        "doc_id long, text string",
+    )
+    # disjoint k=3: doc1 -> [a b c][d e f][g]
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_tokens"], r["chunk_text"])
+        for r in pack_chunks(docs, k=3).collect()
+    }
+    assert got[(1, 0)] == (3, "a b c")
+    assert got[(1, 1)] == (3, "d e f")
+    assert got[(1, 2)] == (1, "g")
+    assert got[(2, 0)] == (2, "x y")
+    assert got[(3, 0)] == (0, "")
+    assert len(got) == 5
+
+    # overlapping k=4 stride=2: doc1 -> [a b c d][c d e f][e f g]
+    got2 = {
+        (r["doc_id"], r["chunk_idx"]): r["chunk_text"]
+        for r in pack_chunks(docs, k=4, stride=2).collect()
+        if r["doc_id"] == 1
+    }
+    assert got2 == {(1, 0): "a b c d", (1, 1): "c d e f", (1, 2): "e f g"}
