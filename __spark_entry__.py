@@ -810,6 +810,22 @@ def q_doc_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_pairs(pairs).orderBy("doc_id")
 
 
+def q_doc_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's deliverable, end to end with a TRUE SQL
+    oracle: full-recall near-dup pairs → connected components → keep
+    the minimum member per cluster + all singletons. The oracle
+    recomputes survivors from the recursive-CTE closure over the same
+    exact pair set."""
+    from mtslake.dedup import keep_canonical, minhash_lsh_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(
+        docs, n_hashes=64, bands=64, jaccard_threshold=0.5,
+        max_bucket=None,
+    )
+    return keep_canonical(docs.select("doc_id"), pairs).orderBy("doc_id")
+
+
 def q_ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization over the raw events stream: 30-minute-gap
     sessions per user, one row per session with count/span — the
@@ -1593,6 +1609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_cluster_chain": q_doc_cluster_chain,
         "doc_cluster_components": q_doc_cluster_components,
+        "doc_dedup_survivors": q_doc_dedup_survivors,
         "ts_sessionize": q_ts_sessionize,
         "doc_split": q_doc_split,
         "ts_compact": q_ts_compact,
@@ -2111,6 +2128,42 @@ def oracle_sql() -> dict[str, str]:
                 SELECT id, min(rid) AS cluster_id FROM r GROUP BY id
             )
             SELECT id AS doc_id, cluster_id FROM reach ORDER BY doc_id
+        """,
+        # survivors = everyone except non-canonical members of the
+        # recursive closure over the exact pair set
+        "doc_dedup_survivors": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\s+') AS t
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct([array_to_string(t[i:i+2], ' ')
+                           FOR i IN generate_series(1,
+                               greatest(len(t) - 2, 1))]) AS s
+                FROM toks
+            ), pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+            ), edges AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ), nodes AS (
+                SELECT DISTINCT u AS id FROM edges
+            ), reach AS (
+                WITH RECURSIVE r(id, rid) AS (
+                    SELECT id, id FROM nodes
+                    UNION
+                    SELECT e.u, r.rid FROM edges e JOIN r ON e.v = r.id
+                )
+                SELECT id, min(rid) AS cluster_id FROM r GROUP BY id
+            )
+            SELECT d.doc_id FROM documents d
+            LEFT JOIN reach ON reach.id = d.doc_id
+            WHERE reach.id IS NULL OR reach.cluster_id = d.doc_id
+            ORDER BY d.doc_id
         """,
         # incremental index probe ≡ exact all-pairs restricted to the
         # new batch (full-recall banding; see q_doc_dedup_incremental)

@@ -656,6 +656,23 @@ def cluster_pairs(
         edges.unpersist()
 
 
+def keep_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """The dedup pipeline's END PRODUCT: one survivor per near-dup
+    cluster (the minimum member id — deterministic), singletons kept.
+    Composition: ``cluster_pairs`` (connected components over the pair
+    set) → anti-join the non-canonical members out of the corpus."""
+    clusters = cluster_pairs(pairs, max_iter=max_iter)
+    losers = clusters.filter(
+        F.col("cluster_id") != F.col("doc_id")
+    ).select(F.col("doc_id").alias(id_col))
+    return docs.join(losers, id_col, "left_anti")
+
+
 def ngram_jaccard(
     docs: DataFrame,
     text_col: str = "text",
