@@ -527,6 +527,40 @@ def q_ts_stream_enriched_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def q_ts_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup graded with a TRUE SQL oracle: the
+    events series with every third row RE-DELIVERED (at-least-once
+    source simulation) streams through watermarked dropDuplicates on
+    (url, ts, content hash); the emitted rows must equal SELECT
+    DISTINCT over the same augmented input — i.e. exactly the original
+    series."""
+    import shutil
+    import tempfile
+
+    from mtslake.streaming import streaming_dedup
+
+    series = events_to_series(_events(spark, sf_dir))
+    dups = series.filter(F.pmod(F.xxhash64("url", TS_COL), F.lit(3)) == 0)
+    augmented = series.unionByName(dups)
+    tmp = tempfile.mkdtemp(prefix="mtslake_stream_dedup_")
+    src, out, ck = (os.path.join(tmp, d) for d in ("src", "out", "ck"))
+    augmented.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(augmented.schema).parquet(src)
+    deduped = streaming_dedup(stream)
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append").trigger(availableNow=True)
+    ).start()
+    q.awaitTermination()
+    result = spark.read.parquet(out).select(
+        "url", TS_COL, "n_chars", F.round("value", 6).alias("value")
+    )
+    rows, schema = result.collect(), result.schema
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 def q_ts_stream_compress_seal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The custom stateful streaming operator graded end-to-end: the
     applyInPandasWithState chunk sealer replays the events series,
@@ -1596,6 +1630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_stream_rollup_1m": q_ts_stream_rollup_1m,
         "ts_stream_sessions": q_ts_stream_sessions,
         "ts_stream_enriched_rollup": q_ts_stream_enriched_rollup,
+        "ts_stream_dedup": q_ts_stream_dedup,
         "ts_stream_compress_seal": q_ts_stream_compress_seal,
         "doc_simhash_planted": q_doc_simhash_planted,
         "doc_dedup_exact": q_doc_dedup_exact,
@@ -1952,6 +1987,14 @@ def oracle_sql() -> dict[str, str]:
             FROM g
             WHERE session_end_us + 1000000
                   <= (SELECT max(epoch_us(ts)) FROM events)
+        """,
+        # streaming dropDuplicates over a re-delivered stream == the
+        # original distinct series (see q_ts_stream_dedup)
+        "ts_stream_dedup": f"""
+            SELECT DISTINCT {_URL} AS url, epoch_us(ts) AS ts_us,
+                   CAST(length(props) AS BIGINT) AS n_chars,
+                   ROUND(value, 6) AS value
+            FROM events
         """,
         "ts_stream_enriched_rollup": f"""
             WITH m AS (SELECT max(epoch_us(ts)) AS mx FROM events),

@@ -98,6 +98,25 @@ def streaming_enriched_rollup(
     )
 
 
+def streaming_dedup(
+    series_stream: DataFrame,
+    keys: tuple[str, ...] = ("url", "ts_us", "text_sha1"),
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Stateful streaming deduplication: drop re-deliveries of the
+    same logical row across micro-batches (at-least-once sources
+    re-send; the lake must stay exactly-once). Spark's streaming
+    ``dropDuplicates`` keeps per-key state; the event-time watermark
+    bounds that state — keys older than the watermark are evicted, so
+    state is O(keys within the watermark horizon), never O(stream).
+    The de-dup key includes the content hash by default: two DIFFERENT
+    events sharing (url, ts) both survive."""
+    with_ts = series_stream.withColumn(
+        "event_ts", F.timestamp_micros(F.col("ts_us"))
+    ).withWatermark("event_ts", watermark)
+    return with_ts.dropDuplicates([*keys, "event_ts"]).drop("event_ts")
+
+
 def streaming_sessions(
     series_stream: DataFrame,
     key: str = "url",
