@@ -65,3 +65,4 @@ def test_range_trim_equivalence(xs, pct):
     got = dec[(dec >= t0) & (dec <= t1)]
     exp = arr[(arr >= t0) & (arr <= t1)]
     assert np.array_equal(got, exp)
+

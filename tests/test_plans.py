@@ -263,3 +263,59 @@ def test_value_stat_pruning_skips_chunks(spark, store):
                            channel_range={"value": (lo, None)})
     assert set(slim.columns) == {"url", "lang", "ts_us", "n_chars"}
     assert slim.count() == got.count()
+
+
+def test_id_range_predicate_equals_isin_property(spark):
+    """Property: the balanced range predicate selects exactly the id
+    set, for randomized fragmented lists."""
+    import random
+
+    from mtslake.compact import id_range_predicate
+
+    rng = random.Random(77)
+    universe = list(range(0, 400))
+    df = spark.createDataFrame([(i,) for i in universe], "chunk_id long")
+    for _ in range(6):
+        ids = sorted(rng.sample(universe, rng.randint(1, 120)))
+        got = sorted(
+            r[0] for r in df.filter(
+                id_range_predicate("chunk_id", ids)
+            ).collect()
+        )
+        assert got == ids
+
+
+def test_pack_chunks_coverage_property(spark):
+    """Property: disjoint packing partitions the token list exactly;
+    overlapping packing covers every token and consecutive chunks
+    overlap by k - stride — randomized doc lengths."""
+    import random
+
+    from mtslake.textops import pack_chunks
+
+    rng = random.Random(31)
+    rows = []
+    for i in range(40):
+        n = rng.randint(0, 57)
+        rows.append((i, " ".join(f"t{i}w{j}" for j in range(n))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for k, stride in [(8, 8), (8, 4), (5, 5), (5, 2)]:
+        out = pack_chunks(docs, k=k, stride=stride)
+        by_doc = {}
+        for r in out.collect():
+            by_doc.setdefault(r["doc_id"], []).append(
+                (r["chunk_idx"], r["chunk_text"])
+            )
+        for i, text in rows:
+            toks = text.split() if text else []
+            chunks = [t for _, t in sorted(by_doc[i])]
+            if not toks:
+                assert chunks == [""]
+                continue
+            if stride == k:  # disjoint: exact partition
+                assert " ".join(c for c in chunks if c) == " ".join(toks)
+            covered = set()
+            for c in chunks:
+                for w in c.split():
+                    covered.add(w)
+            assert covered == set(toks), (i, k, stride)

@@ -255,3 +255,67 @@ def test_generic_spec_matches_default_layout(spark):
     b = {tuple(r) for r in compress_series(
         series, DEFAULT, channels=DEFAULT_CHANNELS).collect()}
     assert a == b
+
+
+def test_generic_channel_spec_randomized_property(spark):
+    """Property: randomized channel specs (dtype mix, widths, counts)
+    round-trip bit-exactly through compress/decompress."""
+    import random
+
+    import numpy as np
+
+    from mtslake.chunk import (ChannelSpec, compress_series,
+                               decompress_chunks)
+
+    rng = random.Random(13)
+    nprng = np.random.default_rng(13)
+    dtypes = ["int8", "int16", "int32", "int64", "float32", "float64"]
+    for trial in range(3):
+        n_ch = rng.randint(1, 4)
+        spec = []
+        for ci in range(n_ch):
+            if rng.random() < 0.25:
+                spec.append(ChannelSpec(f"c{ci}", width=rng.choice([4, 12])))
+            else:
+                spec.append(ChannelSpec(f"c{ci}", rng.choice(dtypes)))
+        spec = tuple(spec)
+        n = 600
+        cols, types = [], []
+        data_rows = []
+        for i in range(n):
+            row = [
+                f"https://s{i % 5}.example.com/", "en",
+                int(nprng.integers(0, 3)) * 86_400_000_000
+                + int(nprng.integers(0, 86_400_000_000)),
+            ]
+            for c in spec:
+                if c.is_binary:
+                    row.append(bytes(nprng.integers(0, 256, size=c.width,
+                                                    dtype=np.uint8)))
+                elif c.dtype.startswith("float"):
+                    row.append(float(
+                        np.dtype(c.dtype).type(nprng.normal() * 100)))
+                else:
+                    info = np.iinfo(c.dtype)
+                    row.append(int(nprng.integers(info.min, info.max)))
+            data_rows.append(tuple(row))
+        spark_types = {"int8": "tinyint", "int16": "smallint",
+                       "int32": "int", "int64": "long",
+                       "float32": "float", "float64": "double"}
+        schema = "url string, lang string, ts_us long, " + ", ".join(
+            f"c{ci} binary" if c.is_binary
+            else f"c{ci} {spark_types[c.dtype]}"
+            for ci, c in enumerate(spec)
+        )
+        series = spark.createDataFrame(data_rows, schema)
+        chunks = compress_series(series, DEFAULT, channels=spec)
+        decoded = decompress_chunks(
+            chunks, verify=True, spec=spec,
+            channels=tuple(c.name for c in spec),
+        )
+        names = [c.name for c in spec]
+        got = {tuple(r) for r in decoded.select("url", TS_COL,
+                                                *names).collect()}
+        want = {tuple(r) for r in series.select("url", TS_COL,
+                                                *names).collect()}
+        assert got == want, (trial, spec)
