@@ -204,6 +204,19 @@ def main() -> None:
             timed_min("doc_minhash_lsh",
                       lambda: minhash_lsh_pairs(
                           docs, jaccard_threshold=0.5).count())
+            # webtext-axis headline: the composed corpus-clean pass
+            # (lang ∧ quality → exact dedup of survivors)
+            n_docs = docs.count()
+            fn = entry.queries()["doc_corpus_clean"]
+            timed_min("doc_corpus_clean",
+                      lambda: fn(spark, sf_dir).count())
+            result_extra = {
+                "corpus_clean_docs_per_sec": round(
+                    n_docs / timings["doc_corpus_clean"], 1
+                )
+            }
+        else:
+            result_extra = {}
 
         result = {
             "metric": "rolled_up_points_per_sec",
@@ -216,6 +229,7 @@ def main() -> None:
             "cpus": cpus,
             "pipeline_sec": round(pipeline_sec, 3),
             "decode_mb_s": decode_mb_s,
+            **result_extra,
         }
         print(json.dumps(result))
     finally:
