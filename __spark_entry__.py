@@ -1455,6 +1455,18 @@ def q_rel_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation coverage (INTERSECT / EXCEPT distinct semantics):
+    customers who ordered in both 1995 and 1996 vs only in 1995 —
+    replayed verbatim by SQL INTERSECT/EXCEPT."""
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    a = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    b = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    both = a.intersect(b).withColumn("op", F.lit("both"))
+    only_a = a.subtract(b).withColumn("op", F.lit("only_1995"))
+    return both.unionByName(only_a)
+
+
 def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (seeded coarse quantizer, n_probe of n_cells probed,
     exact re-rank), graded as a validity construction (see
@@ -1667,6 +1679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_lsh_recall": q_doc_minhash_lsh_recall,
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_top_suppliers": q_rel_top_suppliers,
+        "rel_set_ops": q_rel_set_ops,
         "mm_features": q_mm_features,
         "mm_frame_sample": q_mm_frame_sample,
         "mm_resize": q_mm_resize,
@@ -2248,6 +2261,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS n_d2_mismatch,
                    CAST(0 AS BIGINT) AS n_rank_bad,
                    CAST(3 AS BIGINT) AS n_probes
+        """,
+        "rel_set_ops": """
+            WITH a AS (
+                SELECT o_custkey FROM orders
+                WHERE year(o_orderdate) = 1995
+            ), b AS (
+                SELECT o_custkey FROM orders
+                WHERE year(o_orderdate) = 1996
+            )
+            SELECT o_custkey, 'both' AS op
+            FROM (SELECT o_custkey FROM a
+                  INTERSECT SELECT o_custkey FROM b)
+            UNION ALL
+            SELECT o_custkey, 'only_1995' AS op
+            FROM (SELECT o_custkey FROM a
+                  EXCEPT SELECT o_custkey FROM b)
         """,
         # IVF-PQ validity construction (see q_emb_ivfpq_topk)
         "emb_ivfpq_topk": """
