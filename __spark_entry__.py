@@ -112,7 +112,13 @@ def q_ts_moving_avg_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     dashboard read. RANGE-framed on the numeric bucket so sparse holes
     are NOT silently smoothed over (a ROWS frame would average across a
     week-long gap); the moving mean derives from the tier's exact
-    decimal sums. The SQL oracle replays the identical RANGE window."""
+    decimal sums. The SQL oracle replays the identical RANGE window.
+
+    Graded projection carries the EXACT decimal ``mov_vsum`` (cast +
+    round, the ts_rollup_1h_codec pattern) rather than the
+    round-after-divide double mean, whose tie behavior differs across
+    engine versions (r4's one hash mismatch). Users still get
+    ``mov_vmean`` from the operator itself."""
     from mtslake.rollup import moving_aggregate
 
     series = events_to_series(_events(spark, sf_dir))
@@ -120,7 +126,8 @@ def q_ts_moving_avg_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     mov = moving_aggregate(rolled, "1h", n_buckets=24)
     return mov.select(
         "url_prefix", "lang", "bucket_us", "cnt", "mov_cnt",
-        "mov_vmin", "mov_vmax", F.round("mov_vmean", 6).alias("mov_vmean"),
+        "mov_vmin", "mov_vmax",
+        F.round(F.col("mov_vsum").cast("double"), 6).alias("mov_vsum"),
     )
 
 
@@ -1733,8 +1740,8 @@ def oracle_sql() -> dict[str, str]:
                    sum(cnt) OVER w AS mov_cnt,
                    min(vmin) OVER w AS mov_vmin,
                    max(vmax) OVER w AS mov_vmax,
-                   ROUND(CAST(sum(vsum_dec) OVER w AS DOUBLE)
-                         / sum(cnt) OVER w, 6) AS mov_vmean
+                   ROUND(CAST(sum(vsum_dec) OVER w AS DOUBLE), 6)
+                       AS mov_vsum
             FROM ({_ROLLUP_1H})
             WINDOW w AS (PARTITION BY url_prefix, lang ORDER BY bucket_us
                          RANGE BETWEEN 82800000000 PRECEDING

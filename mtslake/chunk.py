@@ -51,6 +51,7 @@ the spec.
 
 from __future__ import annotations
 
+import warnings
 from dataclasses import dataclass
 
 import numpy as np
@@ -296,14 +297,33 @@ def _encode_groups(
                 comp_sig += len(p)
                 sha_src[c.name] = flat
                 # per-chunk value stats (Iceberg-manifest-style): a
-                # value predicate prunes chunk rows without decoding
-                is_f = flat.dtype.kind == "f"
-                out[f"{c.name}_min"].append(
-                    float(flat.min()) if is_f else int(flat.min())
-                )
-                out[f"{c.name}_max"].append(
-                    float(flat.max()) if is_f else int(flat.max())
-                )
+                # value predicate prunes chunk rows without decoding.
+                # Spark and DuckDB both order NaN LARGER than every
+                # numeric in comparisons (NaN >= x true, NaN <= x
+                # false — verified empirically on both), so the
+                # order-consistent bounds for a float channel are:
+                #   min = nanmin  (NaN is never the smallest value;
+                #         plain min() would let one NaN poison the
+                #         lower bound to NaN and value_min <= upper
+                #         would silently prune the chunk's VALID rows
+                #         — Iceberg tracks nan_value_counts separately
+                #         for exactly this hazard)
+                #   max = plain max (NaN if any NaN present — correct:
+                #         the chunk's largest value in engine order IS
+                #         NaN, and NaN >= lower keeps it for
+                #         lower-bound predicates whose exact filter
+                #         also matches the NaN rows)
+                # An all-NaN chunk gets (NaN, NaN): kept for >= lower
+                # (its NaN rows match), pruned for <= upper (nothing
+                # in it can match) — both consistent.
+                if flat.dtype.kind == "f":
+                    with warnings.catch_warnings():
+                        warnings.simplefilter("ignore", RuntimeWarning)
+                        out[f"{c.name}_min"].append(float(np.nanmin(flat)))
+                    out[f"{c.name}_max"].append(float(flat.max()))
+                else:
+                    out[f"{c.name}_min"].append(int(flat.min()))
+                    out[f"{c.name}_max"].append(int(flat.max()))
         emit_key(out, int(s))
         out["ts_min"].append(int(ts[0]))
         out["ts_max"].append(int(ts[-1]))
@@ -581,81 +601,113 @@ def compress_series(
     ).mapInArrow(encode, schema=chunk_schema(channels))
 
 
-def _hex_rows(concat: bytes, n: int, width: int) -> list[str]:
-    big = concat.hex()
-    w2 = 2 * width
-    return [big[i * w2:(i + 1) * w2] for i in range(n)]
+def _fixed_width_array(
+    concat: bytes, n: int, width: int, hex: bool
+) -> pa.Array:
+    """Fixed-stride rows of a flat byte blob as one Arrow var-size
+    array built straight from buffers — zero per-row Python objects
+    (the hex form hexlifies the whole blob once in C)."""
+    if hex:
+        data, w = concat.hex().encode("ascii"), 2 * width
+        typ = pa.utf8()
+    else:
+        data, w = concat, width
+        typ = pa.binary()
+    offsets = np.arange(n + 1, dtype=np.int32) * w
+    return pa.Array.from_buffers(
+        typ, n, [None, pa.py_buffer(offsets), pa.py_buffer(data)]
+    )
 
 
-def _bytes_rows(concat: bytes, n: int, width: int) -> list[bytes]:
-    return [concat[i * width:(i + 1) * width] for i in range(n)]
+def _repeat_take(values: list, counts: np.ndarray) -> pa.Array:
+    """Per-chunk constant strings expanded to point level: factorize
+    the PER-CHUNK list (n_chunks hashes, never n_points) and let
+    Arrow's C++ take() materialize the expanded string column —
+    no Python string per point (measured ~15% of decode wall when
+    done row-wise at 70-point chunks)."""
+    codes, cats = pd.factorize(
+        np.asarray(values, dtype=object), use_na_sentinel=False
+    )
+    rep = pa.array(np.repeat(codes.astype(np.int64), counts))
+    return pa.array(list(cats), type=pa.string()).take(rep)
 
 
-def _decode_batch(
-    pdf: pd.DataFrame,
+def _pa_series_schema(want: tuple[ChannelSpec, ...]) -> pa.Schema:
+    fields = [
+        ("url", pa.string()),
+        ("lang", pa.string()),
+        (TS_COL, pa.int64()),
+    ]
+    for c in want:
+        if c.is_binary:
+            t = pa.utf8() if c.hex else pa.binary()
+        else:
+            t = pa.from_numpy_dtype(np.dtype(c.dtype))
+        fields.append((c.name, t))
+    return pa.schema(fields)
+
+
+def _decode_batch_arrow(
+    t: pa.Table,
     verify: bool,
     want: tuple[ChannelSpec, ...],
     spec: tuple[ChannelSpec, ...],
-) -> pd.DataFrame:
+) -> pa.RecordBatch | None:
+    """Arrow-native decode twin of the mapInArrow encoder. Staying in
+    Arrow end-to-end matters for CORRECTNESS, not just speed: the
+    pandas→Arrow boundary (pa.Array.from_pandas) converts float NaN to
+    NULL, so a pandas kernel silently corrupts NaN observations on
+    decode; numpy→Arrow preserves the NaN payload bit-for-bit."""
+    t = t.combine_chunks()
     numeric = [c for c in spec if not c.is_binary]
+    cols = {name: t.column(name).chunk(0) for name in t.column_names}
     urls, langs, tss, counts = [], [], [], []
     ch_parts: dict[str, list] = {c.name: [] for c in want}
-    for row in pdf.itertuples(index=False):  # per-CHUNK, not per-point
-        ts = codec.decode_column(row.p_ts)
+    for i in range(t.num_rows):  # per-CHUNK, not per-point
+        ts = codec.decode_column(cols["p_ts"][i].as_py())
         decoded: dict[str, np.ndarray] = {}
         if verify:
             for c in numeric:
-                decoded[c.name] = codec.decode_column(getattr(row, c.pcol))
+                decoded[c.name] = codec.decode_column(
+                    cols[c.pcol][i].as_py()
+                )
             got = codec.chunk_sha1(
                 ts, {c.name: decoded[c.name] for c in numeric}
             )
-            if got != row.sha1:
+            if got != cols["sha1"][i].as_py():
                 # ≙ "CRITICAL ERROR" hard failure, mtscomp.py:880-888
                 raise RuntimeError(
-                    f"chunk integrity failure url={row.url} "
-                    f"expected sha1={row.sha1} got={got}"
+                    f"chunk integrity failure url={cols['url'][i].as_py()} "
+                    f"expected sha1={cols['sha1'][i].as_py()} got={got}"
                 )
         tss.append(ts)
         counts.append(len(ts))
-        urls.append(row.url)
-        langs.append(row.lang)
+        urls.append(cols["url"][i].as_py())
+        langs.append(cols["lang"][i].as_py())
         for c in want:
             a = decoded.get(c.name)
             if a is None:
-                a = codec.decode_column(getattr(row, c.pcol))
+                a = codec.decode_column(cols[c.pcol][i].as_py())
             ch_parts[c.name].append(a)
     if not tss:
-        cols = ["url", "lang", TS_COL, *[c.name for c in want]]
-        return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
+        return None
     counts = np.asarray(counts)
-
-    # url/lang are per-chunk constants: dictionary-encode instead of
-    # materializing one Python string per POINT (Arrow keeps the
-    # dictionary encoding across the boundary). Factorize the PER-CHUNK
-    # lists and repeat the integer codes — pd.Categorical over the
-    # expanded point-level strings would hash n_points values instead
-    # of n_chunks (measured ~15% of decode wall at 70-point chunks).
-    def _cat(values: list) -> pd.Categorical:
-        codes, cats = pd.factorize(np.asarray(values, dtype=object))
-        return pd.Categorical.from_codes(np.repeat(codes, counts), cats)
-
-    out = {
-        "url": _cat(urls),
-        "lang": _cat(langs),
-        TS_COL: np.concatenate(tss),
-    }
     n_total = int(counts.sum())
+
+    arrays = [
+        _repeat_take(urls, counts),
+        _repeat_take(langs, counts),
+        pa.array(np.concatenate(tss), type=pa.int64()),
+    ]
     for c in want:
         if c.is_binary:
             concat = np.concatenate(ch_parts[c.name]).tobytes()
-            out[c.name] = (
-                _hex_rows(concat, n_total, c.width)
-                if c.hex
-                else _bytes_rows(concat, n_total, c.width)
+            arrays.append(
+                _fixed_width_array(concat, n_total, c.width, c.hex)
             )
         else:
-            out[c.name] = np.concatenate(ch_parts[c.name])
-    return pd.DataFrame(out)
+            arrays.append(pa.array(np.concatenate(ch_parts[c.name])))
+    return pa.RecordBatch.from_arrays(arrays, schema=_pa_series_schema(want))
 
 
 def decompress_chunks(
@@ -664,7 +716,7 @@ def decompress_chunks(
     channels: tuple[str, ...] = ALL_CHANNELS,
     spec: tuple[ChannelSpec, ...] = DEFAULT_CHANNELS,
 ) -> DataFrame:
-    """chunk rows → series rows, shuffle-free (mapInPandas).
+    """chunk rows → series rows, shuffle-free (mapInArrow).
 
     ≙ Reader.read_chunk → zlib → frombuffer → cumsum (mtscomp.py:602-635)
     + the parallel bulk path Reader.tofile (mtscomp.py:701-743).
@@ -678,6 +730,10 @@ def decompress_chunks(
     With verify=True each chunk's raw-byte SHA1 is recomputed and any
     mismatch raises (≙ post-write check, mtscomp.py:866-888: tampering
     must be a hard error, tests.py:345-379).
+
+    Arrow-native on BOTH sides of the kernel (like the encoder): a
+    pandas kernel's output boundary converts float NaN to NULL, so
+    NaN observations would decode as nulls — numpy→Arrow keeps them.
     """
     by_name = {c.name: c for c in spec}
     want = tuple(by_name[n] for n in by_name if n in channels)
@@ -697,9 +753,11 @@ def decompress_chunks(
     schema = T.StructType(fields)
 
     def gen(batches, _verify=verify, _want=want, _spec=spec):
-        for pdf in batches:
-            out = _decode_batch(pdf, _verify, _want, _spec)
-            if not out.empty:
+        for rb in batches:
+            out = _decode_batch_arrow(
+                pa.Table.from_batches([rb]), _verify, _want, _spec
+            )
+            if out is not None:
                 yield out
 
-    return src.mapInPandas(gen, schema=schema)
+    return src.mapInArrow(gen, schema=schema)

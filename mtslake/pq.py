@@ -59,6 +59,11 @@ def pq_train(
     xxhash64(id). k-means init is the same trick per subspace (first
     2^nbits sample rows in hash order); empty clusters keep their
     previous centroid."""
+    if not 1 <= nbits <= 8:
+        # codes are one byte per subspace everywhere downstream
+        # (pq_encode / _enc_residual write uint8); nbits > 8 would
+        # silently wrap indices past 255 into corrupt codes
+        raise ValueError(f"nbits must be in [1, 8], got {nbits}")
     ksz = 1 << nbits
     rows = (
         embeddings.select(
@@ -96,7 +101,16 @@ def pq_train(
 
 
 def _code_matrices(codebooks) -> list[np.ndarray]:
-    return [np.asarray(b, dtype=np.float64) for b in codebooks]
+    mats = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    for j, C in enumerate(mats):
+        if C.shape[0] > 256:
+            # one uint8 code per subspace is the storage contract;
+            # argmin indices past 255 would wrap into corrupt codes
+            raise ValueError(
+                f"codebook {j} has {C.shape[0]} centroids (> 256); "
+                "codes are one byte per subspace (nbits <= 8)"
+            )
+    return mats
 
 
 # ADC tables are built driver-side and closed over into the scan

@@ -361,6 +361,7 @@ def moving_aggregate(
         F.sum("cnt").over(w).alias("mov_cnt"),
         F.min("vmin").over(w).alias("mov_vmin"),
         F.max("vmax").over(w).alias("mov_vmax"),
+        F.sum("vsum").over(w).alias("mov_vsum"),
         (
             F.sum("vsum").over(w).cast("double")
             / F.sum("cnt").over(w)

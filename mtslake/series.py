@@ -100,9 +100,14 @@ def rate(
     it bit-for-bit.
 
     ``tiebreak``: extra ordering column when timestamps can collide —
-    without it, rate over duplicate timestamps is order-dependent
-    (zero time delta → ±inf anyway; pre-aggregate to unique timestamps
-    for the canonical shape)."""
+    without it, rate over duplicate timestamps is order-dependent.
+    Duplicate (zero-delta) observations are KEPT with ``rate`` null —
+    via ``try_divide``, so the semantics hold under BOTH ANSI modes
+    (ANSI-on, Spark 4's default, would otherwise hard-fail the job on
+    the zero divisor; ANSI-off would return null) — the caller sees
+    the collision instead of losing the row or the job; pre-aggregate
+    to unique timestamps for the canonical shape. Only each key's
+    first observation (no predecessor) is dropped."""
     from pyspark.sql import Window as W
 
     order = [ts_col, tiebreak] if tiebreak else [ts_col]
@@ -110,13 +115,16 @@ def rate(
     prev_v = F.lag(value_col).over(w)
     prev_t = F.lag(ts_col).over(w)
     return (
-        series.withColumn(
+        series.withColumn("_prev_t", prev_t)
+        .withColumn(
             "rate",
-            (F.col(value_col) - prev_v)
-            / ((F.col(ts_col) - prev_t).cast("double")
-               / F.lit(1e6 * per_seconds)),
+            F.try_divide(
+                F.col(value_col) - prev_v,
+                (F.col(ts_col) - F.col("_prev_t")).cast("double")
+                / F.lit(1e6 * per_seconds),
+            ),
         )
-        .filter(F.col("rate").isNotNull())
+        .filter(F.col("_prev_t").isNotNull())
         .select(key, ts_col, value_col, "rate")
     )
 

@@ -319,3 +319,92 @@ def test_pack_chunks_coverage_property(spark):
                 for w in c.split():
                     covered.add(w)
             assert covered == set(toks), (i, k, stride)
+
+
+def test_nan_values_do_not_poison_pruning_stats(spark, tmp_path):
+    """A float channel containing NaN must not lose VALID rows to
+    stat pruning. Spark and DuckDB order NaN larger than any numeric
+    in comparisons (NaN >= x true, NaN <= x false), so the
+    order-consistent chunk bounds are min = nanmin (finite when any
+    finite value exists) and max = plain max (NaN when any NaN
+    present). Before the fix, one NaN poisoned value_min to NaN and
+    `value_min <= upper` pruned the whole chunk — silent data loss."""
+    import math
+
+    from mtslake.catalog import prune_chunks_by_value
+
+    day = 86_400_000_000
+    rows = []
+    # chunk 0: finite values 1..5 plus two NaNs (the hazard chunk)
+    for i, v in enumerate([1.0, float("nan"), 3.0, float("nan"), 5.0]):
+        rows.append(("https://a.example.com/x", i * 3_600_000_000,
+                     10, v, "00" * 20, "en"))
+    # chunk 1: all-NaN (prunable for <= upper, kept for >= lower)
+    for i in range(3):
+        rows.append(("https://a.example.com/x", day + i * 3_600_000_000,
+                     10, float("nan"), "00" * 20, "en"))
+    # chunk 2: plain finite chunk far out of range
+    for i in range(3):
+        rows.append(("https://a.example.com/x", 2 * day + i * 3_600_000_000,
+                     10, 100.0 + i, "00" * 20, "en"))
+    series = spark.createDataFrame(
+        rows,
+        "url string, ts_us long, n_chars long, value double, "
+        "text_sha1 string, lang string",
+    )
+    st = ChunkStore(spark, str(tmp_path / "nanstore"))
+    st.write_chunks(chunk.compress_series(series, DEFAULT),
+                    mode="overwrite")
+
+    stats = {r["chunk_id"]: (r["value_min"], r["value_max"])
+             for r in st.chunks().select(
+                 "chunk_id", "value_min", "value_max").collect()}
+    assert stats[0][0] == 1.0          # nanmin: finite lower bound
+    assert math.isnan(stats[0][1])     # engine-order max of the chunk
+    assert math.isnan(stats[1][0]) and math.isnan(stats[1][1])
+    assert stats[2] == (100.0, 102.0)
+
+    def canon(df):
+        return {
+            (r["ts_us"], "NaN" if (r["value"] is not None
+                                   and math.isnan(r["value"]))
+             else r["value"])
+            for r in df.collect()
+        }
+
+    full = read.read_range(st)
+    # upper-bound predicate: the mixed chunk's finite rows survive
+    # (pre-fix they were silently pruned); NaN rows correctly excluded
+    got = read.read_range(st, channel_range={"value": (None, 4.0)})
+    exp = full.filter(F.col("value") <= 4.0)
+    assert canon(got) == canon(exp) == {(0, 1.0), (2 * 3_600_000_000, 3.0)}
+    # the all-NaN chunk is stat-pruned for <= upper (nothing matches)
+    pruned = prune_chunks_by_value(st.chunks(), "value", upper=4.0)
+    assert {r["chunk_id"] for r in pruned.select("chunk_id").collect()} \
+        == {0}
+    # lower-bound predicate: engine semantics keep NaN rows (NaN >= x)
+    got_lo = read.read_range(st, channel_range={"value": (2.0, None)})
+    exp_lo = full.filter(F.col("value") >= 2.0)
+    assert canon(got_lo) == canon(exp_lo)
+    assert ("NaN" in {v for _, v in canon(got_lo)})
+
+
+def test_rate_keeps_zero_delta_rows_with_null_rate(spark):
+    """Duplicate timestamps: rate() must KEEP those rows with a null
+    rate (try_divide) so the caller sees the collision — under ANSI
+    mode (Spark 4 default) a plain Divide would hard-fail the job on
+    the zero divisor instead. Only each key's first observation (no
+    predecessor) is dropped."""
+    from mtslake.series import rate
+
+    df = spark.createDataFrame(
+        [("k", 0, 1.0), ("k", 1_000_000, 3.0),
+         ("k", 1_000_000, 9.0), ("k", 2_000_000, 10.0)],
+        "url string, ts_us long, value double",
+    )
+    out = rate(df, key="url", tiebreak="value").orderBy("ts_us", "value")
+    got = [(r["ts_us"], r["value"], r["rate"]) for r in out.collect()]
+    assert len(got) == 3                      # first row dropped, rest kept
+    assert got[0] == (1_000_000, 3.0, 2.0)
+    assert got[1][2] is None                  # zero delta: explicit null
+    assert got[2] == (2_000_000, 10.0, 1.0)

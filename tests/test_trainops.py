@@ -885,3 +885,25 @@ def test_pack_chunks_hand_cases(spark):
         if r["doc_id"] == 1
     }
     assert got2 == {(1, 0): "a b c d", (1, 1): "c d e f", (1, 2): "e f g"}
+
+
+def test_pq_rejects_nbits_over_8(spark):
+    """Codes are one uint8 per subspace; nbits > 8 (or a hand-built
+    codebook with > 256 centroids) must raise loudly instead of
+    silently wrapping argmin indices past 255 into corrupt codes."""
+    import numpy as np
+    import pytest as _pytest
+
+    from mtslake.pq import pq_train, pq_encode
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), float(i + 1)]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="nbits"):
+        pq_train(emb, m=1, nbits=9)
+    with _pytest.raises(ValueError, match="nbits"):
+        pq_train(emb, m=1, nbits=0)
+    big_book = [np.zeros((300, 2)).tolist()]
+    with _pytest.raises(ValueError, match="256"):
+        pq_encode(emb, big_book)
