@@ -1118,6 +1118,231 @@ def q_mm_png_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scalar_jpeg_decode(payload: bytes):
+    """Independent scalar transcription of the T.81 baseline DECODE
+    spec for the verifier: own marker walk, own canonical-Huffman
+    builder, own bit reader, zigzag as the spec's literal table,
+    direct cos-sum IDCT (math.cos per (x,y,u,v)), scalar YCbCr→RGB.
+    Shares NOTHING with mtslake.jpeg but the public spec. Returns
+    (dequantized coeff planes, pixels uint8)."""
+    import math
+    import struct as _s
+
+    import numpy as np
+
+    ZZ = [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+          12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+          35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+          58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+    assert payload[:2] == b"\xff\xd8"
+    pos, qt, huff, frame, scan, start = 2, {}, {}, None, None, None
+    while pos + 4 <= len(payload):
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = _s.unpack_from(">H", payload, pos + 2)
+        seg = payload[pos + 4:pos + 2 + ln]
+        if marker == 0xDB:
+            p = 0
+            while p < len(seg):
+                tbl = [0] * 64
+                for k in range(64):
+                    tbl[ZZ[k]] = seg[p + 1 + k]
+                qt[seg[p] & 15] = tbl
+                p += 65
+        elif marker == 0xC4:
+            p = 0
+            while p < len(seg):
+                counts = list(seg[p + 1:p + 17])
+                syms = list(seg[p + 17:p + 17 + sum(counts)])
+                tab, code, k = {}, 0, 0
+                for L in range(1, 17):
+                    for _ in range(counts[L - 1]):
+                        tab[(L, code)] = syms[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[(seg[p] >> 4, seg[p] & 15)] = tab
+                p += 17 + sum(counts)
+        elif marker == 0xC0:
+            prec, fh, fw, nf = _s.unpack_from(">BHHB", seg, 0)
+            comps = [(seg[6 + 3 * i], seg[8 + 3 * i]) for i in range(nf)]
+            frame = (fh, fw, comps)
+        elif marker == 0xDA:
+            ns = seg[0]
+            scan = [(seg[1 + 2 * i], seg[2 + 2 * i] >> 4,
+                     seg[2 + 2 * i] & 15) for i in range(ns)]
+            start = pos + 2 + ln
+            break
+        pos += 2 + ln
+    fh, fw, comps = frame
+    qt_of = dict(comps)
+    data = payload[start:]
+
+    state = {"p": 0, "acc": 0, "n": 0}
+
+    def bit():
+        if state["n"] == 0:
+            b = data[state["p"]]
+            state["p"] += 1
+            if b == 0xFF:
+                state["p"] += 1  # stuffed 0x00
+            state["acc"], state["n"] = b, 8
+        state["n"] -= 1
+        return (state["acc"] >> state["n"]) & 1
+
+    def huffval(tab):
+        code = 0
+        for L in range(1, 17):
+            code = (code << 1) | bit()
+            if (L, code) in tab:
+                return tab[(L, code)]
+        raise ValueError("bad huffman code")
+
+    def recv_ext(t):
+        v = 0
+        for _ in range(t):
+            v = (v << 1) | bit()
+        return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+    bh, bw = -(-fh // 8), -(-fw // 8)
+    coeffs = [[None] * (bh * bw) for _ in scan]
+    prev = [0] * len(scan)
+    for m in range(bh * bw):
+        for ci, (cid, td, ta) in enumerate(scan):
+            blk = [0] * 64
+            t = huffval(huff[(0, td)])
+            prev[ci] += recv_ext(t)
+            blk[0] = prev[ci] * qt[qt_of[cid]][0]
+            k = 1
+            while k < 64:
+                sym = huffval(huff[(1, ta)])
+                if sym == 0:
+                    break
+                if sym == 0xF0:
+                    k += 16
+                    continue
+                k += sym >> 4
+                blk[ZZ[k]] = recv_ext(sym & 15) * qt[qt_of[cid]][ZZ[k]]
+                k += 1
+            coeffs[ci][m] = blk
+
+    def c(u):
+        return 1 / math.sqrt(2) if u == 0 else 1.0
+
+    planes = []
+    for ci in range(len(scan)):
+        plane = np.zeros((bh * 8, bw * 8))
+        for m, blk in enumerate(coeffs[ci]):
+            by, bx = divmod(m, bw)
+            for y in range(8):
+                for x in range(8):
+                    s = 0.0
+                    for u in range(8):
+                        for v in range(8):
+                            s += (c(u) * c(v) * blk[u * 8 + v]
+                                  * math.cos((2 * y + 1) * u * math.pi / 16)
+                                  * math.cos((2 * x + 1) * v * math.pi / 16))
+                    plane[by * 8 + y, bx * 8 + x] = s / 4 + 128.0
+        planes.append(plane[:fh, :fw])
+    if len(planes) == 1:
+        px = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    else:
+        y, cb, cr = planes
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        px = np.clip(np.round(np.stack([r, g, b], -1)), 0, 255
+                     ).astype(np.uint8)
+    flat = [np.array([blk for blk in coeffs[ci]], dtype=np.int64)
+            for ci in range(len(scan))]
+    return flat, px
+
+
+def q_mm_jpeg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL baseline-JPEG decode path graded end-to-end (retires
+    the last image-format stub): deterministic T.81 payloads (pixels =
+    doc text bytes tiled into (h, w, 3), quality-90 Annex-K tables) go
+    through encode_jpeg → extract_features (the distributed decode:
+    marker walk, Huffman, dequant, IDCT, YCbCr) → a verifier that
+    scalar-replays the DECODE SPEC independently (own Huffman walk,
+    literal zigzag table, direct cos-sum IDCT) and checks three
+    layers: (1) the integer entropy/dequant layer matches the kernel
+    EXACTLY, (2) kernel pixels match the scalar pixels within ±1 code
+    (IEEE summation-order headroom; the diff is deterministic), (3)
+    the kernel's emitted histogram features equal ones recomputed from
+    the kernel pixels, and the decoded image stays close to the
+    PLANTED pixels (mean |err| ≤ 15 at q90 — proves the payload
+    encodes the planted image, not garbage). Oracle = doc count plus
+    three zero mismatch counters."""
+    import numpy as np
+
+    from mtslake.jpeg import decode_jpeg, decode_jpeg_coeffs
+    from mtslake.multimodal import extract_features, synthesize_jpeg_media
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "n_chars")
+    media = synthesize_jpeg_media(docs)
+    feats = extract_features(media, n_features=8).select(
+        F.col("media_id").alias("doc_id"),
+        F.col("features").alias("k_features"),
+    )
+    joined = (
+        docs.join(media.select(F.col("media_id").alias("doc_id"),
+                               "payload"), "doc_id")
+        .join(feats, "doc_id")
+    )
+
+    def verify(batches):
+        for pdf in batches:
+            bad_coeff = bad_px = bad_feat = 0
+            for text, n_chars, doc_id, payload, kf in zip(
+                pdf["text"], pdf["n_chars"], pdf["doc_id"],
+                pdf["payload"], pdf["k_features"],
+            ):
+                pay = bytes(payload)
+                v_coeffs, v_px = _scalar_jpeg_decode(pay)
+                k_planes, fh, fw, nc = decode_jpeg_coeffs(pay)
+                k_flat = [p.reshape(-1, 64) for p in k_planes]
+                if len(v_coeffs) != len(k_flat) or any(
+                    not np.array_equal(a, b)
+                    for a, b in zip(v_coeffs, k_flat)
+                ):
+                    bad_coeff += 1
+                k_px = decode_jpeg(pay)
+                if (k_px.shape != v_px.shape
+                        or np.abs(k_px.astype(int)
+                                  - v_px.astype(int)).max() > 1):
+                    bad_px += 1
+                hist, _ = np.histogram(k_px.astype(np.float64), bins=8,
+                                       range=(0, 256))
+                want = (hist / max(hist.sum(), 1)).tolist()
+                if list(kf) != want:
+                    bad_feat += 1
+                w = int(n_chars) % 16 + 4
+                h = int(doc_id) % 12 + 4
+                arr = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                n = w * h * 3
+                reps = -(-n // max(arr.size, 1))
+                planted = np.tile(arr, reps)[:n].reshape(h, w, 3)
+                if np.abs(v_px.astype(int)
+                          - planted.astype(int)).mean() > 15.0:
+                    bad_px += 1
+            yield pd.DataFrame(
+                {"n": [len(pdf)], "bc": [bad_coeff], "bp": [bad_px],
+                 "bf": [bad_feat]}
+            )
+
+    per_batch = joined.mapInPandas(
+        verify, schema="n long, bc long, bp long, bf long"
+    )
+    return per_batch.agg(
+        F.sum("n").cast("long").alias("n_media"),
+        F.sum("bc").cast("long").alias("n_coeff_mismatch"),
+        F.sum("bp").cast("long").alias("n_pixel_mismatch"),
+        F.sum("bf").cast("long").alias("n_feature_mismatch"),
+    )
+
+
 def q_doc_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (urlops.normalize_url) over deterministic
     messy URLs synthesized from doc_id — four variants exercising
@@ -1628,7 +1853,31 @@ def q_emb_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry order IS the grading order: the driver grades the
+    first 50 entries per round, so the dict is maintained as a
+    ROTATION — (1) queries that have never been driver-graded or whose
+    implementation changed since their last green row come first,
+    (2) then everything else touched this round, (3) long-stable
+    queries rotate to the tail (all tail entries have a green
+    CORRECTNESS row from the previous round and unchanged
+    implementations). Every entry, graded or not, still runs in
+    tools/compare_oracle.py."""
     return {
+        # -- never driver-graded / stale-graded (r5 priority) ---------
+        "rel_set_ops": q_rel_set_ops,
+        "emb_pq_topk": q_emb_pq_topk,
+        "emb_ivfpq_topk": q_emb_ivfpq_topk,
+        "emb_near_dup": q_emb_near_dup,
+        "emb_lsh_planted_recall": q_emb_lsh_planted_recall,
+        "doc_minhash_lsh_recall": q_doc_minhash_lsh_recall,
+        "rel_pricing_summary": q_rel_pricing_summary,
+        "rel_top_suppliers": q_rel_top_suppliers,
+        "mm_features": q_mm_features,
+        "mm_frame_sample": q_mm_frame_sample,
+        "mm_resize": q_mm_resize,
+        # -- new this round -------------------------------------------
+        "mm_jpeg_pipeline": q_mm_jpeg_pipeline,
+        # -- touched this round (Arrow decode / moving-avg / rate) ----
         "ts_rollup_1h_codec": q_ts_rollup_1h_codec,
         "ts_rollup_1d_from_1h": q_ts_rollup_1d_from_1h,
         "ts_read_range_codec": q_ts_read_range_codec,
@@ -1646,50 +1895,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_hot_urls_topk": q_ts_hot_urls_topk,
         "ts_step_read": q_ts_step_read,
         "ts_asof_join": q_ts_asof_join,
+        "ts_sessionize": q_ts_sessionize,
+        "ts_compact": q_ts_compact,
         "ts_stream_rollup_1m": q_ts_stream_rollup_1m,
         "ts_stream_sessions": q_ts_stream_sessions,
         "ts_stream_enriched_rollup": q_ts_stream_enriched_rollup,
         "ts_stream_dedup": q_ts_stream_dedup,
         "ts_stream_compress_seal": q_ts_stream_compress_seal,
-        "doc_simhash_planted": q_doc_simhash_planted,
+        "mm_ppm_pipeline": q_mm_ppm_pipeline,
+        "mm_png_pipeline": q_mm_png_pipeline,
+        # -- dedup / ANN core (kept in-window every round) ------------
         "doc_dedup_exact": q_doc_dedup_exact,
-        "doc_fingerprint": q_doc_fingerprint,
-        "doc_token_count": q_doc_token_count,
-        "doc_lang_id": q_doc_lang_id,
-        "doc_quality": q_doc_quality,
         "doc_minhash_lsh": q_doc_minhash_lsh,
         "doc_simhash": q_doc_simhash,
         "doc_dedup_incremental": q_doc_dedup_incremental,
-        "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_cluster_chain": q_doc_cluster_chain,
         "doc_cluster_components": q_doc_cluster_components,
         "doc_dedup_survivors": q_doc_dedup_survivors,
-        "ts_sessionize": q_ts_sessionize,
-        "doc_split": q_doc_split,
-        "ts_compact": q_ts_compact,
-        "mm_ppm_pipeline": q_mm_ppm_pipeline,
-        "mm_png_pipeline": q_mm_png_pipeline,
-        "doc_repetition": q_doc_repetition,
-        "doc_tfidf_topk": q_doc_tfidf_topk,
-        "doc_pii_redact": q_doc_pii_redact,
-        "doc_pack_chunks": q_doc_pack_chunks,
-        "doc_url_normalize": q_doc_url_normalize,
         "doc_corpus_clean": q_doc_corpus_clean,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_lsh_topk": q_emb_lsh_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
         "emb_ivf_full_probe": q_emb_ivf_full_probe,
-        "emb_near_dup": q_emb_near_dup,
-        "emb_pq_topk": q_emb_pq_topk,
-        "emb_ivfpq_topk": q_emb_ivfpq_topk,
-        "emb_lsh_planted_recall": q_emb_lsh_planted_recall,
-        "doc_minhash_lsh_recall": q_doc_minhash_lsh_recall,
-        "rel_pricing_summary": q_rel_pricing_summary,
-        "rel_top_suppliers": q_rel_top_suppliers,
-        "rel_set_ops": q_rel_set_ops,
-        "mm_features": q_mm_features,
-        "mm_frame_sample": q_mm_frame_sample,
-        "mm_resize": q_mm_resize,
+        # -- tail: r4-green, implementations unchanged this round -----
+        "doc_simhash_planted": q_doc_simhash_planted,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_token_count": q_doc_token_count,
+        "doc_lang_id": q_doc_lang_id,
+        "doc_quality": q_doc_quality,
+        "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        "doc_split": q_doc_split,
+        "doc_repetition": q_doc_repetition,
+        "doc_tfidf_topk": q_doc_tfidf_topk,
+        "doc_pii_redact": q_doc_pii_redact,
+        "doc_pack_chunks": q_doc_pack_chunks,
+        "doc_url_normalize": q_doc_url_normalize,
     }
 
 
@@ -2340,6 +2580,16 @@ def oracle_sql() -> dict[str, str]:
         # resize -> independent pixel verification (see q_mm_png_pipeline)
         "mm_png_pipeline": """
             SELECT COUNT(*) AS n_media, CAST(0 AS BIGINT) AS n_mismatch
+            FROM documents
+        """,
+        # real-decode validity: baseline JPEG (T.81) — exact integer
+        # entropy layer + scalar-spec pixel replay + feature recompute
+        # (see q_mm_jpeg_pipeline)
+        "mm_jpeg_pipeline": """
+            SELECT COUNT(*) AS n_media,
+                   CAST(0 AS BIGINT) AS n_coeff_mismatch,
+                   CAST(0 AS BIGINT) AS n_pixel_mismatch,
+                   CAST(0 AS BIGINT) AS n_feature_mismatch
             FROM documents
         """,
         "ts_compact": """

@@ -4,18 +4,18 @@ Image/audio/video travel as ``binary`` columns with a metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` operators.
 
-The decode kernels are REAL for PPM (netpbm P6 — header + raw RGB)
-and for non-interlaced 8-bit RGB PNG (chunk walk + CRC + zlib inflate
-+ the five scanline filters, from the public W3C spec / RFC 2083):
-``decode_ppm``/``encode_ppm`` and ``decode_png``/``encode_png`` are
-pure-numpy codecs, and ``_decode_image_bytes`` routes payloads by
-header (resize re-encodes to the source format, so PPM and PNG
-pipelines round-trip end-to-end). Formats that genuinely need external
-codec libraries (JPEG/AV) fall back to a documented deterministic
-stub — those libs are not in this container; a Pillow/libav call drops
-into the same seam. The Spark-side plumbing — schema, batch iteration,
-partitioning, vectorized UDF signature — is identical either way and
-fully tested.
+The decode kernels are REAL for PPM (netpbm P6 — header + raw RGB),
+for non-interlaced 8-bit RGB PNG (chunk walk + CRC + zlib inflate
++ the five scanline filters, from the public W3C spec / RFC 2083),
+and for baseline JPEG (marker parse + Huffman entropy decode +
+dequantize + float64 IDCT + YCbCr→RGB, from the public ITU-T T.81
+spec — ``mtslake.jpeg``): ``_decode_image_bytes`` routes payloads by
+header (resize re-encodes to the source format, so PPM, PNG and JPEG
+pipelines round-trip end-to-end). Only audio/video container formats
+still fall back to a documented deterministic stub — their codec
+libraries are not in this container; a libav call drops into the same
+seam. The Spark-side plumbing — schema, batch iteration, partitioning,
+vectorized UDF signature — is identical either way and fully tested.
 """
 
 from __future__ import annotations
@@ -58,7 +58,7 @@ FEATURE_SCHEMA = T.StructType(
     ]
 )
 
-_STUBBED = True  # JPEG/AV decode needs libs absent from this container
+_STUBBED = True  # audio/video decode needs libs absent from this container
 
 _PPM_HEADER_RE = None  # compiled lazily
 
@@ -243,17 +243,22 @@ def encode_png(arr: np.ndarray, filters=0) -> bytes:
 def _decode_image_bytes(payload: bytes, width: int, height: int) -> np.ndarray:
     """Decode a payload to a pixel array.
 
-    P6 PPM and 8-bit RGB PNG payloads decode for real (the payload
-    header wins over the meta struct). Other formats fall back to the
-    deterministic stub — a seeded byte-fold into (height, width) —
-    because their codec libraries are not in this container;
-    ``np.asarray(PIL.Image.open(...))`` drops into this seam."""
+    P6 PPM, 8-bit RGB PNG and baseline JPEG payloads decode for real
+    (the payload header wins over the meta struct). Remaining formats
+    (audio/video containers) fall back to the deterministic stub — a
+    seeded byte-fold into (height, width) — because their codec
+    libraries are not in this container; a libav call drops into this
+    seam."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:8] == PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     if not _STUBBED:  # pragma: no cover
-        raise NotImplementedError("non-PPM decoding requires Pillow")
+        raise NotImplementedError("audio/video decoding requires libav")
     arr = np.frombuffer(payload, dtype=np.uint8)
     n = max(width * height, 1)
     reps = -(-n // max(arr.size, 1))
@@ -318,6 +323,10 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
                     payloads.append(small.tobytes())
                 elif bytes(payload[:8]) == PNG_SIG:
                     payloads.append(encode_png(small))
+                elif bytes(payload[:2]) == b"\xff\xd8":
+                    from .jpeg import encode_jpeg
+
+                    payloads.append(encode_jpeg(small))
                 else:
                     payloads.append(encode_ppm(small))
                 metas.append(
@@ -415,6 +424,49 @@ def synthesize_ppm_media(docs: DataFrame) -> DataFrame:
                 reps = -(-n // max(arr.size, 1))
                 px = np.tile(arr, reps)[:n].reshape(int(h), int(w), 3)
                 payloads.append(encode_ppm(px))
+                metas.append(
+                    {"width": int(w), "height": int(h),
+                     "sample_rate": None, "n_frames": None}
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "image",
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return base.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def synthesize_jpeg_media(docs: DataFrame, quality: int = 90) -> DataFrame:
+    """Deterministic REAL baseline-JPEG media from documents: same
+    pixel recipe as ``synthesize_ppm_media`` (text bytes tiled into
+    (h, w, 3)) encoded through the pure-numpy T.81 encoder — so a
+    pipeline over this table drives the full marker/Huffman/IDCT
+    decode path on every row."""
+    from .jpeg import encode_jpeg
+
+    meta_cols = (
+        (F.pmod(F.col("n_chars"), 16) + 4).cast("int").alias("width"),
+        (F.pmod(F.col("doc_id"), 12) + 4).cast("int").alias("height"),
+    )
+    base = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("_txt"),
+        *meta_cols,
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            payloads, metas = [], []
+            for txt, w, h in zip(pdf["_txt"], pdf["width"], pdf["height"]):
+                arr = np.frombuffer(bytes(txt), dtype=np.uint8)
+                n = int(w) * int(h) * 3
+                reps = -(-n // max(arr.size, 1))
+                px = np.tile(arr, reps)[:n].reshape(int(h), int(w), 3)
+                payloads.append(encode_jpeg(px, quality))
                 metas.append(
                     {"width": int(w), "height": int(h),
                      "sample_rate": None, "n_frames": None}

@@ -907,3 +907,88 @@ def test_pq_rejects_nbits_over_8(spark):
     big_book = [np.zeros((300, 2)).tolist()]
     with _pytest.raises(ValueError, match="256"):
         pq_encode(emb, big_book)
+
+
+def test_jpeg_codec_roundtrip_and_bounds():
+    """Baseline T.81 codec: smooth images survive q95 within a few
+    codes, constants are exact, grayscale + non-multiple-of-8 shapes
+    round-trip, and the dequantized coefficient planes expose the
+    exact integer entropy layer."""
+    import numpy as np
+
+    from mtslake.jpeg import decode_jpeg, decode_jpeg_coeffs, encode_jpeg
+
+    yy, xx = np.mgrid[0:13, 0:19]
+    img = np.stack(
+        [(yy * 8 + xx * 3) % 256, (xx * 5) % 256, (yy * 11) % 256], axis=-1
+    ).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=95))
+    assert out.shape == (13, 19, 3)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
+
+    const = np.full((8, 8, 3), 77, np.uint8)
+    assert (decode_jpeg(encode_jpeg(const, quality=100)) == const).all()
+
+    gray = ((yy * 16 + xx) % 256).astype(np.uint8)
+    og = decode_jpeg(encode_jpeg(gray, quality=95))
+    assert og.shape == (13, 19)
+    assert np.abs(og.astype(int) - gray.astype(int)).max() <= 2
+
+    planes, h, w, nc = decode_jpeg_coeffs(encode_jpeg(img, quality=90))
+    assert (h, w, nc) == (13, 19, 3)
+    assert len(planes) == 3 and planes[0].shape == (6, 8, 8)
+    assert planes[0].dtype == np.int64
+
+
+def test_jpeg_decoder_rejects_malformed():
+    """Outside the supported baseline subset the decoder must raise
+    loudly, never emit garbage pixels (same policy as the PNG
+    decoder)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from mtslake.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    good = encode_jpeg(img, quality=90)
+
+    with _pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x01" + good[2:])
+    # flip SOF0 -> SOF2 (progressive)
+    i = good.index(b"\xff\xc0")
+    with _pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg(good[:i] + b"\xff\xc2" + good[i + 2:])
+    # claim 2x2 subsampling for component 1 (hv byte inside SOF0)
+    bad = bytearray(good)
+    bad[i + 11] = 0x22  # SOF0: marker(2) len(2) prec(1) h(2) w(2) nf(1) cid(1) hv
+    with _pytest.raises(ValueError, match="subsampling"):
+        decode_jpeg(bytes(bad))
+    # truncated entropy stream
+    with _pytest.raises(ValueError, match="exhausted"):
+        decode_jpeg(good[:-12])
+    # nonzero restart interval
+    dri = b"\xff\xdd\x00\x04\x00\x08"
+    with _pytest.raises(ValueError, match="restart"):
+        decode_jpeg(good[:i] + dri + good[i:])
+
+
+def test_jpeg_real_decode_path_and_resize_roundtrip(spark, docs):
+    """The distributed seam: synthesized REAL JPEG payloads flow
+    through resize_images (decode -> nearest-neighbor -> JPEG
+    re-encode) and the resized payloads are themselves valid baseline
+    JPEGs of the target shape."""
+    import numpy as np
+
+    from mtslake.jpeg import decode_jpeg
+    from mtslake.multimodal import resize_images, synthesize_jpeg_media
+
+    media = synthesize_jpeg_media(docs.limit(30))
+    resized = resize_images(media, 6, 5).collect()
+    assert len(resized) == 30
+    for r in resized:
+        pay = bytes(r["payload"])
+        assert pay[:2] == b"\xff\xd8"
+        px = decode_jpeg(pay)
+        assert px.shape == (5, 6, 3)
+        assert r["meta"]["width"] == 6 and r["meta"]["height"] == 5
+        assert px.dtype == np.uint8
