@@ -1852,6 +1852,100 @@ def q_emb_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 pixel-bucket downsampling (Jugel et al., PVLDB 2014) over the
+    per-user event streams: per (url, 1h bucket) keep exactly the rows
+    realizing first/last timestamp and min/max value — the error-free
+    line-chart downsampler beside LTTB's shape-preserving one
+    (reference analogue: the strided/sliced display reads,
+    mtscomp.py:798-856). Pure relational plan: tiny per-bucket
+    aggregate, AQE-broadcast equi-join back, no raw-side shuffle. The
+    SQL oracle replays the M4 definition verbatim; values are raw
+    parquet doubles (no derived arithmetic), so the hash gate is
+    engine-stable."""
+    from mtslake.downsample import m4_downsample
+
+    series = events_to_series(_events(spark, sf_dir))
+    return m4_downsample(
+        series, bucket_us=3_600_000_000, key_cols=("url",)
+    ).select("url", "bucket_us", F.col(TS_COL).alias("ts_us"), "value")
+
+
+def q_ts_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation + time travel on the chunk store (Iceberg's
+    VERSION AS OF over the manifest-pinned file sets; the reference's
+    .ch offset table frozen per version, mtscomp.py:341-358): batch 1
+    (even user_ids) is written and committed as snapshot 1, batch 2
+    (odd user_ids) appended and committed as snapshot 2. The query
+    emits the 1h rollup of the DECODED snapshot-1 read beside the
+    rollup of the current head — so it grades (a) that an old snapshot
+    still reads exactly the old table state after later appends, and
+    (b) that the append left old files untouched. TRUE SQL oracle:
+    the same rollup over `events` restricted to even user_ids, union
+    the unrestricted one."""
+    import shutil
+    import tempfile
+
+    from mtslake.catalog import ChunkStore
+
+    events = _events(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="mtslake_timetravel_")
+    store = ChunkStore(spark, tmp)
+    try:
+        even = events_to_series(events.filter(F.col("user_id") % 2 == 0))
+        odd = events_to_series(events.filter(F.col("user_id") % 2 == 1))
+        store.write_chunks(_chunk.compress_series(even, DEFAULT),
+                           mode="overwrite")
+        s1 = store.commit_snapshot("append-even")
+        store.write_chunks(_chunk.compress_series(odd, DEFAULT),
+                           mode="append")
+        store.commit_snapshot("append-odd")
+
+        def _roll(chunks: DataFrame, arm: str) -> DataFrame:
+            decoded = _chunk.decompress_chunks(chunks)
+            rolled = _rollup.rollup_from_series(decoded, "1h")
+            return rolled.select(
+                F.lit(arm).alias("arm"),
+                "url_prefix", "lang", "bucket_us", "cnt", "vmin", "vmax",
+                F.round(F.col("vsum").cast("double"), 6).alias("vsum"),
+            )
+
+        out = _roll(store.chunks_at(s1), "snap1").unionAll(
+            _roll(store.chunks(), "head")
+        )
+        # materialize before the tmp store vanishes (driver collects
+        # lazily after the callable returns)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def q_doc_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction, graded as a render/extract ROUND TRIP —
+    the input_hint's per-row invariant ('byte-identical extracted text
+    per url') made into a contract: each document's text is rendered
+    into a Common-Crawl-shaped html BINARY page (entity-escaped body +
+    head/style/script/comment chrome, textops.render_html), then
+    textops.extract_text recovers the text with a pure-JVM
+    regexp chain. The oracle NEVER runs the extractor — it hashes the
+    ORIGINAL text column directly, so any extraction defect (tag
+    residue, entity mangling, script leakage, whitespace damage) fails
+    the md5/length/exact columns. Reference analogue:
+    decompress(compress(x)) bit-exactness (tests.py round-trip
+    family)."""
+    from mtslake.textops import extract_text, render_html
+
+    pages = render_html(_docs(spark, sf_dir))
+    ex = extract_text(pages)
+    return ex.select(
+        "doc_id",
+        F.md5(F.encode(F.col("text_extracted"), "UTF-8")).alias("text_md5"),
+        F.length("text_extracted").cast("long").alias("n_chars_ex"),
+        (F.col("text_extracted") == F.col("text")).alias("exact"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the grading order: the driver grades the
     first 50 entries per round, so the dict is maintained as a
@@ -1877,6 +1971,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_resize": q_mm_resize,
         # -- new this round -------------------------------------------
         "mm_jpeg_pipeline": q_mm_jpeg_pipeline,
+        "ts_m4_downsample": q_ts_m4_downsample,
+        "doc_extract_text": q_doc_extract_text,
+        "ts_time_travel": q_ts_time_travel,
         # -- touched this round (Arrow decode / moving-avg / rate) ----
         "ts_rollup_1h_codec": q_ts_rollup_1h_codec,
         "ts_rollup_1d_from_1h": q_ts_rollup_1d_from_1h,
@@ -2015,6 +2112,56 @@ def oracle_sql() -> dict[str, str]:
                        ceil(CAST(tot AS DOUBLE) * 0.95) AS BIGINT)
                        THEN bin END) + 1) * CAST(6.25 AS DOUBLE) AS p95
             FROM r GROUP BY url_prefix, lang, bucket_us
+        """,
+        # snapshot-1 ≡ even-user rollup, head ≡ full rollup (see
+        # q_ts_time_travel — grades time travel + append isolation)
+        "ts_time_travel": f"""
+            WITH b AS (
+                SELECT 'snap1' AS arm, {_PREFIX} AS url_prefix,
+                       'en' AS lang,
+                       epoch_us(ts) - epoch_us(ts) % {_HOUR_US}
+                           AS bucket_us,
+                       value
+                FROM events WHERE user_id % 2 = 0
+                UNION ALL
+                SELECT 'head', {_PREFIX}, 'en',
+                       epoch_us(ts) - epoch_us(ts) % {_HOUR_US}, value
+                FROM events
+            )
+            SELECT arm, url_prefix, lang, bucket_us,
+                   count(*) AS cnt, min(value) AS vmin,
+                   max(value) AS vmax,
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(18,9)))
+                         AS DOUBLE), 6) AS vsum
+            FROM b GROUP BY 1, 2, 3, 4
+        """,
+        # M4 definition replayed verbatim (raw parquet doubles, no
+        # derived arithmetic — engine-stable hash)
+        "ts_m4_downsample": f"""
+            WITH b AS (
+                SELECT {_URL} AS url,
+                       epoch_us(ts) - epoch_us(ts) % 3600000000
+                           AS bucket_us,
+                       epoch_us(ts) AS ts_us, value
+                FROM events
+            ), a AS (
+                SELECT url, bucket_us,
+                       min(ts_us) AS ts_min, max(ts_us) AS ts_max,
+                       min(value) AS vmin, max(value) AS vmax
+                FROM b GROUP BY 1, 2
+            )
+            SELECT DISTINCT b.url, b.bucket_us, b.ts_us, b.value
+            FROM b JOIN a USING (url, bucket_us)
+            WHERE b.ts_us = a.ts_min OR b.ts_us = a.ts_max
+               OR b.value = a.vmin OR b.value = a.vmax
+        """,
+        # round-trip invariant: the oracle hashes the ORIGINAL text —
+        # it never runs the render/extract chain (see q_doc_extract_text)
+        "doc_extract_text": """
+            SELECT doc_id, md5(text) AS text_md5,
+                   CAST(length(text) AS BIGINT) AS n_chars_ex,
+                   TRUE AS exact
+            FROM documents
         """,
         # independent-reimplementation validity (see q_ts_lttb_downsample)
         "ts_lttb_downsample": """

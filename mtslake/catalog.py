@@ -186,6 +186,133 @@ class ChunkStore:
             for _, _, fs in os.walk(p) for f in fs
         )
 
+    # -- snapshots / time travel ------------------------------------------
+    #
+    # Iceberg-style snapshot isolation over the plain-Parquet layout:
+    # a snapshot is a JSON manifest in ``snapshots/`` pinning the exact
+    # set of data files that made up chunks/ + catalog/ at commit time
+    # (≙ Iceberg's manifest list; the .ch offset table frozen per
+    # version, mtscomp.py:341-358). Appends add files and never rewrite
+    # old ones (write_chunks), so an old manifest keeps reading the old
+    # table state byte-for-byte. With a real Iceberg catalog this whole
+    # section is the `snapshots` metadata table + VERSION AS OF; the
+    # manifest walk here is O(files) per commit where Iceberg's is
+    # O(delta) — fine for the sandbox, swapped out with the runtime jar.
+    #
+    # Retention/chop physically drops partitions, which expires any
+    # snapshot referencing them — exactly Iceberg's expire-snapshots
+    # contract; `snapshot_status` reports which manifests are whole.
+
+    SNAP_DIR = "snapshots"
+
+    def _data_files(self, name: str) -> list[str]:
+        """Sorted relative paths of the table's current data files."""
+        root = self.path(name)
+        out = []
+        for dirpath, _, files in os.walk(root):
+            for f in files:
+                if f.startswith("part-") and not f.endswith(".crc"):
+                    out.append(
+                        os.path.relpath(os.path.join(dirpath, f), root)
+                    )
+        return sorted(out)
+
+    def commit_snapshot(self, operation: str = "append") -> int:
+        """Freeze the current table state as snapshot N (monotonic)."""
+        snap_root = self.path(self.SNAP_DIR)
+        os.makedirs(snap_root, exist_ok=True)
+        sid = max(self.snapshot_ids(), default=0) + 1
+        manifest = {
+            "snapshot_id": sid,
+            "operation": operation,
+            "files": {
+                "chunks": self._data_files("chunks"),
+                "catalog": self._data_files("catalog"),
+            },
+        }
+        tmp = os.path.join(snap_root, f".v{sid}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        # atomic publish: readers never observe a half-written manifest
+        os.replace(tmp, os.path.join(snap_root, f"v{sid}.json"))
+        return sid
+
+    def snapshot_ids(self) -> list[int]:
+        snap_root = self.path(self.SNAP_DIR)
+        if not os.path.isdir(snap_root):
+            return []
+        return sorted(
+            int(f[1:-5]) for f in os.listdir(snap_root)
+            if f.startswith("v") and f.endswith(".json")
+        )
+
+    def _manifest(self, snapshot_id: int) -> dict:
+        p = os.path.join(self.path(self.SNAP_DIR), f"v{snapshot_id}.json")
+        if not os.path.exists(p):
+            raise ValueError(f"unknown snapshot {snapshot_id}; "
+                             f"have {self.snapshot_ids()}")
+        with open(p) as f:
+            return json.load(f)
+
+    def _read_at(self, name: str, snapshot_id: int) -> DataFrame:
+        files = self._manifest(snapshot_id)["files"][name]
+        root = self.path(name)
+        missing = [f for f in files
+                   if not os.path.exists(os.path.join(root, f))]
+        if missing:
+            raise ValueError(
+                f"snapshot {snapshot_id} is expired: {len(missing)} of "
+                f"its {name} files were removed (retention/compaction). "
+                f"First missing: {missing[0]}"
+            )
+        if not files:
+            return self.spark.read.parquet(root).limit(0)
+        # basePath keeps the chunk_id partition column in the schema
+        return (
+            self.spark.read.option("basePath", root)
+            .parquet(*[os.path.join(root, f) for f in files])
+        )
+
+    def chunks_at(self, snapshot_id: int) -> DataFrame:
+        """Time-travel read: the chunks table AS OF snapshot N."""
+        return self._read_at("chunks", snapshot_id)
+
+    def catalog_at(self, snapshot_id: int) -> DataFrame:
+        return self._read_at("catalog", snapshot_id)
+
+    def snapshot_status(self) -> list[dict]:
+        """Per-snapshot liveness: a snapshot is expired when retention
+        or compaction removed files it pins."""
+        out = []
+        for sid in self.snapshot_ids():
+            m = self._manifest(sid)
+            live = all(
+                os.path.exists(os.path.join(self.path(n), f))
+                for n in ("chunks", "catalog") for f in m["files"][n]
+            )
+            out.append({"snapshot_id": sid, "operation": m["operation"],
+                        "n_chunk_files": len(m["files"]["chunks"]),
+                        "live": live})
+        return out
+
+    def rollback_to(self, snapshot_id: int) -> None:
+        """Restore the table to snapshot N by deleting every data file
+        a later append added (the manifest-pinned files themselves are
+        untouched, so the restored state is byte-identical). Later
+        snapshots become expired; their manifests stay for audit."""
+        m = self._manifest(snapshot_id)
+        for name in ("chunks", "catalog"):
+            keep = set(m["files"][name])
+            root = self.path(name)
+            for f in self._data_files(name):
+                if f not in keep:
+                    os.remove(os.path.join(root, f))
+            # drop now-empty partition dirs so listings stay clean
+            for dirpath, dirs, files in os.walk(root, topdown=False):
+                if dirpath != root and not dirs and not files:
+                    os.rmdir(dirpath)
+            self.spark.catalog.refreshByPath(root)
+
     # -- metadata ops -----------------------------------------------------
 
     def describe(self) -> DataFrame:

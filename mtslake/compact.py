@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from .catalog import ChunkStore, CATALOG_COLS
 from .chunk import compress_series, decompress_chunks
+from .ckpt import eager_checkpoint, release as release_ckpt
 from .config import EngineConfig, DEFAULT
 
 
@@ -117,7 +118,7 @@ def compact(
     # lost chunk rows. localCheckpoint materializes the rewrite to
     # executor-local blocks with NO recompute path (the same pattern
     # cluster_pairs uses for its frontier).
-    rewritten = compress_series(series, cfg).localCheckpoint(eager=True)
+    rewritten = eager_checkpoint(compress_series(series, cfg))
     rows_after = rewritten.count()
     # dynamic overwrite scoped to this write: replaces exactly the
     # affected chunk_id partitions in BOTH tables
@@ -131,6 +132,9 @@ def compact(
     ).parquet(store.path("catalog"))
     store.spark.catalog.refreshByPath(store.path("chunks"))
     store.spark.catalog.refreshByPath(store.path("catalog"))
+    # the rewrite frame is fully consumed (both writes committed):
+    # free its checkpoint blocks — PySpark never does (ckpt.py)
+    release_ckpt(rewritten)
     return {
         "chunk_ids": ids,
         "rows_before": rows_before,

@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
+from .ckpt import eager_checkpoint, release as release_ckpt
+
 
 def _spread(docs: DataFrame, *cols) -> DataFrame:
     """Narrow projection of ``docs``, round-robin-spread ONLY when the
@@ -327,7 +329,8 @@ def incremental_minhash_pairs(
         params["n_hashes"], params["bands"], params["shingle_k"],
     ).withColumn(
         "bprefix", F.pmod(F.col("bucket"), F.lit(_INDEX_BPREFIX))
-    ).localCheckpoint(eager=True)
+    )
+    newb = eager_checkpoint(newb)
 
     # partition pruning: the batch touches a bounded set of
     # (band, bprefix) dirs — ≤ bands × 8 regardless of batch size.
@@ -382,10 +385,8 @@ def incremental_minhash_pairs(
         & (F.col("a.bucket") == F.col("b.bucket"))
         & (F.col("a._id") < F.col("b._id")),
     ).select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-    cand_ids = (
-        old_new.unionByName(new_new)
-        .dropDuplicates(["id_a", "id_b"])
-        .localCheckpoint(eager=True)
+    cand_ids = eager_checkpoint(
+        old_new.unionByName(new_new).dropDuplicates(["id_a", "id_b"])
     )
 
     if update_index:
@@ -396,11 +397,20 @@ def incremental_minhash_pairs(
             .parquet(index_path)
         )
         spark.catalog.refreshByPath(index_path)
+    # newb is dead: cand_ids is materialized and the append (its only
+    # other reader) has run — free its checkpoint blocks now (PySpark
+    # never frees them itself; see ckpt.py)
+    release_ckpt(newb)
 
-    return exact_jaccard_verify(
-        cand_ids, corpus_docs, text_col, id_col,
-        params["shingle_k"], jaccard_threshold,
+    verified = eager_checkpoint(
+        exact_jaccard_verify(
+            cand_ids, corpus_docs, text_col, id_col,
+            params["shingle_k"], jaccard_threshold,
+        )
     )
+    release_ckpt(cand_ids)
+    # the returned frame is caller-owned (ckpt.release(df) when done)
+    return verified
 
 
 def simhash64(docs: DataFrame, text_col: str = "text",
@@ -627,8 +637,8 @@ def cluster_pairs(
                         F.coalesce(F.col("plabel"), F.col("label")),
                     ).alias("label"),
                 )
-                .localCheckpoint(eager=True)
             )
+            new_labels = eager_checkpoint(new_labels)
             changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "id")
@@ -636,6 +646,10 @@ def cluster_pairs(
                 .limit(1)
                 .count()
             )
+            # free the superseded frontier: round 1's is a plain
+            # persist, later rounds' are checkpoints PySpark would
+            # otherwise keep for the session's lifetime (ckpt.py)
+            release_ckpt(labels)
             labels.unpersist()
             labels = new_labels
             if changed == 0:
@@ -649,8 +663,16 @@ def cluster_pairs(
                 "O(log diameter) rounds, so this indicates a pathological "
                 "input or too-low cap)."
             )
-        return labels.select(
-            F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+        # caller-owned final frontier: ownership moves to the returned
+        # projection so callers can ckpt.release(result) when done
+        from .ckpt import transfer
+
+        return transfer(
+            labels,
+            labels.select(
+                F.col("id").alias("doc_id"),
+                F.col("label").alias("cluster_id"),
+            ),
         )
     finally:
         edges.unpersist()
@@ -666,11 +688,15 @@ def keep_canonical(
     cluster (the minimum member id — deterministic), singletons kept.
     Composition: ``cluster_pairs`` (connected components over the pair
     set) → anti-join the non-canonical members out of the corpus."""
+    from .ckpt import transfer
+
     clusters = cluster_pairs(pairs, max_iter=max_iter)
     losers = clusters.filter(
         F.col("cluster_id") != F.col("doc_id")
     ).select(F.col("doc_id").alias(id_col))
-    return docs.join(losers, id_col, "left_anti")
+    # the survivors frame still reads the cluster frontier's checkpoint
+    # lazily — ownership rides along (ckpt.release(result) when done)
+    return transfer(clusters, docs.join(losers, id_col, "left_anti"))
 
 
 def ngram_jaccard(

@@ -1,4 +1,4 @@
-"""Display downsampling: Largest-Triangle-Three-Buckets per series.
+"""Display downsampling: M4 and Largest-Triangle-Three-Buckets.
 
 The rollup tiers answer aggregate queries; LTTB (Sveinn Steinarsson,
 "Downsampling Time Series for Visual Representation", MSc thesis,
@@ -28,6 +28,56 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+
+
+def m4_downsample(
+    series: DataFrame,
+    bucket_us: int,
+    key_cols: tuple[str, ...] = ("url",),
+    ts_col: str = "ts_us",
+    value_col: str = "value",
+) -> DataFrame:
+    """M4 downsampling (Jugel et al., "M4: A Visualization-Oriented
+    Time Series Data Aggregation", PVLDB 7(10), 2014 — public): per
+    (key, pixel-column bucket) keep exactly the rows that realize the
+    four extremes — first ts, last ts, min value, max value. M4 is
+    error-free for line visualizations at the chosen pixel width, and
+    unlike LTTB it is a pure relational composition, so it runs
+    JVM-side end to end:
+
+        bucket = ts div bucket_us
+        agg    = per-(key, bucket) min/max of (ts, value)   -- partial
+                                                            -- agg, tiny
+        keep   = raw ⋈ agg ON (key, bucket) WHERE ts IN (ts_min, ts_max)
+                                               OR value IN (vmin, vmax)
+
+    Scale shape: the aggregate is |buckets| rows (≪ raw — that is the
+    point of downsampling), so AQE turns the equi-join into a broadcast
+    and the raw side NEVER shuffles; rows whose bucket lacks extremes
+    are filtered map-side. Duplicate-extreme ties keep every achieving
+    row then DISTINCT on the projected columns — deterministic, and
+    replayed verbatim by the SQL oracle.
+    """
+    b = (F.col(ts_col) - F.pmod(F.col(ts_col), F.lit(bucket_us))).alias("bucket_us")
+    raw = series.select(*key_cols, b, ts_col, value_col)
+    agg = raw.groupBy(*key_cols, "bucket_us").agg(
+        F.min(ts_col).alias("_ts_min"),
+        F.max(ts_col).alias("_ts_max"),
+        F.min(value_col).alias("_vmin"),
+        F.max(value_col).alias("_vmax"),
+    )
+    keep = (
+        raw.join(agg, [*key_cols, "bucket_us"])  # AQE: broadcast at runtime
+        .where(
+            (F.col(ts_col) == F.col("_ts_min"))
+            | (F.col(ts_col) == F.col("_ts_max"))
+            | (F.col(value_col) == F.col("_vmin"))
+            | (F.col(value_col) == F.col("_vmax"))
+        )
+        .select(*key_cols, "bucket_us", ts_col, value_col)
+        .distinct()
+    )
+    return keep
 
 
 def _lttb_kernel(ts: np.ndarray, vs: np.ndarray, n_out: int) -> np.ndarray:

@@ -325,3 +325,77 @@ def pack_chunks(docs: DataFrame, k: int = 64, stride: int | None = None,
         F.concat_ws(" ", F.col("_c.ctoks")).alias("chunk_text"),
     )
     return exploded
+
+
+# ---------------------------------------------------------------------------
+# HTML → text extraction (the input_hint per-row invariant)
+# ---------------------------------------------------------------------------
+
+def render_html(docs: DataFrame, text_col: str = "text",
+                out_col: str = "html") -> DataFrame:
+    """Deterministic text → page-HTML construction (the inverse fixture
+    for :func:`extract_text`): entity-escape the body and wrap it with
+    head/style/script/comment chrome. Used by tests and the
+    ``doc_extract_text`` contract to synthesize a Common-Crawl-shaped
+    ``html BINARY`` column from a known-good text column, so the
+    extraction invariant (byte-identical text per row — input_hint) is
+    checkable against an oracle that never runs the extractor."""
+    esc = F.col(text_col)
+    esc = F.regexp_replace(esc, r"&", "&amp;")
+    esc = F.regexp_replace(esc, r"<", "&lt;")
+    esc = F.regexp_replace(esc, r">", "&gt;")
+    page = F.concat(
+        F.lit("<html><head><title>d</title><style>body{margin:0}</style>"
+              "<script>var n=1&&2;</script></head>\n<body><!-- crawl -->"),
+        esc,
+        F.lit("</body></html>"),
+    )
+    return docs.withColumn(out_col, F.encode(page, "UTF-8"))
+
+
+def extract_text(pages: DataFrame, html_col: str = "html",
+                 out_col: str = "text_extracted") -> DataFrame:
+    """Main-content text extraction from the ``html BINARY`` column of
+    the Common-Crawl-style pages table (input_hint layout) — the
+    per-row invariant of the north rule is that this extraction is
+    byte-identical per url, so the operator must be deterministic and
+    entity-exact, not best-effort.
+
+    Pure JVM ``regexp_replace`` chain (no Python in the path, scans
+    stay columnar):
+
+      1. drop ``<script>``/``<style>`` blocks (content is code, not text)
+      2. drop HTML comments
+      3. drop every remaining tag
+      4. decode the five predefined XML entities (&lt; &gt; &quot;
+         &#39; then &amp; LAST — the standard unescape order, so
+         double-escaped input survives round-trips)
+
+    The regex subset is shared with DuckDB's RE2 (``(?s)`` inline flag,
+    non-greedy ``.*?``, no lookaround), so an oracle can replay it —
+    but the contract query grades the stronger fact instead: extracted
+    text hashes equal the hashes of the ORIGINAL text column the page
+    was rendered from (the oracle never runs this chain).
+
+    Reference analogue: decompress(compress(x)) bit-exactness
+    (mtscomp tests.py round-trip family) — here the "codec" is
+    render/extract over the page payload instead of the sample matrix.
+    """
+    t = F.decode(F.col(html_col), "UTF-8")
+    # main content = the <body> element (head chrome — title, style,
+    # script, meta — is never page text); pages without a body tag
+    # (fragments) fall through whole
+    body_re = r"(?is).*<body[^>]*>(.*?)</body>.*"
+    t = F.when(
+        t.rlike(r"(?is)<body[^>]*>"), F.regexp_replace(t, body_re, "$1")
+    ).otherwise(t)
+    t = F.regexp_replace(t, r"(?is)<script[^>]*>.*?</script>", "")
+    t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", "")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", "")
+    t = F.regexp_replace(t, r"(?s)<[^>]*>", "")
+    t = F.regexp_replace(t, r"&lt;", "<")
+    t = F.regexp_replace(t, r"&gt;", ">")
+    t = F.regexp_replace(t, r"&quot;", "\"")
+    t = F.regexp_replace(t, r"&#39;", "'")
+    t = F.regexp_replace(t, r"&amp;", "&")
+    return pages.withColumn(out_col, t)

@@ -323,3 +323,44 @@ def test_dedup_job_build_and_probe(spark, tmp_path, sf_dir, capsys):
     assert pairs.filter(
         (F.col("id_a") < 300) & (F.col("id_b") < 300)
     ).count() == 0
+
+
+def test_snapshot_job_commit_list_rollback(spark, tmp_path, capsys):
+    """snapshot CLI: commit after the compress job, append a second
+    batch (new urls), list shows liveness, rollback restores batch 1.
+    (A dynamic-partition OVERWRITE of a pinned partition would expire
+    the snapshot — that is Iceberg's contract too; appends are the
+    snapshot-safe ingest path.)"""
+    from mtslake import chunk as _chunk
+    from mtslake.catalog import ChunkStore
+    from mtslake.config import DEFAULT
+    from mtslake.datagen import generate_pages
+    from mtslake.jobs import snapshot as job_snapshot
+    from mtslake.series import pages_to_series
+
+    store = str(tmp_path / "lake_snap")
+    job_ingest.main(["--store", store, "--n-urls", "4", "--snapshots", "12",
+                     "--hot", "0"])
+    job_compress.main(["--store", store, "--job-id", "s1"])
+    job_snapshot.main(["--store", store, "commit", "--operation", "b1"])
+    st = ChunkStore(spark, store)
+    n1 = st.catalog().agg(F.sum("n_points")).first()[0]
+
+    # nightly append: urls NOT in batch 1 (deterministic superset diff)
+    pages9 = generate_pages(spark, n_urls=9, snapshots_per_url=12, n_hot=0)
+    pages4 = generate_pages(spark, n_urls=4, snapshots_per_url=12, n_hot=0)
+    fresh = pages_to_series(
+        pages9.join(pages4.select("url"), "url", "left_anti")
+    )
+    st.write_chunks(_chunk.compress_series(fresh, DEFAULT), mode="append")
+    job_snapshot.main(["--store", store, "commit", "--operation", "b2"])
+    capsys.readouterr()
+
+    job_snapshot.main(["--store", store, "list"])
+    out = capsys.readouterr().out
+    assert "b1" in out and "b2" in out and "EXPIRED" not in out
+
+    job_snapshot.main(["--store", store, "rollback", "--to", "1"])
+    assert st.catalog().agg(F.sum("n_points")).first()[0] == n1
+    job_snapshot.main(["--store", store, "list"])
+    assert "EXPIRED" in capsys.readouterr().out

@@ -558,3 +558,46 @@ def test_lttb_matches_scalar_reference_and_shape(spark):
         assert (pts[-1][1], pts[-1][2]) == src[-1]
         ts_seq = [t for _, t, _ in pts]
         assert ts_seq == sorted(ts_seq)
+
+
+def test_m4_downsample_matches_pandas_reference(spark):
+    """M4 (Jugel et al. 2014) vs an independent pandas computation:
+    per (key, bucket) the kept rows are exactly those realizing
+    first/last ts and min/max value — including duplicate-extreme
+    ties, which M4 keeps once per distinct row."""
+    import numpy as np
+    import pandas as pd
+
+    from mtslake.downsample import m4_downsample
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for url in ("a", "b"):
+        ts = np.sort(rng.choice(np.arange(0, 40_000, 7), 900,
+                                replace=False))
+        vs = np.round(rng.randn(900), 3)
+        # plant duplicate extremes inside one bucket
+        vs[10:14] = vs[10]
+        rows += [(url, int(t), float(v)) for t, v in zip(ts, vs)]
+    pdf = pd.DataFrame(rows, columns=["url", "ts_us", "value"])
+    df = spark.createDataFrame(pdf)
+
+    got = {
+        tuple(r)
+        for r in m4_downsample(df, bucket_us=1000, key_cols=("url",))
+        .collect()
+    }
+
+    want = set()
+    pdf["bucket_us"] = pdf.ts_us - pdf.ts_us % 1000
+    for (url, b), g in pdf.groupby(["url", "bucket_us"]):
+        keep = g[
+            (g.ts_us == g.ts_us.min()) | (g.ts_us == g.ts_us.max())
+            | (g.value == g.value.min()) | (g.value == g.value.max())
+        ]
+        for _, r in keep.iterrows():
+            want.add((url, int(b), int(r.ts_us), float(r.value)))
+    assert got == want
+    # M4 output is bounded: ≤ 4 distinct rows per (key, bucket) would
+    # hold only without ties — with planted ties it's still ≪ input
+    assert len(got) < len(rows) / 3

@@ -224,3 +224,63 @@ def test_late_rows_past_watermark_are_counted(spark, tmp_path):
         assert got.count() == expect_rows, policy
         if expect_rows:
             assert got.first()["n_points"] == 5
+
+
+def test_sealer_checkpoint_recovery_across_restart(spark, series_parquet,
+                                                   tmp_path):
+    """Kill-and-restart exactly-once: the sealer runs to completion on
+    batch 1 (epoch committed, process 'dies'), batch 2 arrives, and a
+    NEW query restarts from the same checkpoint. The recovered
+    GroupState must carry batch 1's open straddle chunks across the
+    restart, so the final sealed set is bit-identical to the batch
+    codec over the full series — no duplicated chunks from epoch
+    replay, no split straddle chunks, no loss (reference analogue:
+    chop/resume determinism, tests.py:451-492)."""
+    _, series = series_parquet
+    cfg = DEFAULT.with_overrides(chunk_duration_us=US_PER_HOUR)
+    split = series.approxQuantile("ts_us", [0.5], 0.0)[0]
+    parts = [
+        series.filter(F.col("ts_us") < split),
+        series.filter(F.col("ts_us") >= split),
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    out, ck = str(tmp_path / "chunks"), str(tmp_path / "ck")
+
+    def _add_file(i, part):
+        d = str(tmp_path / f"stage{i}")
+        part.coalesce(1).write.parquet(d)
+        f = glob.glob(f"{d}/part-*.parquet")[0]
+        dst = f"{src}/{i:02d}.parquet"
+        shutil.move(f, dst)
+        os.utime(dst, (1_000_000_000 + i * 100,) * 2)
+
+    def _run_once():
+        stream = spark.readStream.schema(series.schema).parquet(src)
+        q = streaming.run_compress_stream_to_parquet(
+            stream, out, ck, cfg).start()
+        q.awaitTermination()
+
+    _add_file(0, parts[0])
+    _run_once()                      # epoch committed; "process dies"
+    sealed_1 = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert len(sealed_1) > 0
+
+    _add_file(1, parts[1])
+    _run_once()                      # restart: recovers state + offsets
+
+    got = spark.read.parquet(out)
+    # no chunk sealed twice across the restart
+    dup = (got.groupBy("url", "chunk_id").count()
+           .filter(F.col("count") > 1).count())
+    assert dup == 0
+    # run-1 seals are replay-stable (byte-identical rows still present)
+    final = {tuple(r) for r in got.collect()}
+    assert sealed_1 <= final
+    # final set ≡ batch codec below the recovered global watermark —
+    # including straddle chunks whose first half lived in pre-restart
+    # state (bit-identical: payloads, sha1s, stats)
+    wm_us = (series.agg(F.max("ts_us")).first()[0] // 1000) * 1000
+    batch = chunk.compress_series(series, cfg)
+    expected = batch.filter(F.col("chunk_id") < wm_us // US_PER_HOUR)
+    assert final == {tuple(r) for r in expected.collect()}

@@ -992,3 +992,86 @@ def test_jpeg_real_decode_path_and_resize_roundtrip(spark, docs):
         assert px.shape == (5, 6, 3)
         assert r["meta"]["width"] == 6 and r["meta"]["height"] == 5
         assert px.dtype == np.uint8
+
+
+def test_extract_text_roundtrip_and_hand_cases(spark):
+    """render_html → extract_text recovers the original text
+    byte-for-byte (the input_hint per-row invariant), including
+    entity-corner texts; fragments without <body> strip tags only."""
+    from mtslake.textops import extract_text, render_html
+
+    texts = [
+        "plain words",
+        "amp & lt < gt > mixed",
+        "already-escaped &amp; and &lt;b&gt; stay literal",
+        "quote \" apostrophe ' backslash \\",
+        "multi\nline\ntext with  double  spaces",
+        "unicode — ünïcødé 中文 🙂",
+        "looks like <script>alert(1)</script> in text",
+        "",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id int, text string")
+    out = (
+        extract_text(render_html(df))
+        .select("doc_id", "text", "text_extracted")
+        .collect()
+    )
+    for r in out:
+        assert r.text_extracted == r.text, (
+            f"doc {r.doc_id}: {r.text_extracted!r} != {r.text!r}"
+        )
+
+    # fragment without <body>: tags stripped, entities decoded
+    frag = spark.createDataFrame(
+        [(0, bytearray(b"plain <b>bold</b> &amp; <!-- c -->done"))],
+        "doc_id int, html binary",
+    )
+    got = extract_text(frag).first().text_extracted
+    assert got == "plain bold & done"
+
+
+def test_index_lifecycle_leaks_nothing(spark, docs, emb, tmp_path):
+    """Cache/checkpoint ownership convention (ckpt.py; long-lived
+    session safety): operators pair their persists and free their
+    INTERMEDIATE localCheckpoints before returning; a RETURNED
+    checkpointed frame is caller-owned and freed with ckpt.release.
+    After two full rounds of builds/searches/probes + releases, the
+    session holds exactly the baseline persisted RDDs and no temp
+    views. (PySpark itself never frees local-checkpoint storage —
+    verified on 4.1 — which is why the convention exists.)"""
+    from mtslake import ckpt
+
+    sc = spark.sparkContext
+    docs.count(); emb.count()  # materialize fixture caches first
+
+    def n_persisted():
+        return sc._jsc.getPersistentRDDs().size()
+
+    def n_views():
+        return len(spark.catalog.listTables())
+
+    base_rdds, base_views = n_persisted(), n_views()
+    probes = _probes(emb, 2)
+    for rounds in range(2):
+        p = str(tmp_path / f"ivf{rounds}")
+        simsearch.build_ivf_index(emb, p, n_cells=8, train_iters=1)
+        simsearch.ivf_search(spark, p, probes, k=3, n_probe=2).collect()
+        p = str(tmp_path / f"lsh{rounds}")
+        simsearch.build_lsh_index(emb, p, n_planes=4, n_tables=2)
+        simsearch.lsh_search(spark, p, probes, k=3, n_planes=4,
+                             n_tables=2).collect()
+        p = str(tmp_path / f"mh{rounds}")
+        dedup.build_minhash_index(docs.limit(200), p)
+        res = dedup.incremental_minhash_pairs(
+            docs.limit(250), p, docs.limit(200))
+        res.collect()
+        ckpt.release(res)          # returned checkpoint: caller-owned
+        dedup.minhash_lsh_pairs(docs.limit(200)).collect()
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
+        lab = dedup.cluster_pairs(pairs)
+        lab.collect()
+        ckpt.release(lab)          # final frontier: caller-owned
+    assert n_persisted() == base_rdds
+    assert n_views() == base_views

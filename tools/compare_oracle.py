@@ -11,6 +11,7 @@ rows sorted, floats kept exact). Usage:
 from __future__ import annotations
 
 import hashlib
+import math
 import os
 import sys
 import time
@@ -25,7 +26,13 @@ TABLES = [
 ]
 
 
-def canon(rows, colnames):
+def canon(rows, colnames, quantize=False):
+    """Driver-style canonical hash. ``quantize=True`` is the
+    fragility probe: floats collapsed (-0.0 → 0.0) and formatted at 9
+    significant digits — if the exact hashes differ but the quantized
+    ones agree, the query's values are right and its hash merely rides
+    engine float-repr/tie-rounding, the failure mode that cost
+    ts_moving_avg_24h its r4 driver row."""
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     out = []
     for r in rows:
@@ -33,7 +40,7 @@ def canon(rows, colnames):
         for i in order:
             v = r[i]
             if isinstance(v, float):
-                vals.append(f"{v!r}")
+                vals.append(f"{v + 0.0:.9g}" if quantize else f"{v!r}")
             elif isinstance(v, bool):
                 vals.append(str(int(v)))
             else:
@@ -96,12 +103,29 @@ def main():
         status = "OK " if (ok_cols and ok_rows and ok_hash) else "FAIL"
         if status == "FAIL":
             failures += 1
+        # fragility probes (the ts_moving_avg_24h r4 failure class):
+        # values agree under 9-sig-digit quantization but exact reprs
+        # differ → engine float-repr/tie-rounding, not wrong math; and
+        # any emitted -0.0 is a latent hash hazard even when green.
+        notes = []
+        if not ok_hash and ok_rows and ok_cols:
+            if canon(srows, scols, quantize=True) == canon(
+                    orows, ocols, quantize=True):
+                notes.append("FRAGILE-FLOAT (quantized hashes agree — "
+                             "repr/rounding divergence, fix the "
+                             "query's float canon, not the operator)")
+        if any(isinstance(v, float) and v == 0.0
+               and math.copysign(1.0, v) < 0
+               for r in srows for v in r):
+            notes.append("WARN: emits -0.0 (add the `+ 0.0` collapse)")
         print(
             f"{name:28s} {status} rows={len(srows)}/{len(orows)} "
             f"cols={'=' if ok_cols else f'{sorted(scols)} vs {sorted(ocols)}'} "
             f"hash={'=' if ok_hash else 'MISMATCH'} "
             f"({t_spark:.1f}s/{t_duck:.1f}s)"
         )
+        for n in notes:
+            print(f"   {n}")
         if not ok_hash and ok_rows and ok_cols:
             # show a few differing canonical lines for debugging
             so = sorted(
