@@ -1871,6 +1871,90 @@ def q_ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("url", "bucket_us", F.col(TS_COL).alias("ts_us"), "value")
 
 
+def q_ts_distinct_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count continuous aggregate via mergeable HLL sketches
+    (rollup.distinct_rollup / distinct_from_tier — Apache DataSketches
+    HLL, JVM-side): distinct content versions (text_sha1) per
+    (url_prefix, lang, day). Exact distinct cannot be tier-merged, so
+    the engine stores sketches; this contract grades BOTH properties
+    end to end: est_ok — the 1d estimate (derived by UNIONING the 1h
+    sketches, never rescanning raw) lands within 5% of exact;
+    merge_ok — union-of-1h-sketches estimates EQUAL direct-1d-sketch
+    estimates bit-for-bit (register max-merge is lossless). The SQL
+    oracle recomputes exact COUNT(DISTINCT props) (= distinct text_sha1
+    by construction) and constant TRUEs."""
+    from mtslake.series import url_prefix as _series_url_prefix_col
+
+    series = events_to_series(_events(spark, sf_dir))
+    h1 = _rollup.distinct_rollup(series, "1h", distinct_col="text_sha1")
+    merged = _rollup.distinct_estimate(
+        _rollup.distinct_from_tier(h1, "1d")
+    ).withColumnRenamed("distinct_est", "est_merged")
+    direct = _rollup.distinct_estimate(
+        _rollup.distinct_rollup(series, "1d", distinct_col="text_sha1")
+    ).withColumnRenamed("distinct_est", "est_direct")
+    exact = (
+        series.groupBy(
+            _series_url_prefix_col(), F.col("lang"),
+            _rollup.bucket_expr(TS_COL, "1d").alias("bucket_us"),
+        )
+        .agg(F.countDistinct("text_sha1").alias("exact_distinct"))
+    )
+    keys = ["url_prefix", "lang", "bucket_us"]
+    return (
+        exact.join(merged.select(*keys, "est_merged"), keys)
+        .join(direct.select(*keys, "est_direct"), keys)
+        .select(
+            *keys,
+            "exact_distinct",
+            (
+                F.abs(F.col("est_merged") - F.col("exact_distinct"))
+                <= F.col("exact_distinct") * 0.05
+            ).alias("est_ok"),
+            (F.col("est_merged") == F.col("est_direct")).alias("merge_ok"),
+        )
+    )
+
+
+def q_ts_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (the sixth streaming shape): the
+    events series split into two live streams (even vs odd event rank
+    per url — both sides carry every url), joined per url within
+    ±30 min. Both sides are watermarked and the two-sided event-time
+    band bounds join state; inner join in append mode emits each
+    qualifying pair exactly once, so the availableNow emitted set is
+    deterministic and the TRUE SQL oracle replays the join verbatim
+    over the same split."""
+    import shutil
+    import tempfile
+
+    from mtslake.streaming import run_interval_join_to_parquet
+
+    series = events_to_series(_events(spark, sf_dir))
+    # SQL-replayable split: event-second parity (not xxhash64, which
+    # the oracle engine can't reproduce)
+    par = F.pmod(F.floor(F.col(TS_COL) / F.lit(1_000_000)), F.lit(2))
+    left = series.filter(par == 0)
+    right = series.filter(par == 1)
+    tmp = tempfile.mkdtemp(prefix="mtslake_stream_ij_")
+    srcl, srcr, out, ck = (
+        os.path.join(tmp, d) for d in ("srcl", "srcr", "out", "ck")
+    )
+    left.write.mode("overwrite").parquet(srcl)
+    right.write.mode("overwrite").parquet(srcr)
+    ls = spark.readStream.schema(left.schema).parquet(srcl)
+    rs = spark.readStream.schema(right.schema).parquet(srcr)
+    q = run_interval_join_to_parquet(ls, rs, out, ck).start()
+    q.awaitTermination()
+    # v_l/v_r are raw parquet doubles (identical bits in both engines)
+    result = spark.read.parquet(out).select(
+        "url", "ts_l", "ts_r", "v_l", "v_r"
+    )
+    rows, schema = result.collect(), result.schema
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 def q_ts_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot isolation + time travel on the chunk store (Iceberg's
     VERSION AS OF over the manifest-pinned file sets; the reference's
@@ -1974,6 +2058,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_m4_downsample": q_ts_m4_downsample,
         "doc_extract_text": q_doc_extract_text,
         "ts_time_travel": q_ts_time_travel,
+        "ts_distinct_1d": q_ts_distinct_1d,
+        "ts_stream_interval_join": q_ts_stream_interval_join,
         # -- touched this round (Arrow decode / moving-avg / rate) ----
         "ts_rollup_1h_codec": q_ts_rollup_1h_codec,
         "ts_rollup_1d_from_1h": q_ts_rollup_1d_from_1h,
@@ -2112,6 +2198,34 @@ def oracle_sql() -> dict[str, str]:
                        ceil(CAST(tot AS DOUBLE) * 0.95) AS BIGINT)
                        THEN bin END) + 1) * CAST(6.25 AS DOUBLE) AS p95
             FROM r GROUP BY url_prefix, lang, bucket_us
+        """,
+        # exact distinct replayed; sketch estimate/merge graded as
+        # validity flags (see q_ts_distinct_1d)
+        "ts_distinct_1d": f"""
+            SELECT {_PREFIX} AS url_prefix, 'en' AS lang,
+                   epoch_us(ts) - epoch_us(ts) % {US_PER_DAY}
+                       AS bucket_us,
+                   CAST(count(DISTINCT props) AS BIGINT)
+                       AS exact_distinct,
+                   TRUE AS est_ok, TRUE AS merge_ok
+            FROM events GROUP BY 1, 2, 3
+        """,
+        # the interval join replayed verbatim over the same
+        # second-parity split (see q_ts_stream_interval_join)
+        "ts_stream_interval_join": f"""
+            WITH s AS (
+                SELECT {_URL} AS url, epoch_us(ts) AS ts_us, value
+                FROM events
+            ), l AS (
+                SELECT url, ts_us AS ts_l, value AS v_l FROM s
+                WHERE (ts_us // 1000000) % 2 = 0
+            ), r AS (
+                SELECT url, ts_us AS ts_r, value AS v_r FROM s
+                WHERE (ts_us // 1000000) % 2 = 1
+            )
+            SELECT l.url, ts_l, ts_r, v_l, v_r
+            FROM l JOIN r ON l.url = r.url
+             AND ts_r BETWEEN ts_l - 1800000000 AND ts_l + 1800000000
         """,
         # snapshot-1 ≡ even-user rollup, head ≡ full rollup (see
         # q_ts_time_travel — grades time travel + append isolation)

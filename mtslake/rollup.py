@@ -468,3 +468,54 @@ def hist_percentile(hist_col, q: float, lo: float = -100.0,
         F.transform(running, lambda r: r >= target), F.lit(True)
     )
     return (F.lit(float(lo)) + idx.cast("double") * F.lit(float(width)))
+
+
+# ---------------------------------------------------------------------------
+# Distinct-count tiers (mergeable HLL sketches)
+# ---------------------------------------------------------------------------
+
+def distinct_rollup(series: DataFrame, tier: str,
+                    distinct_col: str = "url", lgk: int = 12) -> DataFrame:
+    """Distinct-count continuous aggregate — "distinct pages per site
+    per bucket" — as a MERGEABLE Apache DataSketches HLL tier
+    (``hll_sketch_agg``, JVM-side; lgConfigK=``lgk`` → ~0.8% rel.
+    stderr at 12).
+
+    The point of storing the SKETCH (binary column) instead of the
+    count: exact distinct cannot be rolled up (distinct-per-day ≠ sum
+    of distinct-per-hour), so a TSDB must either rescan raw data per
+    tier or store a mergeable summary. HLL registers merge by
+    element-wise max — associative, commutative, lossless — so the 1d
+    tier derives from the 1h tier without touching raw points
+    (``distinct_from_tier``), exactly like the decimal-sum and
+    histogram tiers. Scale shape: one hash aggregation, sketches are
+    ≤ 2^lgk bytes per group, partial aggregation applies."""
+    base = series.select(
+        url_prefix(),
+        F.col("lang"),
+        bucket_expr(TS_COL, tier).alias("bucket_us"),
+        F.col(distinct_col).alias("_d"),
+    )
+    return base.groupBy("url_prefix", "lang", "bucket_us").agg(
+        F.hll_sketch_agg("_d", F.lit(lgk)).alias("sketch")
+    )
+
+
+def distinct_from_tier(tier_df: DataFrame, to_tier: str) -> DataFrame:
+    """Coarser distinct tier from a finer one by HLL union — register
+    max-merge, so estimates are IDENTICAL to sketching the raw points
+    directly at the coarse tier (asserted by pytest + the contract
+    query's merge_exact flag)."""
+    return (
+        tier_df.groupBy(
+            "url_prefix", "lang",
+            bucket_expr("bucket_us", to_tier).alias("bucket_us"),
+        )
+        .agg(F.hll_union_agg("sketch").alias("sketch"))
+    )
+
+
+def distinct_estimate(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "distinct_est", F.hll_sketch_estimate("sketch")
+    )

@@ -424,3 +424,78 @@ def run_stream_to_parquet(
         .outputMode("append")
         .trigger(availableNow=True)
     )
+
+
+def streaming_interval_join(
+    left_stream: DataFrame,
+    right_stream: DataFrame,
+    key: str = "url",
+    max_lag_us: int = 1_800_000_000,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join — the sixth streaming shape: two
+    live event streams correlated per key within a time band
+    (|ts_l − ts_r| ≤ max_lag_us), e.g. "pair each page snapshot with
+    the content-length probes observed within ±30 min". Spark keeps
+    BOTH sides in state; the watermark plus the two-sided range
+    condition bound how long a row can wait for matches, so state is
+    evicted once the other side's event time passes ts + max_lag
+    (Structured Streaming's stream-stream join state cleanup needs
+    exactly this: a watermark AND an event-time constraint relating
+    the two sides).
+
+    Inner join in append mode: a pair is emitted as soon as both rows
+    have arrived — deterministic final SET for an availableNow run
+    (every qualifying pair is emitted exactly once; the SQL oracle
+    replays the join verbatim).
+
+    Output: (key, ts_l, ts_r, v_l, v_r) in integer μs."""
+    l = (
+        left_stream.select(
+            F.col(key).alias("_kl"),
+            F.col("ts_us").alias("ts_l"),
+            F.col("value").alias("v_l"),
+        )
+        .withColumn("l_ts", F.timestamp_micros(F.col("ts_l")))
+        .withWatermark("l_ts", watermark)
+    )
+    r = (
+        right_stream.select(
+            F.col(key).alias("_kr"),
+            F.col("ts_us").alias("ts_r"),
+            F.col("value").alias("v_r"),
+        )
+        .withColumn("r_ts", F.timestamp_micros(F.col("ts_r")))
+        .withWatermark("r_ts", watermark)
+    )
+    lag = F.expr(f"INTERVAL {max_lag_us} MICROSECOND")
+    joined = l.join(
+        r,
+        (F.col("_kl") == F.col("_kr"))
+        & (F.col("r_ts") >= F.col("l_ts") - lag)
+        & (F.col("r_ts") <= F.col("l_ts") + lag),
+    )
+    return joined.select(
+        F.col("_kl").alias(key), "ts_l", "ts_r", "v_l", "v_r"
+    )
+
+
+def run_interval_join_to_parquet(
+    left_stream: DataFrame,
+    right_stream: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    key: str = "url",
+    max_lag_us: int = 1_800_000_000,
+    watermark: str = "1 hour",
+):
+    joined = streaming_interval_join(
+        left_stream, right_stream, key, max_lag_us, watermark
+    )
+    return (
+        joined.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )

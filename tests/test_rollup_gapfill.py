@@ -601,3 +601,36 @@ def test_m4_downsample_matches_pandas_reference(spark):
     # M4 output is bounded: ≤ 4 distinct rows per (key, bucket) would
     # hold only without ties — with planted ties it's still ≪ input
     assert len(got) < len(rows) / 3
+
+
+def test_hll_distinct_tiers_merge_losslessly(spark):
+    """Mergeable distinct-count tiers: union of 1h HLL sketches gives
+    BIT-IDENTICAL estimates to sketching the day directly (register
+    max-merge is lossless), and small cardinalities are exact."""
+    from mtslake import rollup
+    from mtslake.datagen import generate_pages
+    from mtslake.series import pages_to_series
+
+    series = pages_to_series(
+        generate_pages(spark, n_urls=15, snapshots_per_url=60)
+    )
+    h1 = rollup.distinct_rollup(series, "1h", distinct_col="text_sha1")
+    merged = rollup.distinct_estimate(rollup.distinct_from_tier(h1, "1d"))
+    direct = rollup.distinct_estimate(
+        rollup.distinct_rollup(series, "1d", distinct_col="text_sha1")
+    )
+    keys = ("url_prefix", "lang", "bucket_us", "distinct_est")
+    m = {tuple(r) for r in merged.select(*keys).collect()}
+    d = {tuple(r) for r in direct.select(*keys).collect()}
+    assert m == d and len(m) > 0
+
+    # HLL is exact in sparse mode: per-url-prefix daily cardinalities
+    # here are far below 2^12 registers, so estimates == exact
+    from mtslake.series import url_prefix
+    ex = {
+        tuple(r) for r in series.groupBy(
+            url_prefix(), "lang",
+            rollup.bucket_expr("ts_us", "1d").alias("bucket_us"),
+        ).agg(F.countDistinct("text_sha1").alias("distinct_est")).collect()
+    }
+    assert m == ex

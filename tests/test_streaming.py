@@ -284,3 +284,38 @@ def test_sealer_checkpoint_recovery_across_restart(spark, series_parquet,
     batch = chunk.compress_series(series, cfg)
     expected = batch.filter(F.col("chunk_id") < wm_us // US_PER_HOUR)
     assert final == {tuple(r) for r in expected.collect()}
+
+
+def test_stream_stream_interval_join_equals_batch(spark, series_parquet,
+                                                  tmp_path):
+    """Stream-stream interval join: the availableNow emitted set equals
+    the batch join with the identical interval condition — every
+    qualifying pair exactly once (inner join, append mode)."""
+    src, series = series_parquet
+    par = F.pmod(F.floor(F.col("ts_us") / F.lit(1_000_000)), F.lit(2))
+    left, right = series.filter(par == 0), series.filter(par == 1)
+    srcl, srcr = str(tmp_path / "l"), str(tmp_path / "r")
+    left.write.parquet(srcl)
+    right.write.parquet(srcr)
+    ls = spark.readStream.schema(series.schema).parquet(srcl)
+    rs = spark.readStream.schema(series.schema).parquet(srcr)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = streaming.run_interval_join_to_parquet(
+        ls, rs, out, ck, max_lag_us=900_000_000).start()
+    q.awaitTermination()
+    got = [tuple(r) for r in spark.read.parquet(out)
+           .select("url", "ts_l", "ts_r", "v_l", "v_r").collect()]
+
+    lag = 900_000_000
+    lb = left.select(F.col("url"), F.col("ts_us").alias("ts_l"),
+                     F.col("value").alias("v_l"))
+    rb = right.select(F.col("url").alias("u2"),
+                      F.col("ts_us").alias("ts_r"),
+                      F.col("value").alias("v_r"))
+    exp = [tuple(r) for r in lb.join(
+        rb, (F.col("url") == F.col("u2"))
+        & (F.col("ts_r") >= F.col("ts_l") - lag)
+        & (F.col("ts_r") <= F.col("ts_l") + lag),
+    ).select("url", "ts_l", "ts_r", "v_l", "v_r").collect()]
+    assert sorted(got) == sorted(exp)
+    assert len(got) > 0
