@@ -519,3 +519,38 @@ def distinct_estimate(df: DataFrame) -> DataFrame:
     return df.withColumn(
         "distinct_est", F.hll_sketch_estimate("sketch")
     )
+
+
+def active_sketches(series: DataFrame, tier: str,
+                    distinct_col: str = "url") -> DataFrame:
+    """Per-bucket theta sketch of the distinct active members (urls) —
+    the set-expression sibling of the HLL tier: theta sketches keep the
+    k smallest member hashes (deterministic — no RNG), so beyond union
+    they support INTERSECTION and DIFFERENCE, the algebra behind
+    "returning visitors" / churn queries that plain distinct counts
+    cannot answer without rescanning raw data."""
+    return (
+        series.groupBy(bucket_expr(TS_COL, tier).alias("bucket_us"))
+        .agg(F.theta_sketch_agg(distinct_col).alias("sketch"))
+    )
+
+
+def overlap_consecutive(sketches: DataFrame, tier: str) -> DataFrame:
+    """Consecutive-bucket set overlap from stored sketches only: for
+    each bucket pair (t, t+1) emit the estimated distinct count of
+    members active in BOTH buckets (returning) and in EITHER (union) —
+    O(#buckets) sketch ops, the raw table is never touched."""
+    us = TIER_US[tier]
+    a, b = sketches.alias("a"), sketches.alias("b")
+    return (
+        a.join(b, F.col("b.bucket_us") == F.col("a.bucket_us") + us)
+        .select(
+            F.col("a.bucket_us").alias("bucket_us"),
+            F.theta_sketch_estimate(
+                F.theta_intersection("a.sketch", "b.sketch")
+            ).alias("est_returning"),
+            F.theta_sketch_estimate(
+                F.theta_union("a.sketch", "b.sketch")
+            ).alias("est_either"),
+        )
+    )

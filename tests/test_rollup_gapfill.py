@@ -634,3 +634,31 @@ def test_hll_distinct_tiers_merge_losslessly(spark):
         ).agg(F.countDistinct("text_sha1").alias("distinct_est")).collect()
     }
     assert m == ex
+
+
+def test_theta_overlap_exact_on_small_sets(spark):
+    """Theta-sketch consecutive-bucket overlap: below k=4096 members
+    the sketch is exact, so intersection/union estimates equal the
+    planted set sizes exactly."""
+    import pandas as pd
+
+    from mtslake import rollup
+
+    day = 86_400_000_000
+    rows = []
+    # day 0: urls 0..99; day 1: urls 50..129  -> ∩=50, ∪=130
+    for u in range(100):
+        rows.append((f"u{u}", 10 * 3_600_000_000 + u))
+    for u in range(50, 130):
+        rows.append((f"u{u}", day + 10 * 3_600_000_000 + u))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "ts_us"])
+    )
+    est = rollup.overlap_consecutive(
+        rollup.active_sketches(df, "1d"), "1d"
+    ).collect()
+    assert len(est) == 1
+    r = est[0]
+    assert r["bucket_us"] == 0
+    assert float(r["est_returning"]) == 50.0
+    assert float(r["est_either"]) == 130.0
