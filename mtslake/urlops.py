@@ -57,3 +57,51 @@ def with_normalized_url(
     df: DataFrame, url_col: str = "url", out_col: str = "norm_url"
 ) -> DataFrame:
     return df.withColumn(out_col, normalize_url(url_col))
+
+
+# ---------------------------------------------------------------------------
+# Link extraction (web-graph construction)
+# ---------------------------------------------------------------------------
+
+_HREF_RE = r'href="([^"]*)"'
+_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)"
+
+
+def extract_links(pages: DataFrame, html_col: str = "html",
+                  url_col: str = "url") -> DataFrame:
+    """``(url, link)`` edge list from the pages table's ``html BINARY``
+    column — the first step of web-graph construction (out-link
+    analysis, PageRank, spam clustering). Pure JVM
+    ``regexp_extract_all`` over the decoded page: one row per
+    ``href="..."`` occurrence, document order preserved via posexplode
+    (``link_pos``). The regex subset (no lookaround) is shared with
+    DuckDB so an oracle can replay extraction verbatim."""
+    t = F.decode(F.col(html_col), "UTF-8")
+    return (
+        pages.select(
+            F.col(url_col).alias("url"),
+            F.regexp_extract_all(t, F.lit(_HREF_RE), 1).alias("_ls"),
+        )
+        .select("url", F.posexplode("_ls").alias("link_pos", "link"))
+    )
+
+
+def host_of(col) -> F.Column:
+    """Host part of an absolute URL ('' for relative links)."""
+    u = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.regexp_extract(u, _HOST_RE, 1))
+
+
+def host_edges(links: DataFrame) -> DataFrame:
+    """Host-level weighted edge list: (src_host, dst_host, weight) for
+    absolute links whose source and destination hosts differ —
+    aggregated BEFORE any downstream iteration, so graph algorithms
+    shuffle O(edges-between-hosts), never O(links)."""
+    e = links.select(
+        host_of("url").alias("src_host"), host_of("link").alias("dst_host")
+    ).filter(
+        (F.col("dst_host") != "") & (F.col("src_host") != F.col("dst_host"))
+    )
+    return e.groupBy("src_host", "dst_host").agg(
+        F.count("*").cast("long").alias("weight")
+    )

@@ -1075,3 +1075,50 @@ def test_index_lifecycle_leaks_nothing(spark, docs, emb, tmp_path):
         ckpt.release(lab)          # final frontier: caller-owned
     assert n_persisted() == base_rdds
     assert n_views() == base_views
+
+
+def test_extract_links_and_host_edges(spark):
+    """href extraction + host-level aggregation hand case."""
+    from mtslake.urlops import extract_links, host_edges
+
+    html = (b'<html><body><a href="http://b.com/x">1</a>'
+            b'<a href="http://b.com/y">2</a>'
+            b'<a href="/relative">3</a>'
+            b'<a href="HTTPS://C.com:8443/z">4</a>'
+            b'<a href="http://a.com/self">5</a></body></html>')
+    df = spark.createDataFrame(
+        [("http://a.com/p", bytearray(html))], "url string, html binary")
+    links = extract_links(df).collect()
+    assert [r["link"] for r in sorted(links, key=lambda r: r["link_pos"])] == [
+        "http://b.com/x", "http://b.com/y", "/relative",
+        "HTTPS://C.com:8443/z", "http://a.com/self",
+    ]
+    edges = {(r["src_host"], r["dst_host"]): r["weight"]
+             for r in host_edges(extract_links(df)).collect()}
+    # relative link dropped, self-link dropped, host lowercased+deported
+    assert edges == {("a.com", "b.com"): 2, ("a.com", "c.com"): 1}
+
+
+def test_pagerank_cycle_and_dangling(spark):
+    """PageRank hand cases: a 3-cycle is uniform; a dangling sink
+    accumulates rank; ranks sum to 1."""
+    from mtslake import ckpt
+    from mtslake.graph import pagerank
+
+    cyc = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("c", "a", 1)],
+        "src_host string, dst_host string, weight long")
+    pr = pagerank(cyc, iters=20)
+    got = {r["host"]: r["pr"] for r in pr.collect()}
+    ckpt.release(pr)
+    for v in got.values():
+        assert abs(v - 1 / 3) < 1e-12
+    # star into a sink: b only receives, then redistributes (dangling)
+    star = spark.createDataFrame(
+        [("a", "b", 1), ("c", "b", 3)],
+        "src_host string, dst_host string, weight long")
+    pr = pagerank(star, iters=40)
+    got = {r["host"]: r["pr"] for r in pr.collect()}
+    ckpt.release(pr)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert got["b"] > got["a"] == got["c"]
