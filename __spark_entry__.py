@@ -1916,6 +1916,147 @@ def q_ts_distinct_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _linked_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pages-with-links fixture: doc i lives on host
+    site{i%20}.com and links to hosts site{(i*7+j)%20}.com for
+    j = 0..(i%4)-1 — a reproducible web graph both engines can derive
+    from first principles (the oracle never runs the extractor)."""
+    d = F.col("doc_id")
+    n_links = d % 4
+    idx = F.when(
+        n_links > 0, F.sequence(F.lit(0).cast("long"), n_links - 1)
+    ).otherwise(F.array().cast("array<long>"))
+    anchors = F.transform(
+        idx,
+        lambda j: F.format_string(
+            '<a href="http://site%d.com/p%d">x</a>', (d * 7 + j) % 20, j
+        ),
+    )
+    return _docs(spark, sf_dir).select(
+        F.format_string("http://site%d.com/p%d", d % 20, d).alias("url"),
+        F.encode(
+            F.concat(
+                F.lit("<html><body>"),
+                F.concat_ws("", anchors),
+                F.lit("</body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+    )
+
+
+def q_doc_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-graph construction end to end: href extraction from the
+    html BINARY column (urlops.extract_links, JVM regexp_extract_all)
+    → host parsing → weighted host edge list (urlops.host_edges). The
+    TRUE SQL oracle derives the expected edges from the fixture
+    FORMULA (doc i → hosts (i*7+j)%20), so any defect in extraction,
+    host parsing, self-link filtering, or aggregation mismatches.
+    Reference analogue: none (webtext-axis addition); the aggregation
+    shape is the standard pre-iteration graph compaction."""
+    from mtslake.urlops import extract_links, host_edges
+
+    return host_edges(extract_links(_linked_pages(spark, sf_dir)))
+
+
+def q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (graph.pagerank, damping 0.85, 10 rounds,
+    dangling mass redistributed) over the deterministic host graph —
+    the iterative web-graph algorithm (two shuffles per round,
+    eager-checkpointed frontier, O(1) frontiers held). Graded as a
+    validity construction: an independent numpy transcription of the
+    same formula recomputes every rank from the collected edge list
+    (tiny: ≤400 host edges) and the query emits zero-mismatch
+    evidence; the SQL oracle independently derives n_hosts from the
+    fixture formula plus the constant flags."""
+    import numpy as np
+
+    from mtslake import ckpt
+    from mtslake.graph import pagerank
+    from mtslake.urlops import extract_links, host_edges
+
+    edges = host_edges(extract_links(_linked_pages(spark, sf_dir)))
+    e_rows = edges.collect()
+    pr_df = pagerank(edges, iters=10, damping=0.85)
+    got = {r["host"]: r["pr"] for r in pr_df.collect()}
+    ckpt.release(pr_df)
+
+    hosts = sorted({r["src_host"] for r in e_rows}
+                   | {r["dst_host"] for r in e_rows})
+    hidx = {h: i for i, h in enumerate(hosts)}
+    n = len(hosts)
+    w = np.zeros((n, n))
+    for r in e_rows:
+        w[hidx[r["src_host"]], hidx[r["dst_host"]]] = r["weight"]
+    ow = w.sum(axis=1)
+    pr = np.full(n, 1.0 / n)
+    for _ in range(10):
+        dangling = pr[ow == 0].sum()
+        contrib = np.zeros(n)
+        src_mask = ow > 0
+        contrib = (pr[src_mask] / ow[src_mask]) @ w[src_mask]
+        pr = 0.15 / n + 0.85 * (contrib + dangling / n)
+    n_mismatch = sum(
+        1 for h in hosts if abs(got.get(h, float("nan")) - pr[hidx[h]]) > 1e-9
+    )
+    sum_ok = abs(sum(got.values()) - 1.0) < 1e-6
+    return spark.createDataFrame(
+        [(len(got), n_mismatch, bool(sum_ok))],
+        "n_hosts long, n_mismatch long, sum_pr_ok boolean",
+    )
+
+
+def _snapshot_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic page-history fixture: one url per user, one
+    snapshot per distinct event timestamp, and text that bumps to a
+    new version whenever the CHANGE FORMULA fires — the first hex char
+    of md5(epoch_us || '-' || user_id) is ≤ '7' (P≈1/2). Both engines
+    can derive the change sequence from the formula alone, so the
+    oracle never runs the detector."""
+    ev = (
+        _events(spark, sf_dir)
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+        .distinct()
+    )  # NTZ→UTC instant (session tz pinned by _events)
+    ts_us = F.unix_micros(F.col("ts"))
+    ind = (
+        F.substring(
+            F.md5(F.concat(ts_us.cast("string"), F.lit("-"),
+                           F.col("user_id").cast("string"))), 1, 1
+        )
+        <= F.lit("7")
+    ).cast("long")
+    from pyspark.sql import Window as _W
+
+    ver = F.sum(ind).over(
+        _W.partitionBy("user_id").orderBy("ts")
+        .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    )
+    return ev.select(
+        F.format_string(
+            "https://user-%d.example.com/events", F.col("user_id")
+        ).alias("url"),
+        F.col("ts").alias("warc_ts"),
+        F.format_string("doc %d v%d", F.col("user_id"), ver).alias("text"),
+    )
+
+
+def q_doc_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl change-detection / freshness (freshness.change_stats):
+    per-url snapshot counts, DETECTED content changes (md5(text) vs
+    the previous snapshot, deterministic tiebreak), change ratio,
+    mean inter-snapshot gap from exact integer sums, and the
+    change-interval estimate a recrawl scheduler budgets with. The
+    TRUE SQL oracle derives every value from the fixture's change
+    FORMULA (see _snapshot_pages) — it never runs the hash
+    comparison, so any defect in ordering, hashing, lag framing, or
+    the gap arithmetic mismatches. Reference analogue: none
+    (webtext-axis addition over the input_hint page-history shape)."""
+    from mtslake.freshness import change_stats
+
+    return change_stats(_snapshot_pages(spark, sf_dir))
+
+
 def q_ts_distinct_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-expression sketches (rollup.active_sketches /
     overlap_consecutive — DataSketches THETA, deterministic): per-day
@@ -2116,6 +2257,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_distinct_1d": q_ts_distinct_1d,
         "ts_distinct_overlap": q_ts_distinct_overlap,
         "ts_stream_interval_join": q_ts_stream_interval_join,
+        "doc_link_graph": q_doc_link_graph,
+        "doc_pagerank": q_doc_pagerank,
+        "doc_crawl_delta": q_doc_crawl_delta,
         # -- touched this round (Arrow decode / moving-avg / rate) ----
         "ts_rollup_1h_codec": q_ts_rollup_1h_codec,
         "ts_rollup_1d_from_1h": q_ts_rollup_1d_from_1h,
@@ -2265,6 +2409,79 @@ def oracle_sql() -> dict[str, str]:
                        AS exact_distinct,
                    TRUE AS est_ok, TRUE AS merge_ok
             FROM events GROUP BY 1, 2, 3
+        """,
+        # expected edges derived from the fixture FORMULA — the oracle
+        # never runs the extractor (see q_doc_link_graph)
+        "doc_link_graph": """
+            WITH l AS (
+                SELECT 'site' || (doc_id % 20) || '.com' AS src_host,
+                       'site' || ((doc_id * 7 + j) % 20) || '.com'
+                           AS dst_host
+                FROM documents,
+                     UNNEST(range(0, doc_id % 4)) AS t(j)
+            )
+            SELECT src_host, dst_host,
+                   CAST(count(*) AS BIGINT) AS weight
+            FROM l WHERE src_host <> dst_host
+            GROUP BY 1, 2
+        """,
+        # n_hosts from the formula; rank validity graded Spark-side
+        # vs an independent numpy transcription (see q_doc_pagerank)
+        "doc_pagerank": """
+            WITH l AS (
+                SELECT 'site' || (doc_id % 20) || '.com' AS src_host,
+                       'site' || ((doc_id * 7 + j) % 20) || '.com'
+                           AS dst_host
+                FROM documents,
+                     UNNEST(range(0, doc_id % 4)) AS t(j)
+            ), e AS (
+                SELECT DISTINCT src_host, dst_host FROM l
+                WHERE src_host <> dst_host
+            )
+            SELECT CAST(count(DISTINCT h) AS BIGINT) AS n_hosts,
+                   CAST(0 AS BIGINT) AS n_mismatch,
+                   TRUE AS sum_pr_ok
+            FROM (SELECT src_host AS h FROM e
+                  UNION SELECT dst_host FROM e)
+        """,
+        # every stat derived from the fixture's change FORMULA — the
+        # oracle never runs the hash-compare detector
+        # (see q_doc_crawl_delta / _snapshot_pages)
+        "doc_crawl_delta": """
+            WITH u AS (SELECT DISTINCT user_id, ts FROM events),
+            m AS (
+                SELECT user_id, ts,
+                       CASE WHEN substr(md5(
+                                CAST(epoch_us(ts) AS VARCHAR) || '-'
+                                || CAST(user_id AS VARCHAR)), 1, 1) <= '7'
+                            THEN 1 ELSE 0 END AS ind,
+                       row_number() OVER w AS rn,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+                FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            s AS (
+                SELECT user_id, count(*) AS n,
+                       SUM(CASE WHEN rn > 1 THEN ind ELSE 0 END) AS ch,
+                       SUM(gap_us) AS gaps,
+                       MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS span
+                FROM m GROUP BY 1
+            )
+            SELECT 'https://user-' || CAST(user_id AS VARCHAR)
+                       || '.example.com/events' AS url,
+                   CAST(n AS BIGINT) AS n_snapshots,
+                   CAST(ch AS BIGINT) AS n_changes,
+                   CASE WHEN n > 1 THEN ROUND(
+                       CAST(ch AS DOUBLE) / CAST(n - 1 AS DOUBLE), 6)
+                   END AS change_ratio,
+                   CASE WHEN n > 1 THEN ROUND(
+                       CAST(gaps AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+                       / 1000000, 6)
+                   END AS mean_gap_s,
+                   CASE WHEN ch > 0 THEN ROUND(
+                       CAST(span AS DOUBLE) / CAST(ch AS DOUBLE)
+                       / 1000000, 6)
+                   END AS est_change_interval_s
+            FROM s
         """,
         # exact consecutive-day set sizes replayed; theta estimates
         # graded as flags (see q_ts_distinct_overlap)

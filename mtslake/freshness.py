@@ -1,0 +1,143 @@
+"""Crawl change-detection / freshness analytics over page snapshots.
+
+The north-star table is a Common-Crawl-style history: many ``warc_ts``
+snapshots per ``url``. The first question a crawl scheduler or
+staleness monitor asks of it is *how often does each page actually
+change?* — detected content changes (snapshot text differs from the
+previous snapshot of the same url), the change ratio, and the observed
+inter-snapshot cadence. The reference engine has no analogue (its
+payload is neural channels, mtscomp.py:15-30); this is a webtext-axis
+operator over the input_hint schema (BASELINE.json:16).
+
+Semantics
+---------
+Snapshots of a url are ordered by ``warc_ts`` with an md5(text)
+tiebreak, so colliding timestamps (a real fixture in this corpus —
+datagen.py duplicate-ts fixture) still produce one deterministic
+change sequence on both the engine and any SQL replayer. A snapshot
+"changed" iff its content hash differs from its predecessor's; the
+first snapshot of a url is an anchor (not a change). Per url:
+
+* ``n_snapshots``  — snapshots observed
+* ``n_changes``    — detected content changes
+* ``change_ratio`` — n_changes / (n_snapshots - 1)   (null for 1 snap)
+* ``mean_gap_s``   — mean inter-snapshot gap, from the EXACT integer
+  sum of per-gap microseconds (one double division at the end — the
+  decimal-sum determinism rule used by the rollup tiers)
+* ``est_change_interval_s`` — observed span / n_changes, the
+  change-frequency estimate a recrawl scheduler budgets with
+  (null until a change is seen)
+
+Scale shape
+-----------
+One hash partition by url, one window pass, one partial-aggregated
+groupBy on the SAME key — Catalyst reuses the window's exchange for
+the aggregate (single shuffle total). Per-url state is the window
+frame's (hash, ts) pair, O(1) per row; a hot domain with 100× the
+snapshots (the Zipf fixture) is still one partition's sequential scan
+of its own rows, bounded by snapshots-per-url, not corpus size. All
+expressions are JVM built-ins (md5 / lag / sum) — no Python in the
+path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+US_PER_S = 1_000_000
+
+
+def change_flags(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-snapshot change detection: input columns plus
+
+    * ``snap_rank`` — 1-based position in the url's history
+    * ``changed``   — content hash differs from the previous snapshot
+      (false for the url's first snapshot)
+    * ``gap_us``    — microseconds since the previous snapshot (null
+      for the first)
+
+    Deterministic under duplicate ``warc_ts`` via the md5(text)
+    ordering tiebreak.
+    """
+    h = F.md5(F.col(text_col))
+    w = Window.partitionBy(url_col).orderBy(F.col(ts_col), h)
+    ts_us = F.unix_micros(F.col(ts_col))
+    return (
+        pages.withColumn("_h", h)
+        .withColumn("snap_rank", F.row_number().over(w))
+        .withColumn(
+            "changed",
+            F.coalesce(F.lag("_h").over(w) != F.col("_h"), F.lit(False)),
+        )
+        .withColumn("gap_us", ts_us - F.lag(ts_us).over(w))
+        .drop("_h")
+    )
+
+
+def change_stats(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-url freshness summary (see module docstring for the exact
+    definitions). Floats are emitted once, rounded, from exact integer
+    sums — SQL-replayable bit-for-bit."""
+    flagged = change_flags(pages, url_col, ts_col, text_col)
+    n = F.count("*")
+    n_changes = F.sum(F.col("changed").cast("long"))
+    gap_sum = F.sum("gap_us")  # exact: long sum of long gaps
+    span_us = F.max(F.unix_micros(F.col(ts_col))) - F.min(
+        F.unix_micros(F.col(ts_col))
+    )
+    return (
+        flagged.groupBy(F.col(url_col).alias("url"))
+        .agg(
+            n.cast("long").alias("n_snapshots"),
+            n_changes.cast("long").alias("n_changes"),
+            F.round(
+                F.try_divide(n_changes.cast("double"), (n - 1).cast("double")),
+                6,
+            ).alias("change_ratio"),
+            F.round(
+                F.try_divide(gap_sum.cast("double"), (n - 1).cast("double"))
+                / US_PER_S,
+                6,
+            ).alias("mean_gap_s"),
+            F.round(
+                F.try_divide(span_us.cast("double"), n_changes.cast("double"))
+                / US_PER_S,
+                6,
+            ).alias("est_change_interval_s"),
+        )
+    )
+
+
+def change_rollup(
+    pages: DataFrame,
+    bucket_us: int,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Changed-snapshot counts per (url, tumbling bucket) — the
+    change-activity timeseries a staleness dashboard plots. Same
+    single-shuffle shape: the bucket aggregate is partial-aggregated
+    map-side above the url-partitioned window output."""
+    flagged = change_flags(pages, url_col, ts_col, text_col)
+    ts_us = F.unix_micros(F.col(ts_col))
+    bucket = ts_us - F.pmod(ts_us, F.lit(int(bucket_us)))
+    return (
+        flagged.groupBy(
+            F.col(url_col).alias("url"), bucket.alias("bucket_us")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_snapshots"),
+            F.sum(F.col("changed").cast("long")).cast("long").alias("n_changes"),
+        )
+    )
