@@ -2057,6 +2057,25 @@ def q_doc_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return change_stats(_snapshot_pages(spark, sf_dir))
 
 
+def q_ts_anomaly_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-sigma anomaly flags over the 1h tier (series.anomaly_flags):
+    a bucket's count vs the trailing-24h STRICTLY-PRECEDING baseline.
+    The flag never touches a float — |x−μ|>kσ is algebraically
+    rearranged to (n·x−S)² > k²·(n·S2−S²) over integer window sums,
+    computed in DECIMAL(38,0) — so the SQL oracle replays it exactly:
+    no sqrt, no division, no rounding ties (the ts_moving_avg_24h r4
+    lesson applied at design time). Reference analogue: none (TSDB
+    monitoring primitive; timeseries-tier addition)."""
+    from mtslake.config import TIER_US
+    from mtslake.series import anomaly_flags
+
+    series = events_to_series(_events(spark, sf_dir))
+    rolled = _rollup.rollup_from_series(series, "1h")
+    return anomaly_flags(
+        rolled, TIER_US["1h"], n_buckets=24, k=3, min_points=12
+    )
+
+
 def q_ts_distinct_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-expression sketches (rollup.active_sketches /
     overlap_consecutive — DataSketches THETA, deterministic): per-day
@@ -2260,6 +2279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_link_graph": q_doc_link_graph,
         "doc_pagerank": q_doc_pagerank,
         "doc_crawl_delta": q_doc_crawl_delta,
+        "ts_anomaly_24h": q_ts_anomaly_24h,
         # -- touched this round (Arrow decode / moving-avg / rate) ----
         "ts_rollup_1h_codec": q_ts_rollup_1h_codec,
         "ts_rollup_1d_from_1h": q_ts_rollup_1d_from_1h,
@@ -2443,6 +2463,45 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS sum_pr_ok
             FROM (SELECT src_host AS h FROM e
                   UNION SELECT dst_host FROM e)
+        """,
+        # the k-sigma test replayed EXACTLY in integer/decimal algebra
+        # over the identical strictly-preceding RANGE window — no
+        # float ever enters the flag (see q_ts_anomaly_24h)
+        "ts_anomaly_24h": f"""
+            WITH r AS ({_ROLLUP_1H}),
+            w AS (
+                SELECT url_prefix, lang, bucket_us, cnt,
+                       count(cnt) OVER win AS n,
+                       SUM(cnt) OVER win AS s,
+                       SUM(cnt * cnt) OVER win AS s2
+                FROM r
+                WINDOW win AS (
+                    PARTITION BY url_prefix, lang ORDER BY bucket_us
+                    RANGE BETWEEN {24 * _HOUR_US} PRECEDING
+                              AND {_HOUR_US} PRECEDING)
+            ),
+            f AS (
+                SELECT *,
+                       COALESCE(n >= 12 AND
+                           CAST(n * cnt - s AS DECIMAL(19,0))
+                           * CAST(n * cnt - s AS DECIMAL(19,0))
+                           > CAST(9 * n AS DECIMAL(18,0))
+                             * CAST(s2 AS DECIMAL(20,0))
+                             - CAST(3 * s AS DECIMAL(19,0))
+                               * CAST(3 * s AS DECIMAL(19,0)),
+                           FALSE) AS flag
+                FROM w
+            )
+            SELECT url_prefix, lang, bucket_us,
+                   CAST(cnt AS BIGINT) AS cnt,
+                   CAST(n AS BIGINT) AS base_n,
+                   ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                       AS base_mean,
+                   flag AS is_anomaly,
+                   CASE WHEN flag
+                        THEN CAST(SIGN(n * cnt - s) AS INT)
+                        ELSE 0 END AS direction
+            FROM f
         """,
         # every stat derived from the fixture's change FORMULA — the
         # oracle never runs the hash-compare detector

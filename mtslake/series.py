@@ -156,3 +156,74 @@ def topk_per_bucket(
         counts.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= int(k))
     )
+
+
+def anomaly_flags(
+    rolled: DataFrame,
+    tier_us: int,
+    n_buckets: int = 24,
+    k: int = 3,
+    min_points: int = 12,
+    value_col: str = "cnt",
+    keys: tuple[str, ...] = ("url_prefix", "lang"),
+) -> DataFrame:
+    """Per-bucket anomaly flags over a rollup tier: a bucket's count is
+    anomalous when it deviates from the trailing-window baseline by
+    more than ``k`` standard deviations (the monitoring primitive —
+    traffic spikes / crawl outages per url-prefix).
+
+    The baseline window is RANGE-framed on the numeric bucket and
+    STRICTLY PRECEDING (``[-n_buckets·tier_us, -tier_us]``): the
+    current bucket never contaminates its own baseline, and sparse
+    holes are not smoothed over (the ``moving_aggregate`` rationale).
+
+    Determinism: the k·sigma test never touches a float. With integer
+    window sums S = Σx, S2 = Σx² over n baseline points,
+
+        |x − S/n| > k·σ  ⟺  (n·x − S)² > k²·(n·S2 − S²)
+
+    and both sides are computed in DECIMAL(38,0) from integer inputs —
+    exact in Spark and any SQL replayer, no sqrt, no division, no
+    rounding ties (σ = 0 degenerates correctly: any deviation flags).
+    Operand bounds: |n·x − S| and k·S must stay below ~9.2·10^18
+    (BIGINT) — counts per (key, bucket) beyond 10^17/n_buckets are out
+    of scope. ``base_mean`` is emitted for dashboards only (one double
+    division, rounded once).
+
+    Scale shape: one per-key window pass + narrow projections — the
+    single-shuffle shape of ``moving_aggregate``; runs over the TIER
+    (bounded buckets/key), never raw events.
+    """
+    from pyspark.sql import Window as W
+
+    us = int(tier_us)
+    w = (
+        W.partitionBy(*keys)
+        .orderBy("bucket_us")
+        .rangeBetween(-int(n_buckets) * us, -us)
+    )
+    x = F.col(value_col).cast("long")
+    n = F.count(value_col).over(w)
+    s = F.sum(x).over(w)
+    s2 = F.sum(x * x).over(w)
+    d = n * x - s                      # BIGINT-exact deviation numerator
+    dec19 = "decimal(19,0)"
+    lhs = d.cast(dec19) * d.cast(dec19)
+    ks = (F.lit(int(k)) * s).cast(dec19)
+    # (k²·n)·S2 − (k·S)²   — every product width ≤ 38 in both engines
+    k2n = (F.lit(int(k) * int(k)) * n).cast("decimal(18,0)")
+    rhs = k2n * s2.cast("decimal(20,0)") - ks * ks
+    flag = (n >= int(min_points)) & (lhs > rhs)
+    return rolled.select(
+        *keys,
+        "bucket_us",
+        x.alias(value_col),
+        n.cast("long").alias("base_n"),
+        F.round(F.try_divide(s.cast("double"), n.cast("double")), 6).alias(
+            "base_mean"
+        ),
+        flag.alias("is_anomaly"),
+        F.when(flag, F.signum(d.cast("double")).cast("int"))
+        .otherwise(F.lit(0))
+        .alias("direction"),
+    )
