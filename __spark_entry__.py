@@ -1929,7 +1929,8 @@ def _linked_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchors = F.transform(
         idx,
         lambda j: F.format_string(
-            '<a href="http://site%d.com/p%d">x</a>', (d * 7 + j) % 20, j
+            '<a href="http://site%d.com/p%d">t%d link</a>',
+            (d * 7 + j) % 20, j, (d + 2 * j) % 5
         ),
     )
     return _docs(spark, sf_dir).select(
@@ -2055,6 +2056,21 @@ def q_doc_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mtslake.freshness import change_stats
 
     return change_stats(_snapshot_pages(spark, sf_dir))
+
+
+def q_doc_anchor_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text analysis (urlops.extract_anchors / anchor_terms):
+    top-3 anchor terms pointing at each destination host — the
+    link-context relevance signal search rankers build from a crawl.
+    The fixture's anchors are 't{(i+2j)%5} link', so the TRUE SQL
+    oracle derives every (host, term, count, rank) from the FORMULA —
+    it never runs the extractor or tokenizer. Reference analogue:
+    none (webtext-axis addition)."""
+    from mtslake.urlops import anchor_terms, extract_anchors
+
+    return anchor_terms(
+        extract_anchors(_linked_pages(spark, sf_dir)), k=3
+    )
 
 
 def q_ts_anomaly_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2279,6 +2295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_link_graph": q_doc_link_graph,
         "doc_pagerank": q_doc_pagerank,
         "doc_crawl_delta": q_doc_crawl_delta,
+        "doc_anchor_terms": q_doc_anchor_terms,
         "ts_anomaly_24h": q_ts_anomaly_24h,
         # -- touched this round (Arrow decode / moving-avg / rate) ----
         "ts_rollup_1h_codec": q_ts_rollup_1h_codec,
@@ -2463,6 +2480,33 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS sum_pr_ok
             FROM (SELECT src_host AS h FROM e
                   UNION SELECT dst_host FROM e)
+        """,
+        # expected (host, term, cnt, rank) derived from the anchor
+        # FORMULA 't{(i+2j)%5} link' — the oracle never runs the
+        # extractor or tokenizer (see q_doc_anchor_terms)
+        "doc_anchor_terms": """
+            WITH l AS (
+                SELECT 'site' || ((doc_id * 7 + j) % 20) || '.com'
+                           AS dst_host,
+                       't' || ((doc_id + 2 * j) % 5) AS term
+                FROM documents,
+                     UNNEST(range(0, doc_id % 4)) AS t(j)
+            ),
+            terms AS (
+                SELECT dst_host, term FROM l
+                UNION ALL
+                SELECT dst_host, 'link' FROM l
+            ),
+            c AS (
+                SELECT dst_host, term,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM terms GROUP BY 1, 2
+            )
+            SELECT dst_host, term, cnt,
+                   CAST(row_number() OVER (
+                        PARTITION BY dst_host
+                        ORDER BY cnt DESC, term) AS INT) AS rank
+            FROM c QUALIFY rank <= 3
         """,
         # the k-sigma test replayed EXACTLY in integer/decimal algebra
         # over the identical strictly-preceding RANGE window — no

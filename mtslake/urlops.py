@@ -105,3 +105,57 @@ def host_edges(links: DataFrame) -> DataFrame:
     return e.groupBy("src_host", "dst_host").agg(
         F.count("*").cast("long").alias("weight")
     )
+
+# ---------------------------------------------------------------------------
+# Anchor text (link-context signal for ranking / labeling)
+# ---------------------------------------------------------------------------
+
+_ANCHOR_RE = r'href="([^"]*)"[^>]*>([^<]*)'
+
+
+def extract_anchors(pages: DataFrame, html_col: str = "html",
+                    url_col: str = "url") -> DataFrame:
+    """``(url, link_pos, link, anchor)`` — like :func:`extract_links`
+    but also capturing the anchor's visible text (the classic
+    link-context relevance signal: anchor words describe the TARGET
+    page). One regex, extracted twice (group 1 = href, group 2 = text)
+    and zipped — both extractions see the same match list, so
+    positions align by construction. Pure JVM; the regex subset is
+    DuckDB-replayable."""
+    t = F.decode(F.col(html_col), "UTF-8")
+    pat = F.lit(_ANCHOR_RE)
+    z = F.arrays_zip(
+        F.regexp_extract_all(t, pat, 1).alias("link"),
+        F.regexp_extract_all(t, pat, 2).alias("anchor"),
+    )
+    return pages.select(
+        F.col(url_col).alias("url"), F.posexplode(z).alias("link_pos", "_z")
+    ).select("url", "link_pos", F.col("_z.link").alias("link"),
+             F.col("_z.anchor").alias("anchor"))
+
+
+def anchor_terms(anchors: DataFrame, k: int = 3) -> DataFrame:
+    """Top-``k`` anchor terms per DESTINATION host: lowercase
+    whitespace tokenization of every anchor pointing at the host,
+    counted and ranked (count desc, term asc). The shuffle carries the
+    narrow (host, term) pairs pre-aggregated map-side; the rank window
+    runs over the aggregate, never raw links — the
+    ``series.topk_per_bucket`` shape on the web graph."""
+    from pyspark.sql import Window as W
+
+    e = (
+        anchors.select(
+            host_of("link").alias("dst_host"),
+            F.explode(
+                F.split(F.trim(F.lower(F.col("anchor"))), r"\s+")
+            ).alias("term"),
+        )
+        .filter((F.col("dst_host") != "") & (F.col("term") != ""))
+        .groupBy("dst_host", "term")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    w = W.partitionBy("dst_host").orderBy(F.desc("cnt"), F.asc("term"))
+    return (
+        e.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= int(k))
+    )

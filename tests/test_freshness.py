@@ -148,3 +148,31 @@ def test_anomaly_flags_sparse_holes_not_smoothed(spark):
         _tier(spark, rows), tier_us=1, n_buckets=8, k=3, min_points=3
     ).collect()}
     assert out[1000]["base_n"] == 0 and not out[1000]["is_anomaly"]
+
+
+# ---------------------------------------------------------------------------
+# urlops.extract_anchors / anchor_terms
+# ---------------------------------------------------------------------------
+
+def test_extract_anchors_and_terms(spark):
+    from mtslake.urlops import anchor_terms, extract_anchors
+
+    html = (b'<html><a href="http://b.com/x" class="z">Big Cats</a>'
+            b'<a href="http://b.com/y">big dogs</a>'
+            b'<a href="/rel">skipped host</a>'
+            b'<a href="http://c.com/z"></a></html>')
+    df = spark.createDataFrame(
+        [("http://a.com/", bytearray(html))], "url string, html binary")
+    got = sorted((r["link_pos"], r["link"], r["anchor"])
+                 for r in extract_anchors(df).collect())
+    assert got == [
+        (0, "http://b.com/x", "Big Cats"),
+        (1, "http://b.com/y", "big dogs"),
+        (2, "/rel", "skipped host"),
+        (3, "http://c.com/z", ""),
+    ]
+    terms = {(r["dst_host"], r["term"]): (r["cnt"], r["rank"])
+             for r in anchor_terms(extract_anchors(df), k=2).collect()}
+    # relative link dropped (no host), empty anchor dropped,
+    # lowercased; rank ties break term-asc
+    assert terms == {("b.com", "big"): (2, 1), ("b.com", "cats"): (1, 2)}
