@@ -2092,6 +2092,22 @@ def q_ts_anomaly_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_seasonal_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal profile (rollup.seasonal_profile): the 1h
+    tier folded onto phase = bucket mod 24 — the traffic-shape
+    baseline behind seasonally-adjusted alerting and crawl scheduling.
+    Counts fold exactly (integer `div` phase + integer sums); the
+    value channel folds via the tier's exact decimal vsum (a seasonal
+    mean of RAW values, never a mean of means); each mean is one
+    rounded double division. The SQL oracle replays the identical
+    fold. Reference analogue: none (continuous-aggregate family)."""
+    from mtslake.config import TIER_US
+
+    series = events_to_series(_events(spark, sf_dir))
+    rolled = _rollup.rollup_from_series(series, "1h")
+    return _rollup.seasonal_profile(rolled, TIER_US["1h"], 24)
+
+
 def q_ts_distinct_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-expression sketches (rollup.active_sketches /
     overlap_consecutive — DataSketches THETA, deterministic): per-day
@@ -2297,6 +2313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_crawl_delta": q_doc_crawl_delta,
         "doc_anchor_terms": q_doc_anchor_terms,
         "ts_anomaly_24h": q_ts_anomaly_24h,
+        "ts_seasonal_hourly": q_ts_seasonal_hourly,
         # -- touched this round (Arrow decode / moving-avg / rate) ----
         "ts_rollup_1h_codec": q_ts_rollup_1h_codec,
         "ts_rollup_1d_from_1h": q_ts_rollup_1d_from_1h,
@@ -2480,6 +2497,20 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS sum_pr_ok
             FROM (SELECT src_host AS h FROM e
                   UNION SELECT dst_host FROM e)
+        """,
+        # the identical periodic fold replayed over the same 1h tier
+        # (see q_ts_seasonal_hourly)
+        "ts_seasonal_hourly": f"""
+            WITH r AS ({_ROLLUP_1H})
+            SELECT url_prefix, lang,
+                   CAST((bucket_us // {_HOUR_US}) % 24 AS INT) AS phase,
+                   CAST(count(*) AS BIGINT) AS n_buckets,
+                   CAST(SUM(cnt) AS BIGINT) AS total_cnt,
+                   ROUND(CAST(SUM(cnt) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 6) AS mean_cnt,
+                   ROUND(CAST(SUM(vsum_dec) AS DOUBLE)
+                         / CAST(SUM(cnt) AS DOUBLE), 6) AS mean_value
+            FROM r GROUP BY 1, 2, 3
         """,
         # expected (host, term, cnt, rank) derived from the anchor
         # FORMULA 't{(i+2j)%5} link' — the oracle never runs the

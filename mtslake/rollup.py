@@ -554,3 +554,51 @@ def overlap_consecutive(sketches: DataFrame, tier: str) -> DataFrame:
             ).alias("est_either"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# seasonal profiles: periodic fold of a tier (hour-of-day / day-of-week)
+# ---------------------------------------------------------------------------
+
+def seasonal_profile(
+    rolled: DataFrame,
+    tier_us: int,
+    period_buckets: int = 24,
+    keys: tuple[str, ...] = ("url_prefix", "lang"),
+) -> DataFrame:
+    """Fold a rollup tier onto a repeating phase: bucket b contributes
+    to phase ``(b / tier_us) mod period`` — 24 on the 1h tier is the
+    hour-of-day profile, 168 the hour-of-week. The traffic-shape
+    baseline behind seasonally-adjusted alerting and crawl scheduling
+    (TimescaleDB ``time_bucket``-modulo shape).
+
+    Counts fold EXACTLY (integer sums; ``mean_cnt`` is one rounded
+    double division at the end); the value channel folds via the
+    tier's exact decimal ``vsum`` (a seasonal mean of raw values,
+    never a mean of means). One partial-aggregated groupBy over the
+    TIER — O(keys × period) result rows, raw never rescanned."""
+    us = int(tier_us)
+    # integer `div` keeps the fold exact at any bucket magnitude (a
+    # double quotient would be, but only because buckets are aligned)
+    phase = F.pmod(F.expr(f"bucket_us div {us}"),
+                   F.lit(int(period_buckets))).cast("int")
+    n = F.count("*")
+    total = F.sum("cnt")
+    return (
+        rolled.groupBy(*keys, phase.alias("phase"))
+        .agg(
+            n.cast("long").alias("n_buckets"),
+            total.cast("long").alias("total_cnt"),
+            F.round(
+                F.try_divide(total.cast("double"), n.cast("double")), 6
+            ).alias("mean_cnt"),
+            F.sum("vsum").alias("_vs"),  # tier vsum is already decimal
+        )
+        .select(
+            *keys, "phase", "n_buckets", "total_cnt", "mean_cnt",
+            F.round(
+                F.try_divide(F.col("_vs").cast("double"),
+                             F.col("total_cnt").cast("double")), 6
+            ).alias("mean_value"),
+        )
+    )

@@ -662,3 +662,31 @@ def test_theta_overlap_exact_on_small_sets(spark):
     assert r["bucket_us"] == 0
     assert float(r["est_returning"]) == 50.0
     assert float(r["est_either"]) == 130.0
+
+
+def test_seasonal_profile_folds_exactly(spark):
+    """Hour-of-day fold: phases collect the right buckets; counts fold
+    as integers; mean_value is vsum/points, never a mean of means."""
+    from decimal import Decimal
+
+    from mtslake.rollup import seasonal_profile
+
+    h = 3_600_000_000
+    rows = [
+        # (bucket, cnt, vsum): hours 0, 24, 48 -> phase 0; hour 1 -> 1
+        ("p", "en", 0 * h, 2, Decimal("10.5")),
+        ("p", "en", 24 * h, 4, Decimal("1.5")),
+        ("p", "en", 48 * h, 3, Decimal("3.0")),
+        ("p", "en", 1 * h, 5, Decimal("2.0")),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url_prefix string, lang string, bucket_us long, cnt long,"
+        " vsum decimal(38,18)",
+    )
+    got = {r["phase"]: r for r in seasonal_profile(df, h, 24).collect()}
+    p0 = got[0]
+    assert (p0["n_buckets"], p0["total_cnt"]) == (3, 9)
+    assert p0["mean_cnt"] == 3.0
+    assert p0["mean_value"] == round(15.0 / 9, 6)
+    assert got[1]["total_cnt"] == 5 and got[1]["mean_value"] == 0.4
