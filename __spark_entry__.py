@@ -2058,6 +2058,55 @@ def q_doc_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return change_stats(_snapshot_pages(spark, sf_dir))
 
 
+def q_doc_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted HITS hubs/authorities (graph.hits, 10 rounds,
+    per-round L2 normalization in-plan) over the deterministic host
+    graph — the second iterative web-graph algorithm beside PageRank.
+    Graded like doc_pagerank: an independent numpy transcription of
+    Kleinberg's iteration recomputes every score from the collected
+    edge list and the query emits zero-mismatch evidence; the SQL
+    oracle independently derives n_hosts from the fixture formula."""
+    import numpy as np
+
+    from mtslake import ckpt
+    from mtslake.graph import hits
+    from mtslake.urlops import extract_links, host_edges
+
+    edges = host_edges(extract_links(_linked_pages(spark, sf_dir)))
+    e_rows = edges.collect()
+    out = hits(edges, iters=10)
+    got = {r["host"]: (r["hub"], r["auth"]) for r in out.collect()}
+    ckpt.release(out)
+
+    hosts = sorted({r["src_host"] for r in e_rows}
+                   | {r["dst_host"] for r in e_rows})
+    hidx = {h: i for i, h in enumerate(hosts)}
+    n = len(hosts)
+    w = np.zeros((n, n))
+    for r in e_rows:
+        w[hidx[r["src_host"]], hidx[r["dst_host"]]] = r["weight"]
+    hub = np.ones(n)
+    auth = np.ones(n)
+    for _ in range(10):
+        auth = w.T @ hub
+        auth = auth / np.sqrt((auth ** 2).sum())
+        hub = w @ auth
+        hub = hub / np.sqrt((hub ** 2).sum())
+    n_mismatch = sum(
+        1 for h in hosts
+        if abs(got[h][0] - hub[hidx[h]]) > 1e-9
+        or abs(got[h][1] - auth[hidx[h]]) > 1e-9
+    )
+    norm_ok = (
+        abs(sum(v[0] ** 2 for v in got.values()) - 1.0) < 1e-6
+        and abs(sum(v[1] ** 2 for v in got.values()) - 1.0) < 1e-6
+    )
+    return spark.createDataFrame(
+        [(len(got), n_mismatch, bool(norm_ok))],
+        "n_hosts long, n_mismatch long, norms_ok boolean",
+    )
+
+
 def q_doc_anchor_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text analysis (urlops.extract_anchors / anchor_terms):
     top-3 anchor terms pointing at each destination host — the
@@ -2312,6 +2361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pagerank": q_doc_pagerank,
         "doc_crawl_delta": q_doc_crawl_delta,
         "doc_anchor_terms": q_doc_anchor_terms,
+        "doc_hits": q_doc_hits,
         "ts_anomaly_24h": q_ts_anomaly_24h,
         "ts_seasonal_hourly": q_ts_seasonal_hourly,
         # -- touched this round (Arrow decode / moving-avg / rate) ----
@@ -2495,6 +2545,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(count(DISTINCT h) AS BIGINT) AS n_hosts,
                    CAST(0 AS BIGINT) AS n_mismatch,
                    TRUE AS sum_pr_ok
+            FROM (SELECT src_host AS h FROM e
+                  UNION SELECT dst_host FROM e)
+        """,
+        # n_hosts from the formula; scores graded Spark-side vs an
+        # independent numpy transcription (see q_doc_hits)
+        "doc_hits": """
+            WITH l AS (
+                SELECT 'site' || (doc_id % 20) || '.com' AS src_host,
+                       'site' || ((doc_id * 7 + j) % 20) || '.com'
+                           AS dst_host
+                FROM documents,
+                     UNNEST(range(0, doc_id % 4)) AS t(j)
+            ), e AS (
+                SELECT DISTINCT src_host, dst_host FROM l
+                WHERE src_host <> dst_host
+            )
+            SELECT CAST(count(DISTINCT h) AS BIGINT) AS n_hosts,
+                   CAST(0 AS BIGINT) AS n_mismatch,
+                   TRUE AS norms_ok
             FROM (SELECT src_host AS h FROM e
                   UNION SELECT dst_host FROM e)
         """,

@@ -101,3 +101,91 @@ def pagerank(
         release_ckpt(nodes)
         release_ckpt(share)
         release_ckpt(sinks)
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 10,
+    src: str = "src_host",
+    dst: str = "dst_host",
+    weight: str = "weight",
+) -> DataFrame:
+    """Weighted HITS (Kleinberg 1999, public): mutually-reinforcing
+    hub and authority scores — ``auth(v) = Σ_{u→v} w·hub(u)`` then
+    ``hub(u) = Σ_{u→v} w·auth(v)``, each side L2-normalized per round.
+
+    Returns ``(host, hub, auth)`` for every host in the graph. The
+    L2 norms stay IN-PLAN as broadcast single-row aggregates (the
+    pagerank dangling-mass pattern — zero driver actions per round);
+    the two frontiers are eager-checkpointed and superseded ones
+    released, so K rounds hold O(1) frontiers. Per round: two
+    edge-keyed joins + two node aggregations shuffling
+    O(edges-between-hosts) — run it on ``host_edges`` output, never
+    raw links. The returned frame is a caller-owned checkpoint
+    (``ckpt.release`` when done)."""
+    nodes = (
+        edges.select(F.col(src).alias("host"))
+        .unionByName(edges.select(F.col(dst).alias("host")))
+        .distinct()
+    )
+    nodes = eager_checkpoint(nodes)
+    e = eager_checkpoint(
+        edges.select(
+            F.col(src).alias("_s"), F.col(dst).alias("_d"),
+            F.col(weight).cast("double").alias("_w"),
+        )
+    )
+    cur = None
+    try:
+        cur = eager_checkpoint(
+            nodes.select("host", F.lit(1.0).alias("hub"),
+                         F.lit(1.0).alias("auth"))
+        )
+        for _ in range(max(0, int(iters))):
+            a_raw = (
+                e.join(cur.select(F.col("host").alias("_s"), "hub"), "_s")
+                .groupBy(F.col("_d").alias("host"))
+                .agg(F.sum(F.col("_w") * F.col("hub")).alias("_a"))
+            )
+            a_n = F.broadcast(
+                a_raw.agg(F.sqrt(F.sum(F.col("_a") * F.col("_a")))
+                          .alias("_an"))
+            )
+            # checkpointed: auth feeds BOTH h_raw and the final join —
+            # without it the whole auth plan executes twice per round
+            auth = eager_checkpoint(
+                nodes.join(a_raw, "host", "left")
+                .crossJoin(a_n)
+                .select(
+                    "host",
+                    F.coalesce(F.col("_a") / F.col("_an"), F.lit(0.0))
+                    .alias("auth"),
+                )
+            )
+            h_raw = (
+                e.join(auth.select(F.col("host").alias("_d"), "auth"), "_d")
+                .groupBy(F.col("_s").alias("host"))
+                .agg(F.sum(F.col("_w") * F.col("auth")).alias("_h"))
+            )
+            h_n = F.broadcast(
+                h_raw.agg(F.sqrt(F.sum(F.col("_h") * F.col("_h")))
+                          .alias("_hn"))
+            )
+            nxt = eager_checkpoint(
+                nodes.join(h_raw, "host", "left")
+                .crossJoin(h_n)
+                .join(auth, "host")
+                .select(
+                    "host",
+                    F.coalesce(F.col("_h") / F.col("_hn"), F.lit(0.0))
+                    .alias("hub"),
+                    "auth",
+                )
+            )
+            release_ckpt(auth)
+            release_ckpt(cur)
+            cur = nxt
+        return cur
+    finally:
+        release_ckpt(nodes)
+        release_ckpt(e)

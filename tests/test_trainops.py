@@ -1122,3 +1122,45 @@ def test_pagerank_cycle_and_dangling(spark):
     ckpt.release(pr)
     assert abs(sum(got.values()) - 1.0) < 1e-9
     assert got["b"] > got["a"] == got["c"]
+
+
+def test_hits_hand_case_and_replay(spark):
+    """HITS on a weighted fan-in: the single authority gets auth=1;
+    hubs split by edge weight; matches an independent numpy replay."""
+    import numpy as np
+
+    from mtslake import ckpt
+    from mtslake.graph import hits
+
+    df = spark.createDataFrame(
+        [("a", "c", 1), ("b", "c", 3)],
+        "src_host string, dst_host string, weight long")
+    out = hits(df, iters=5)
+    got = {r["host"]: (r["hub"], r["auth"]) for r in out.collect()}
+    ckpt.release(out)
+    assert got["c"][1] == pytest.approx(1.0, abs=1e-12)
+    assert got["a"][0] == pytest.approx(1 / np.sqrt(10), abs=1e-12)
+    assert got["b"][0] == pytest.approx(3 / np.sqrt(10), abs=1e-12)
+    assert got["c"][0] == 0.0 and got["a"][1] == 0.0
+
+    # cycle + chord, numpy replay of the same weighted iteration
+    edges = [("a", "b", 2), ("b", "c", 1), ("c", "a", 1), ("a", "c", 5)]
+    hosts = ["a", "b", "c"]
+    w = np.zeros((3, 3))
+    for s, d, wt in edges:
+        w[hosts.index(s), hosts.index(d)] = wt
+    hub = np.ones(3); auth = np.ones(3)
+    for _ in range(7):
+        auth = w.T @ hub
+        auth = auth / np.sqrt((auth ** 2).sum())
+        hub = w @ auth
+        hub = hub / np.sqrt((hub ** 2).sum())
+    df2 = spark.createDataFrame(
+        [(s, d, wt) for s, d, wt in edges],
+        "src_host string, dst_host string, weight long")
+    out2 = hits(df2, iters=7)
+    got2 = {r["host"]: (r["hub"], r["auth"]) for r in out2.collect()}
+    ckpt.release(out2)
+    for i, h in enumerate(hosts):
+        assert got2[h][0] == pytest.approx(hub[i], abs=1e-9)
+        assert got2[h][1] == pytest.approx(auth[i], abs=1e-9)
