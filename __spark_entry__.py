@@ -2141,6 +2141,59 @@ def q_ts_anomaly_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reset-aware monotonic-counter rate (series.counter_rate — the
+    Prometheus reset rule: negative delta ⇒ restart ⇒ increase =
+    current value). Fixture: a deterministic per-user counter that
+    accumulates ``ts_us mod 97`` and restarts whenever the md5 formula
+    fires (P=1/16) — both engines derive it from the formula, then the
+    oracle replays the operator's reset arithmetic over the identical
+    window; everything is exact integers until the one rounded rate
+    division. Reference analogue: none (TSDB counter semantics)."""
+    from pyspark.sql import Window as _W
+
+    from mtslake.series import counter_rate
+
+    ev = (
+        _events(spark, sf_dir)
+        .select("user_id", F.unix_micros(F.col("ts").cast("timestamp"))
+                .alias("ts_us"))
+        .distinct()
+    )
+    ind = (
+        F.substring(
+            F.md5(F.concat(F.col("ts_us").cast("string"), F.lit("-"),
+                           F.col("user_id").cast("string"))), 1, 1
+        )
+        == F.lit("f")
+    ).cast("long")
+    base = ev.select(
+        "user_id", "ts_us",
+        F.pmod(F.col("ts_us"), F.lit(97)).alias("_inc"),
+        ind.alias("_ind"),
+    ).withColumn(
+        "_seg",
+        F.sum("_ind").over(
+            _W.partitionBy("user_id").orderBy("ts_us")
+            .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+        ),
+    )
+    ctr = base.withColumn(
+        "counter",
+        F.sum("_inc").over(
+            _W.partitionBy("user_id", "_seg").orderBy("ts_us")
+            .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+        ),
+    ).select(
+        F.format_string(
+            "https://user-%d.example.com/events", F.col("user_id")
+        ).alias("url"),
+        "ts_us", "counter",
+    )
+    return counter_rate(ctr, key="url", ts_col="ts_us",
+                        value_col="counter")
+
+
 def q_ts_seasonal_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hour-of-day seasonal profile (rollup.seasonal_profile): the 1h
     tier folded onto phase = bucket mod 24 — the traffic-shape
@@ -2364,6 +2417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_hits": q_doc_hits,
         "ts_anomaly_24h": q_ts_anomaly_24h,
         "ts_seasonal_hourly": q_ts_seasonal_hourly,
+        "ts_counter_rate": q_ts_counter_rate,
         # -- executed code path changed since the r4 green row --------
         # (Arrow decode rewrite: chunk.py/sources.py; rate try_divide;
         #  moving-avg graded projection; dedup.py checkpoint
@@ -2571,6 +2625,47 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS norms_ok
             FROM (SELECT src_host AS h FROM e
                   UNION SELECT dst_host FROM e)
+        """,
+        # counter derived from the same formula, reset arithmetic
+        # replayed over the identical window (see q_ts_counter_rate)
+        "ts_counter_rate": """
+            WITH u AS (
+                SELECT DISTINCT user_id, epoch_us(ts) AS ts_us
+                FROM events
+            ),
+            a AS (
+                SELECT user_id, ts_us, ts_us % 97 AS inc,
+                       CASE WHEN substr(md5(
+                                CAST(ts_us AS VARCHAR) || '-'
+                                || CAST(user_id AS VARCHAR)), 1, 1) = 'f'
+                            THEN 1 ELSE 0 END AS ind
+                FROM u
+            ),
+            b AS (
+                SELECT *, SUM(ind) OVER (
+                    PARTITION BY user_id ORDER BY ts_us) AS seg
+                FROM a
+            ),
+            c AS (
+                SELECT user_id, ts_us, SUM(inc) OVER (
+                    PARTITION BY user_id, seg ORDER BY ts_us) AS counter
+                FROM b
+            ),
+            d AS (
+                SELECT user_id, ts_us, counter,
+                       lag(counter) OVER w AS pv, lag(ts_us) OVER w AS pt
+                FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+            )
+            SELECT 'https://user-' || CAST(user_id AS VARCHAR)
+                       || '.example.com/events' AS url,
+                   ts_us, counter,
+                   CASE WHEN counter >= pv THEN counter - pv
+                        ELSE counter END AS increase,
+                   ROUND(CAST(CASE WHEN counter >= pv THEN counter - pv
+                                   ELSE counter END AS DOUBLE)
+                         / CAST(ts_us - pt AS DOUBLE) * 1000000, 6)
+                       AS rate_per_s
+            FROM d WHERE pt IS NOT NULL
         """,
         # the identical periodic fold replayed over the same 1h tier
         # (see q_ts_seasonal_hourly)

@@ -227,3 +227,53 @@ def anomaly_flags(
         .otherwise(F.lit(0))
         .alias("direction"),
     )
+
+
+def counter_rate(
+    series: DataFrame,
+    key: str = "url",
+    ts_col: str = TS_COL,
+    value_col: str = "value",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Reset-aware monotonic-counter rate (the Prometheus ``rate()``
+    reset rule, public docs): counters only grow; a NEGATIVE delta
+    means the process restarted and the counter rebegan near zero, so
+    the increase since the previous sample is taken as the counter's
+    CURRENT value (everything it accumulated since the reset), never
+    the negative delta a gauge derivative would report.
+
+        increase = x − x_prev   if x ≥ x_prev      (normal growth)
+                 = x            otherwise           (reset detected)
+
+    Emits per observation: ``increase`` (exact — same type as the
+    counter) and ``rate_per_s`` (one double division of exact deltas,
+    rounded once). First observation per key is dropped (no
+    predecessor); duplicate-timestamp rows keep ``rate_per_s`` null
+    via ``try_divide`` (the :func:`rate` ANSI-mode rationale).
+    Same single-shuffle shape as :func:`rate`."""
+    from pyspark.sql import Window as W
+
+    order = [ts_col, tiebreak] if tiebreak else [ts_col]
+    w = W.partitionBy(key).orderBy(*order)
+    x = F.col(value_col)
+    prev_v = F.lag(value_col).over(w)
+    prev_t = F.lag(ts_col).over(w)
+    inc = F.when(x >= prev_v, x - prev_v).otherwise(x)
+    return (
+        series.withColumn("_prev_t", prev_t)
+        .withColumn("increase", inc)
+        .withColumn(
+            "rate_per_s",
+            F.round(
+                F.try_divide(
+                    F.col("increase").cast("double"),
+                    (F.col(ts_col) - F.col("_prev_t")).cast("double"),
+                )
+                * F.lit(1_000_000),
+                6,
+            ),
+        )
+        .filter(F.col("_prev_t").isNotNull())
+        .select(key, ts_col, value_col, "increase", "rate_per_s")
+    )

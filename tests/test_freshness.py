@@ -176,3 +176,45 @@ def test_extract_anchors_and_terms(spark):
     # relative link dropped (no host), empty anchor dropped,
     # lowercased; rank ties break term-asc
     assert terms == {("b.com", "big"): (2, 1), ("b.com", "cats"): (1, 2)}
+
+
+# ---------------------------------------------------------------------------
+# series.counter_rate (Prometheus reset rule)
+# ---------------------------------------------------------------------------
+
+def test_counter_rate_reset_rule(spark):
+    from mtslake.series import counter_rate
+
+    rows = [
+        ("a", 0, 10),          # dropped (no predecessor)
+        ("a", 2_000_000, 70),   # +60 over 2s -> 30/s
+        ("a", 4_000_000, 5),    # RESET: increase = 5, 2.5/s
+        ("a", 9_000_000, 5),    # flat: 0/s
+        ("b", 0, 100),
+        ("b", 1_000_000, 100),  # flat counter, 0/s
+    ]
+    df = spark.createDataFrame(rows, "url string, ts_us long, counter long")
+    got = {(r["url"], r["ts_us"]): (r["increase"], r["rate_per_s"])
+           for r in counter_rate(df, value_col="counter").collect()}
+    assert got == {
+        ("a", 2_000_000): (60, 30.0),
+        ("a", 4_000_000): (5, 2.5),
+        ("a", 9_000_000): (0, 0.0),
+        ("b", 1_000_000): (0, 0.0),
+    }
+
+
+def test_counter_rate_duplicate_ts_null_rate(spark):
+    from mtslake.series import counter_rate
+
+    df = spark.createDataFrame(
+        [("a", 0, 1, 0), ("a", 5, 3, 1), ("a", 5, 9, 2)],
+        "url string, ts_us long, counter long, seq long")
+    got = sorted(
+        ((r["ts_us"], r["counter"], r["increase"], r["rate_per_s"])
+         for r in counter_rate(df, value_col="counter",
+                               tiebreak="seq").collect()),
+    )
+    # zero time delta: increase still exact, rate null (try_divide);
+    # +2 over 5 us = 400k/s
+    assert got == [(5, 3, 2, 400000.0), (5, 9, 6, None)]
