@@ -364,3 +364,43 @@ def test_snapshot_job_commit_list_rollback(spark, tmp_path, capsys):
     assert st.catalog().agg(F.sum("n_points")).first()[0] == n1
     job_snapshot.main(["--store", store, "list"])
     assert "EXPIRED" in capsys.readouterr().out
+
+
+def test_webgraph_job(spark, tmp_path, capsys):
+    from mtslake.jobs import ingest as job_ingest2
+    from mtslake.jobs import webgraph as job_webgraph
+
+    store = str(tmp_path / "lake")
+    job_ingest2.main(["--store", store, "--n-urls", "12", "--snapshots", "4",
+                      "--hot", "0"])
+    # give the fixture pages real out-links: rewrite html with hrefs
+    pages = spark.read.parquet(f"{store}/pages")
+    linked = pages.withColumn(
+        "html",
+        F.encode(
+            F.concat(
+                F.lit('<html><a href="https://hub.example.com/x">hub</a>'),
+                F.decode("html", "UTF-8"),
+                F.lit("</html>"),
+            ),
+            "UTF-8",
+        ),
+    )
+    linked.write.mode("overwrite").parquet(str(tmp_path / "linked"))
+
+    out = str(tmp_path / "graph")
+    job_webgraph.main([
+        "--store", store, "--pages", str(tmp_path / "linked"),
+        "--out", out, "--pagerank-iters", "5", "--hits-iters", "3",
+    ])
+    edges = spark.read.parquet(f"{out}/edges")
+    # every source host links to hub.example.com
+    assert edges.filter(F.col("dst_host") == "hub.example.com").count() > 0
+    pr = {r["host"]: r["pr"]
+          for r in spark.read.parquet(f"{out}/pagerank").collect()}
+    assert abs(sum(pr.values()) - 1.0) < 1e-6
+    assert pr["hub.example.com"] == max(pr.values())
+    hs = spark.read.parquet(f"{out}/hits")
+    auth = {r["host"]: r["auth"] for r in hs.collect()}
+    assert auth["hub.example.com"] == max(auth.values())
+    assert "edges" in capsys.readouterr().out
