@@ -2379,6 +2379,21 @@ def q_doc_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup signal (dedup.substring_duplication)
+    — the relational ExactSubstr pass (Lee et al. 2022,
+    arXiv:2107.06499): every 8-word window md5-keyed, windows whose key
+    occurs ≥2× corpus-wide marked, per-document interval-union coverage
+    and duplicated fraction. TRUE SQL oracle: DuckDB replays the whole
+    pipeline — tokenization, window keys, corpus-wide counts, the
+    running-max interval sweep — from the raw documents table.
+    dup_frac divides identical integer operands in both engines, so
+    the IEEE result is bit-identical."""
+    from mtslake.dedup import substring_duplication
+
+    return substring_duplication(_docs(spark, sf_dir), k=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the grading order: the driver grades the
     first 50 entries per round, so the dict is maintained as a
@@ -2418,6 +2433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_anomaly_24h": q_ts_anomaly_24h,
         "ts_seasonal_hourly": q_ts_seasonal_hourly,
         "ts_counter_rate": q_ts_counter_rate,
+        "doc_substring_dup": q_doc_substring_dup,
         # -- executed code path changed since the r4 green row --------
         # (Arrow decode rewrite: chunk.py/sources.py; rate try_divide;
         #  moving-avg graded projection; dedup.py checkpoint
@@ -3567,6 +3583,50 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY score DESC, term) AS INT) AS rank
                 FROM scored
             ) WHERE rank <= 3
+        """,
+        "doc_substring_dup": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(text)),
+                           '\s+'), x -> x <> '') AS t
+                FROM documents
+            ), base AS (
+                SELECT doc_id, t, len(t) AS n FROM toks
+            ), wins AS (
+                SELECT doc_id, unnest(range(1, n - 6)) AS s, t
+                FROM base WHERE n >= 8
+            ), keyed AS (
+                SELECT doc_id, s,
+                       md5(array_to_string(t[s:s+7], ' ')) AS w
+                FROM wins
+            ), dupkeys AS (
+                SELECT w FROM keyed GROUP BY w HAVING count(*) >= 2
+            ), dup AS (
+                SELECT k.doc_id, k.s FROM keyed k
+                JOIN dupkeys USING (w)
+            ), sweep AS (
+                SELECT doc_id, s,
+                       max(s + 7) OVER (PARTITION BY doc_id ORDER BY s
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS pe
+                FROM dup
+            ), per AS (
+                SELECT doc_id, count(*) AS n_dup_windows,
+                       sum(greatest(0, s + 7
+                           - greatest(s - 1, coalesce(pe, 0))))
+                           AS dup_tokens
+                FROM sweep GROUP BY doc_id
+            )
+            SELECT b.doc_id,
+                   CAST(b.n AS BIGINT) AS n_tokens,
+                   CAST(coalesce(p.n_dup_windows, 0) AS BIGINT)
+                       AS n_dup_windows,
+                   CAST(coalesce(p.dup_tokens, 0) AS BIGINT)
+                       AS dup_tokens,
+                   CASE WHEN b.n > 0 THEN
+                       CAST(coalesce(p.dup_tokens, 0) AS DOUBLE) / b.n
+                   ELSE 0.0 END AS dup_frac
+            FROM base b LEFT JOIN per p USING (doc_id)
         """,
         "doc_repetition": r"""
             WITH toks AS (

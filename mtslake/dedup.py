@@ -723,3 +723,109 @@ def ngram_jaccard(
             F.round("jaccard", 6).alias("jaccard"),
         )
     )
+
+
+def substring_duplication(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Substring-level exact duplication signal — the relational form
+    of ExactSubstr dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better", arXiv:2107.06499 §4.1: any
+    sufficiently long substring occurring more than once in the corpus
+    is memorization fuel, even when the containing documents are not
+    near-duplicates).
+
+    Every ``k``-word window of every document is keyed by the 128-bit
+    md5 of its text (the paper's suffix array finds the same set for
+    character-level windows; 64-bit keys are NOT enough — at 10^12
+    windows the birthday bound makes a 64-bit collision near-certain,
+    which would flag innocent text). A window is duplicated when its
+    key occurs ``min_count``+ times corpus-wide (within-doc repeats
+    count, matching suffix-array semantics). Per document the
+    duplicated windows are merged as intervals — a running-max sweep
+    over window starts, the standard interval-union — into the number
+    of tokens covered by ANY duplicated window.
+
+    Returns one row per document:
+    ``(id, n_tokens, n_dup_windows, dup_tokens, dup_frac)`` with
+    zero-rows for clean documents. ``dup_frac`` is the fraction the
+    paper's ExactSubstr pass would cut.
+
+    Scale shape: the window explode is O(total_tokens) rows but each
+    is narrow (id, int, 16-byte binary key) — the text itself never
+    rides the shuffle. The duplicated-key set comes from a partial-
+    aggregated groupBy (map-side combine collapses each task's
+    repeats), and marking is a LEFT SEMI join on the key: presence-
+    only, so AQE's skew-join split legally applies when one boilerplate
+    window is corpus-hot (a window-function count over the key would
+    pin every occurrence of the hot key to one task — the shape this
+    operator deliberately avoids). The sweep + final rollup share one
+    per-document exchange.
+    """
+    toks = F.filter(_tokens(text_col), lambda x: x != "")
+    base = docs.select(
+        F.col(id_col).alias("_id"), toks.alias("_t")
+    ).select("_id", "_t", F.size("_t").alias("_n"))
+    wins = base.select(
+        "_id",
+        "_n",
+        F.explode(
+            F.when(
+                F.col("_n") >= k,
+                F.sequence(F.lit(1), F.col("_n") - (k - 1)),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("_s"),
+        F.col("_t").alias("_tt"),
+    ).select(
+        "_id",
+        "_n",
+        "_s",
+        F.unhex(
+            F.md5(F.concat_ws(" ", F.slice("_tt", F.col("_s"), F.lit(k))))
+        ).alias("_w"),
+    )
+    dup_keys = (
+        wins.groupBy("_w")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("_w")
+    )
+    dup_wins = wins.join(dup_keys, "_w", "left_semi")
+    sweep = W.partitionBy("_id").orderBy("_s")
+    prev_end = F.max(F.col("_s") + (k - 1)).over(
+        sweep.rowsBetween(W.unboundedPreceding, -1)
+    )
+    contrib = F.greatest(
+        F.lit(0),
+        F.col("_s") + (k - 1)
+        - F.greatest(F.col("_s") - 1, F.coalesce(prev_end, F.lit(0))),
+    )
+    per_doc = (
+        dup_wins.withColumn("_cov", contrib)
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("n_dup_windows"),
+            F.sum("_cov").cast("long").alias("dup_tokens"),
+        )
+    )
+    return (
+        base.select("_id", "_n")
+        .join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_n").cast("long").alias("n_tokens"),
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long")
+            .alias("n_dup_windows"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long")
+            .alias("dup_tokens"),
+            F.when(
+                F.col("_n") > 0,
+                F.coalesce("dup_tokens", F.lit(0)).cast("double")
+                / F.col("_n"),
+            ).otherwise(F.lit(0.0)).alias("dup_frac"),
+        )
+    )

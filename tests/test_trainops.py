@@ -1164,3 +1164,54 @@ def test_hits_hand_case_and_replay(spark):
     for i, h in enumerate(hosts):
         assert got2[h][0] == pytest.approx(hub[i], abs=1e-9)
         assert got2[h][1] == pytest.approx(auth[i], abs=1e-9)
+
+
+def test_substring_duplication_hand_case(spark):
+    """ExactSubstr signal: shared 10-word run across two docs -> 3
+    8-word windows covering 10 tokens in each; within-doc repetition
+    counts (suffix-array semantics); clean/short/empty docs emit
+    zero-rows."""
+    from mtslake.dedup import substring_duplication
+
+    run = "the quick brown fox jumps over the lazy dog tonight"  # 10 words
+    docs = spark.createDataFrame([
+        (1, run + " alpha beta gamma"),
+        (2, "prefix words here " + run + " tail"),
+        (3, "totally unrelated text with no shared windows at all ok"),
+        (4, " ".join(["rep"] * 12)),
+        (5, ""),
+        (6, "short text only"),
+    ], "doc_id int, text string")
+    got = {r["doc_id"]: r for r in
+           substring_duplication(docs, k=8).collect()}
+    assert (got[1]["n_dup_windows"], got[1]["dup_tokens"]) == (3, 10)
+    assert (got[2]["n_dup_windows"], got[2]["dup_tokens"]) == (3, 10)
+    assert got[1]["dup_frac"] == 10 / 13
+    # 12x the same token: every one of the 5 windows is a repeat of
+    # the others -> full coverage
+    assert (got[4]["n_dup_windows"], got[4]["dup_tokens"],
+            got[4]["dup_frac"]) == (5, 12, 1.0)
+    for clean in (3, 5, 6):
+        assert (got[clean]["n_dup_windows"], got[clean]["dup_tokens"],
+                got[clean]["dup_frac"]) == (0, 0, 0.0)
+
+
+def test_substring_duplication_interval_merge_disjoint_runs(spark):
+    """Two DISJOINT duplicated runs inside one doc must union, not
+    double-count, and a gap between them stays uncovered."""
+    from mtslake.dedup import substring_duplication
+
+    a = "a1 a2 a3 a4 a5 a6 a7 a8"          # 8 words
+    b = "b1 b2 b3 b4 b5 b6 b7 b8"          # 8 words
+    carrier = a + " gapword " + b           # 17 words, 2 dup runs
+    docs = spark.createDataFrame([
+        (1, carrier),
+        (2, a),
+        (3, b),
+    ], "doc_id int, text string")
+    got = {r["doc_id"]: r for r in
+           substring_duplication(docs, k=8).collect()}
+    assert got[1]["n_dup_windows"] == 2
+    assert got[1]["dup_tokens"] == 16          # 17 minus the gap word
+    assert got[2]["dup_tokens"] == 8
+    assert got[3]["dup_tokens"] == 8
