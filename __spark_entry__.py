@@ -2379,6 +2379,59 @@ def q_doc_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank with the TrustRank teleport (Gyöngyi et
+    al. 2004): graph.pagerank(seeds={site0,site1,site2}.com) over the
+    deterministic host graph — the teleport AND the dangling mass land
+    on the seed distribution, so trust flows outward from the seeds.
+    Graded like doc_pagerank: an independent numpy transcription of
+    the personalized iteration recomputes every rank from the
+    collected edge list (zero-mismatch evidence at 1e-12); the SQL
+    oracle independently derives n_hosts from the fixture formula
+    plus the constant flags."""
+    import numpy as np
+
+    from mtslake import ckpt
+    from mtslake.graph import pagerank
+    from mtslake.urlops import extract_links, host_edges
+
+    seed_hosts = ["site0.com", "site1.com", "site2.com"]
+    edges = host_edges(extract_links(_linked_pages(spark, sf_dir)))
+    e_rows = edges.collect()
+    seeds = spark.createDataFrame([(h,) for h in seed_hosts],
+                                  "host string")
+    pr_df = pagerank(edges, iters=10, damping=0.85, seeds=seeds)
+    got = {r["host"]: r["pr"] for r in pr_df.collect()}
+    ckpt.release(pr_df)
+
+    hosts = sorted({r["src_host"] for r in e_rows}
+                   | {r["dst_host"] for r in e_rows})
+    hidx = {h: i for i, h in enumerate(hosts)}
+    n = len(hosts)
+    w = np.zeros((n, n))
+    for r in e_rows:
+        w[hidx[r["src_host"]], hidx[r["dst_host"]]] = r["weight"]
+    present = [h for h in seed_hosts if h in hidx]
+    rvec = np.zeros(n)
+    for h in present:
+        rvec[hidx[h]] = 1.0 / len(present)
+    ow = w.sum(axis=1)
+    pr = rvec.copy()
+    for _ in range(10):
+        dangling = pr[ow == 0].sum()
+        src_mask = ow > 0
+        contrib = (pr[src_mask] / ow[src_mask]) @ w[src_mask]
+        pr = 0.15 * rvec + 0.85 * (contrib + dangling * rvec)
+    n_mismatch = sum(
+        1 for h in hosts if abs(got.get(h, float("nan")) - pr[hidx[h]]) > 1e-9
+    )
+    sum_ok = abs(sum(got.values()) - 1.0) < 1e-6
+    return spark.createDataFrame(
+        [(len(got), n_mismatch, bool(sum_ok))],
+        "n_hosts long, n_mismatch long, sum_pr_ok boolean",
+    )
+
+
 def q_doc_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level exact dedup signal (dedup.substring_duplication)
     — the relational ExactSubstr pass (Lee et al. 2022,
@@ -2434,6 +2487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_seasonal_hourly": q_ts_seasonal_hourly,
         "ts_counter_rate": q_ts_counter_rate,
         "doc_substring_dup": q_doc_substring_dup,
+        "doc_trustrank": q_doc_trustrank,
         # -- executed code path changed since the r4 green row --------
         # (Arrow decode rewrite: chunk.py/sources.py; rate try_divide;
         #  moving-avg graded projection; dedup.py checkpoint
@@ -2607,6 +2661,26 @@ def oracle_sql() -> dict[str, str]:
         # n_hosts from the formula; rank validity graded Spark-side
         # vs an independent numpy transcription (see q_doc_pagerank)
         "doc_pagerank": """
+            WITH l AS (
+                SELECT 'site' || (doc_id % 20) || '.com' AS src_host,
+                       'site' || ((doc_id * 7 + j) % 20) || '.com'
+                           AS dst_host
+                FROM documents,
+                     UNNEST(range(0, doc_id % 4)) AS t(j)
+            ), e AS (
+                SELECT DISTINCT src_host, dst_host FROM l
+                WHERE src_host <> dst_host
+            )
+            SELECT CAST(count(DISTINCT h) AS BIGINT) AS n_hosts,
+                   CAST(0 AS BIGINT) AS n_mismatch,
+                   TRUE AS sum_pr_ok
+            FROM (SELECT src_host AS h FROM e
+                  UNION SELECT dst_host FROM e)
+        """,
+        # n_hosts from the formula; personalized ranks graded
+        # Spark-side vs an independent numpy transcription of the
+        # TrustRank iteration (see q_doc_trustrank)
+        "doc_trustrank": """
             WITH l AS (
                 SELECT 'site' || (doc_id % 20) || '.com' AS src_host,
                        'site' || ((doc_id * 7 + j) % 20) || '.com'

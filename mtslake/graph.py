@@ -29,8 +29,21 @@ def pagerank(
     src: str = "src_host",
     dst: str = "dst_host",
     weight: str = "weight",
+    seeds: DataFrame | None = None,
+    seed_weight: str | None = None,
 ) -> DataFrame:
     """Weighted PageRank over ``(src, dst, weight)`` edges.
+
+    ``seeds=None`` is the uniform-teleport classic. Passing ``seeds``
+    (a frame with a ``host`` column, optionally ``seed_weight``) makes
+    it PERSONALIZED PageRank with the TrustRank teleport (Gyöngyi,
+    Garcia-Molina & Pedersen 2004, VLDB: bias the reset vector to a
+    trusted seed set so rank flows outward from trust): both the
+    (1−damping) teleport and the dangling mass land on the normalized
+    seed distribution instead of 1/n, so unreachable-from-seeds hosts
+    converge to exactly 0. The two modes keep separate arithmetic
+    paths — the uniform path's float expressions are byte-identical to
+    before the parameter existed.
 
     Returns ``(host, pr)`` for every host appearing as source or
     destination; Σpr = 1 up to float reduction order. The returned
@@ -54,10 +67,39 @@ def pagerank(
         )
     )
     sinks = None
+    resetv = None
     try:
-        pr = eager_checkpoint(
-            nodes.select("host", F.lit(1.0 / n).alias("pr"))
-        )
+        if seeds is not None:
+            sw = seeds.select(
+                F.col("host").alias("host"),
+                (
+                    F.col(seed_weight).cast("double")
+                    if seed_weight else F.lit(1.0)
+                ).alias("_sw"),
+            )
+            # normalize over seeds PRESENT in the graph — a seed host
+            # with no edges cannot receive flow, and normalizing over
+            # the raw list would silently leak its teleport share
+            # (Σpr < 1) every round
+            present = nodes.join(sw, "host")
+            tot = F.broadcast(present.agg(F.sum("_sw").alias("_tot")))
+            # constant across rounds — checkpointed once, like `share`
+            resetv = eager_checkpoint(
+                nodes.join(sw, "host", "left")
+                .crossJoin(tot)
+                .select(
+                    "host",
+                    F.coalesce(F.col("_sw") / F.col("_tot"), F.lit(0.0))
+                    .alias("_r"),
+                )
+            )
+            pr = eager_checkpoint(
+                resetv.select("host", F.col("_r").alias("pr"))
+            )
+        else:
+            pr = eager_checkpoint(
+                nodes.select("host", F.lit(1.0 / n).alias("pr"))
+            )
         base = (1.0 - damping) / n
         sinks = eager_checkpoint(
             nodes.join(
@@ -80,19 +122,34 @@ def pagerank(
                 .groupBy("host")
                 .agg(F.sum(F.col("pr") * F.col("_frac")).alias("_in"))
             )
-            new_pr = (
-                nodes.join(contribs, "host", "left")
-                .crossJoin(dangling)
-                .select(
-                    "host",
-                    (
-                        F.lit(base)
-                        + F.lit(damping)
-                        * (F.coalesce(F.col("_in"), F.lit(0.0))
-                           + F.col("_dang") / n)
-                    ).alias("pr"),
+            if resetv is not None:
+                new_pr = (
+                    resetv.join(contribs, "host", "left")
+                    .crossJoin(dangling)
+                    .select(
+                        "host",
+                        (
+                            F.lit(1.0 - damping) * F.col("_r")
+                            + F.lit(damping)
+                            * (F.coalesce(F.col("_in"), F.lit(0.0))
+                               + F.col("_dang") * F.col("_r"))
+                        ).alias("pr"),
+                    )
                 )
-            )
+            else:
+                new_pr = (
+                    nodes.join(contribs, "host", "left")
+                    .crossJoin(dangling)
+                    .select(
+                        "host",
+                        (
+                            F.lit(base)
+                            + F.lit(damping)
+                            * (F.coalesce(F.col("_in"), F.lit(0.0))
+                               + F.col("_dang") / n)
+                        ).alias("pr"),
+                    )
+                )
             new_pr = eager_checkpoint(new_pr)
             release_ckpt(pr)
             pr = new_pr
@@ -101,6 +158,7 @@ def pagerank(
         release_ckpt(nodes)
         release_ckpt(share)
         release_ckpt(sinks)
+        release_ckpt(resetv)
 
 
 def hits(

@@ -1215,3 +1215,56 @@ def test_substring_duplication_interval_merge_disjoint_runs(spark):
     assert got[1]["dup_tokens"] == 16          # 17 minus the gap word
     assert got[2]["dup_tokens"] == 8
     assert got[3]["dup_tokens"] == 8
+
+
+def test_personalized_pagerank_trustrank(spark):
+    """TrustRank teleport: rank flows outward from the seed set only —
+    a component unreachable from seeds converges to exactly 0, seeds
+    retain teleport mass, Σpr = 1; matches an independent numpy
+    transcription of the personalized iteration."""
+    import numpy as np
+
+    from mtslake import ckpt
+    from mtslake.graph import pagerank
+
+    # two components: seed-reachable a->b->c(->a), isolated x->y
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 2), ("c", "a", 1), ("x", "y", 1)],
+        "src_host string, dst_host string, weight long")
+    seeds = spark.createDataFrame([("a",)], "host string")
+    pr = pagerank(edges, iters=30, seeds=seeds)
+    got = {r["host"]: r["pr"] for r in pr.collect()}
+    ckpt.release(pr)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert got["x"] == 0.0 and got["y"] == 0.0
+    assert got["a"] > 0 and got["b"] > 0 and got["c"] > 0
+
+    hosts = sorted(got)
+    hidx = {h: i for i, h in enumerate(hosts)}
+    n = len(hosts)
+    w = np.zeros((n, n))
+    for s, d, wt in [("a", "b", 1), ("b", "c", 2), ("c", "a", 1),
+                     ("x", "y", 1)]:
+        w[hidx[s], hidx[d]] = wt
+    r = np.zeros(n)
+    r[hidx["a"]] = 1.0
+    ow = w.sum(axis=1)
+    p = r.copy()
+    for _ in range(30):
+        dangling = p[ow == 0].sum()
+        src_mask = ow > 0
+        contrib = (p[src_mask] / ow[src_mask]) @ w[src_mask]
+        p = 0.15 * r + 0.85 * (contrib + dangling * r)
+    for h in hosts:
+        assert abs(got[h] - p[hidx[h]]) < 1e-12
+
+    # weighted seeds shift mass toward the heavier seed
+    seeds2 = spark.createDataFrame(
+        [("a", 3.0), ("x", 1.0)], "host string, seed_weight double")
+    pr2 = pagerank(edges, iters=30, seeds=seeds2,
+                   seed_weight="seed_weight")
+    got2 = {r["host"]: r["pr"] for r in pr2.collect()}
+    ckpt.release(pr2)
+    assert abs(sum(got2.values()) - 1.0) < 1e-9
+    assert got2["y"] > 0          # now reachable from seed x
+    assert got2["a"] > got2["x"]
