@@ -399,3 +399,70 @@ def extract_text(pages: DataFrame, html_col: str = "html",
     t = F.regexp_replace(t, r"&#39;", "'")
     t = F.regexp_replace(t, r"&amp;", "&")
     return pages.withColumn(out_col, t)
+
+
+def inverted_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    max_df: int | None = None,
+    shard_size: int = 4096,
+) -> DataFrame:
+    """Sharded inverted index: term → posting-list shards of
+    ``(doc_id, tf)`` structs, each sorted by doc id.
+
+    The web-scale hazard of a naive ``groupBy(term).collect_list`` is
+    the stopword row: one term present in 10¹¹ documents would demand
+    a single 10¹¹-element array in one task. Postings are therefore
+    SHARDED (the Lucene-segment layout): each term's df (a partial-
+    aggregated count) fixes ``n_shards = ceil(df / shard_size)``, a
+    posting lands in shard ``doc_id % n_shards``, and the per-(term,
+    shard) array is bounded to ~``shard_size`` elements regardless of
+    term heat — hot terms just span more rows. ``max_df`` drops
+    corpus-stopwords outright (the standard index-time cut);
+    ``min_df`` drops hapax noise. Everything is deterministic JVM
+    built-ins: tf/df partial aggregations, one join of the tiny term
+    table back onto postings (AQE broadcasts it when small), and an
+    in-kernel ``array_sort`` per bounded shard.
+
+    Returns ``(term, df, shard, n_in_shard, postings)`` with
+    ``postings: array<struct<doc_id:long, tf:long>>``.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda x: x != "",
+    )
+    tf = (
+        docs.select(F.col(id_col).alias("_id"),
+                    F.explode(toks).alias("term"))
+        .groupBy("term", "_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    dfreq = dfreq.filter(F.col("df") >= min_df)
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("df") <= max_df)
+    n_shards = F.ceil(F.col("df") / shard_size).cast("long")
+    sharded = (
+        tf.join(dfreq.select("term", "df", n_shards.alias("_ns")), "term")
+        .select(
+            "term", "df",
+            (F.col("_id") % F.col("_ns")).cast("long").alias("shard"),
+            "_id", "tf",
+        )
+    )
+    return (
+        sharded.groupBy("term", "df", "shard")
+        .agg(
+            F.count("*").cast("long").alias("n_in_shard"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("_id").cast("long").alias("doc_id"),
+                        F.col("tf").cast("long").alias("tf"),
+                    )
+                )
+            ).alias("postings"),
+        )
+    )

