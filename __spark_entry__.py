@@ -2379,6 +2379,25 @@ def q_doc_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA-smoothed hourly traffic per (url_prefix, lang)
+    (series.ewma_smooth, α=0.5) — the recursive trend baseline no SQL
+    window frame expresses, run as the documented sequential-operator
+    case (applyInPandas per key, one linear Arrow pass, α·x+(1−α)·acc
+    per step). The TRUE SQL oracle replays the identical recursion
+    with a recursive CTE over the same 1h tier; both coefficient 0.5s
+    are exact binary fractions and the fold order is identical, so
+    the doubles are graded bit-for-bit, unrounded."""
+    from mtslake.series import ewma_smooth
+
+    series = events_to_series(_events(spark, sf_dir))
+    rolled = _rollup.rollup_from_series(series, "1h")
+    return ewma_smooth(
+        rolled, alpha=0.5, key_cols=("url_prefix", "lang"),
+        order_col="bucket_us", value_col="cnt",
+    )
+
+
 def q_doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sharded inverted index (textops.inverted_index, min_df=2,
     shard_size=256): term → bounded posting-list shards of
@@ -2518,6 +2537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_substring_dup": q_doc_substring_dup,
         "doc_trustrank": q_doc_trustrank,
         "doc_inverted_index": q_doc_inverted_index,
+        "ts_ewma_hourly": q_ts_ewma_hourly,
         # -- executed code path changed since the r4 green row --------
         # (Arrow decode rewrite: chunk.py/sources.py; rate try_divide;
         #  moving-avg graded projection; dedup.py checkpoint
@@ -3687,6 +3707,24 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY score DESC, term) AS INT) AS rank
                 FROM scored
             ) WHERE rank <= 3
+        """,
+        "ts_ewma_hourly": f"""
+            WITH RECURSIVE b AS (
+                SELECT url_prefix, lang, bucket_us, cnt,
+                       row_number() OVER (PARTITION BY url_prefix, lang
+                           ORDER BY bucket_us) AS rn
+                FROM ({_ROLLUP_1H})
+            ), r AS (
+                SELECT url_prefix, lang, bucket_us, cnt, rn,
+                       CAST(cnt AS DOUBLE) AS ewma
+                FROM b WHERE rn = 1
+                UNION ALL
+                SELECT b.url_prefix, b.lang, b.bucket_us, b.cnt, b.rn,
+                       0.5 * CAST(b.cnt AS DOUBLE) + (1 - 0.5) * r.ewma
+                FROM b JOIN r ON b.url_prefix = r.url_prefix
+                             AND b.lang = r.lang AND b.rn = r.rn + 1
+            )
+            SELECT url_prefix, lang, bucket_us, cnt, ewma FROM r
         """,
         "doc_inverted_index": r"""
             WITH toks AS (

@@ -277,3 +277,60 @@ def counter_rate(
         .filter(F.col("_prev_t").isNotNull())
         .select(key, ts_col, value_col, "increase", "rate_per_s")
     )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    alpha: float = 0.5,
+    key_cols: tuple[str, ...] = ("url_prefix", "lang"),
+    order_col: str = "bucket_us",
+    value_col: str = "cnt",
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially-weighted moving average per key — the classic
+    recursive smoother ``y₀ = x₀; yᵢ = α·xᵢ + (1−α)·yᵢ₋₁`` behind
+    trend baselines and EWMA control charts (Roberts 1959).
+
+    The recursion is ORDER-DEPENDENT — no SQL window frame or
+    prefix-scan built-in expresses it — so this is the documented
+    sequential-operator case (like LTTB): ``applyInPandas`` per key,
+    one Arrow batch per group, a single linear pass inside. Keys
+    partition the work, so the shuffle is one exchange on
+    ``key_cols`` and scale comes from key parallelism; per-key state
+    is one double. The arithmetic is exactly ``α·x + (1−α)·acc`` per
+    step (both factors computed once, as IEEE doubles), so an engine
+    replaying the same recursion — e.g. a recursive CTE — produces
+    bit-identical values; with the default α = 0.5 both coefficients
+    are exact binary fractions.
+
+    Output: input columns (keys, order, value) + ``out_col`` double.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    a = float(alpha)
+    one_minus = 1.0 - a
+    in_fields = [df.schema[c] for c in (*key_cols, order_col, value_col)]
+    schema = T.StructType(
+        list(in_fields) + [T.StructField(out_col, T.DoubleType())]
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort",
+                              ignore_index=True)
+        xs = pdf[value_col].to_numpy(np.float64)
+        ys = np.empty_like(xs)
+        acc = 0.0
+        for i, x in enumerate(xs):
+            acc = x if i == 0 else a * x + one_minus * acc
+            ys[i] = acc
+        out = pdf[[*key_cols, order_col, value_col]].copy()
+        out[out_col] = ys
+        return out
+
+    return (
+        df.select(*key_cols, order_col, value_col)
+        .groupBy(*key_cols)
+        .applyInPandas(fn, schema=schema)
+    )

@@ -218,3 +218,30 @@ def test_counter_rate_duplicate_ts_null_rate(spark):
     # zero time delta: increase still exact, rate null (try_divide);
     # +2 over 5 us = 400k/s
     assert got == [(5, 3, 2, 400000.0), (5, 9, 6, None)]
+
+
+def test_ewma_smooth_recursion_and_keys(spark):
+    """EWMA: y0=x0, yi=0.5*xi+0.5*y(i-1) per key, order by the order
+    column regardless of input order; matches a scalar replay
+    bit-for-bit; alpha=1 is the identity, alpha->0 clings to x0."""
+    from mtslake.series import ewma_smooth
+
+    rows = [("a", "en", 3, 8.0), ("a", "en", 1, 2.0), ("a", "en", 2, 4.0),
+            ("b", "en", 1, 10.0), ("b", "en", 2, 0.0)]
+    df = spark.createDataFrame(
+        rows, "url_prefix string, lang string, bucket_us long, cnt double")
+    got = {(r["url_prefix"], r["bucket_us"]): r["ewma"]
+           for r in ewma_smooth(df, alpha=0.5, value_col="cnt").collect()}
+    # scalar replay
+    exp = {}
+    for key in ("a", "b"):
+        acc = None
+        for b, x in sorted((r[2], r[3]) for r in rows if r[0] == key):
+            acc = x if acc is None else 0.5 * x + 0.5 * acc
+            exp[(key, b)] = acc
+    assert got == exp
+    assert got[("a", 3)] == 0.5 * 8.0 + 0.5 * (0.5 * 4.0 + 0.5 * 2.0)
+
+    ident = {(r["url_prefix"], r["bucket_us"]): r["ewma"]
+             for r in ewma_smooth(df, alpha=1.0, value_col="cnt").collect()}
+    assert ident == {(r[0], r[2]): r[3] for r in rows}
