@@ -2058,6 +2058,79 @@ def q_doc_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return change_stats(_snapshot_pages(spark, sf_dir))
 
 
+def _drift_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift-magnitude fixture: the _snapshot_pages history (same url
+    per user, same snapshot instants, same md5-formula version bumps)
+    but with STRUCTURED text — 10 stable tokens ``w{user}_{j}`` plus
+    ``m = 1 + user_id % 5`` version-carrying tokens ``c{user}_{j}v{ver}``.
+    Between two snapshots the unigram sets therefore intersect in
+    exactly 10 tokens when the version differs (union 10 + 2m) and are
+    identical (10 + m) when it doesn't — so the oracle can derive every
+    pairwise intersection/union size from the change formula alone
+    while the engine genuinely splits, shingles, and intersects the
+    text."""
+    ev = (
+        _events(spark, sf_dir)
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+        .distinct()
+    )
+    ts_us = F.unix_micros(F.col("ts"))
+    ind = (
+        F.substring(
+            F.md5(F.concat(ts_us.cast("string"), F.lit("-"),
+                           F.col("user_id").cast("string"))), 1, 1
+        )
+        <= F.lit("7")
+    ).cast("long")
+    from pyspark.sql import Window as _W
+
+    ver = F.sum(ind).over(
+        _W.partitionBy("user_id").orderBy("ts")
+        .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    )
+    stable = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(9)),
+            lambda j: F.format_string("w%d_%d", F.col("user_id"), j),
+        ),
+    )
+    m = F.lit(1) + F.pmod(F.col("user_id"), F.lit(5)).cast("int")
+    changing = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda j: F.format_string("c%d_%dv%d", F.col("user_id"), j, ver),
+        ),
+    )
+    return ev.select(
+        F.format_string(
+            "https://user-%d.example.com/events", F.col("user_id")
+        ).alias("url"),
+        F.col("ts").alias("warc_ts"),
+        F.concat(stable, F.lit(" "), changing).alias("text"),
+    )
+
+
+def q_doc_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff MAGNITUDE (freshness.drift_stats): per-url pooled
+    shingle-Jaccard drift between consecutive crawl snapshots — *how
+    much* each page changes, where doc_crawl_delta answers *how
+    often*. The engine splits/shingles/intersects the text with JVM
+    built-ins under one url-partitioned window; the graded columns are
+    the EXACT long sums of pairwise intersection/union sizes plus the
+    pooled drift rounded once from those sums. The TRUE SQL oracle
+    never touches the text: it derives every set size from the
+    fixture's change formula (changed pair → inter 10 / union 10+2m,
+    unchanged pair → both 10+m; see _drift_pages), so any defect in
+    tokenization, shingling, window framing, ordering tiebreak, or
+    the set arithmetic mismatches. Reference analogue: none
+    (webtext-axis addition over the input_hint page-history shape)."""
+    from mtslake.freshness import drift_stats
+
+    return drift_stats(_drift_pages(spark, sf_dir), k=1)
+
+
 def q_doc_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted HITS hubs/authorities (graph.hits, 10 rounds,
     per-round L2 normalization in-plan) over the deterministic host
@@ -2529,6 +2602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_link_graph": q_doc_link_graph,
         "doc_pagerank": q_doc_pagerank,
         "doc_crawl_delta": q_doc_crawl_delta,
+        "doc_snapshot_drift": q_doc_snapshot_drift,
         "doc_anchor_terms": q_doc_anchor_terms,
         "doc_hits": q_doc_hits,
         "ts_anomaly_24h": q_ts_anomaly_24h,
@@ -2924,6 +2998,44 @@ def oracle_sql() -> dict[str, str]:
                        CAST(span AS DOUBLE) / CAST(ch AS DOUBLE)
                        / 1000000, 6)
                    END AS est_change_interval_s
+            FROM s
+        """,
+        # formula-derived drift: the oracle never tokenizes the text
+        # (see q_doc_snapshot_drift / _drift_pages)
+        "doc_snapshot_drift": """
+            WITH u AS (SELECT DISTINCT user_id, ts FROM events),
+            m AS (
+                SELECT user_id,
+                       CASE WHEN substr(md5(
+                                CAST(epoch_us(ts) AS VARCHAR) || '-'
+                                || CAST(user_id AS VARCHAR)), 1, 1) <= '7'
+                            THEN 1 ELSE 0 END AS ind,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts) AS rn
+                FROM u
+            ),
+            s AS (
+                SELECT user_id,
+                       count(*) - 1 AS pairs,
+                       SUM(CASE WHEN rn > 1 THEN ind ELSE 0 END) AS ch,
+                       10 + (user_id % 5) + 1 AS full_sz
+                FROM m GROUP BY user_id
+            )
+            SELECT 'https://user-' || CAST(user_id AS VARCHAR)
+                       || '.example.com/events' AS url,
+                   CAST(pairs AS BIGINT) AS n_pairs,
+                   CASE WHEN pairs > 0 THEN CAST(
+                       ch * 10 + (pairs - ch) * full_sz AS BIGINT)
+                   END AS sum_inter,
+                   CASE WHEN pairs > 0 THEN CAST(
+                       ch * (full_sz + (user_id % 5) + 1)
+                       + (pairs - ch) * full_sz AS BIGINT)
+                   END AS sum_union,
+                   CASE WHEN pairs > 0 THEN ROUND(
+                       1.0 - CAST(ch * 10 + (pairs - ch) * full_sz AS DOUBLE)
+                           / CAST(ch * (full_sz + (user_id % 5) + 1)
+                                  + (pairs - ch) * full_sz AS DOUBLE), 6)
+                   END AS pooled_drift
             FROM s
         """,
         # exact consecutive-day set sizes replayed; theta estimates

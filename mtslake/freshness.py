@@ -141,3 +141,110 @@ def change_rollup(
             F.sum(F.col("changed").cast("long")).cast("long").alias("n_changes"),
         )
     )
+
+
+def _shingles(tokens, k: int):
+    """Distinct k-word shingle array from a token array, JVM-side.
+
+    k=1 is just the distinct token set; k>1 joins each length-k token
+    window with a single space. Snapshots shorter than k shingle to
+    the empty set — guarded explicitly, because Spark's
+    ``sequence(1, n-k+1)`` runs DESCENDING (not empty) when n < k.
+    """
+    if k == 1:
+        return F.array_distinct(tokens)
+    return F.when(
+        F.size(tokens) >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tokens) - F.lit(k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(tokens, i, k)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def snapshot_drift(
+    pages: DataFrame,
+    k: int = 1,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Diff MAGNITUDE between consecutive snapshots of a url — the
+    second question a recrawl scheduler asks after *did it change?*
+    (change_flags): *how much?* Computed as k-word-shingle Jaccard
+    drift, entirely with JVM built-ins (split / transform / slice /
+    array_intersect / array_union under one url-partitioned window) —
+    no Python in the path, and the only shuffle is the url hash
+    partition that every freshness operator here shares.
+
+    Output: input keys plus
+
+    * ``snap_rank``   — 1-based position in the url's history
+      (deterministic under duplicate ``warc_ts`` via the md5(text)
+      tiebreak used by change_flags)
+    * ``n_shingles``  — distinct shingles in this snapshot
+    * ``inter_sz`` / ``union_sz`` — EXACT set sizes vs the previous
+      snapshot (null for the url's first snapshot)
+    * ``jaccard`` / ``drift`` — inter/union and 1 − inter/union,
+      rounded once from the exact integers
+
+    Scale shape: per-row state is two shingle arrays — bounded by
+    snapshot length, not corpus size; a url with 10^6 snapshots is
+    still one partition's sequential window scan. Pair a hot-domain
+    history with change_rollup's bucketing if a single url's history
+    outgrows one task's input split.
+    """
+    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
+    h = F.md5(F.col(text_col))
+    w = Window.partitionBy(url_col).orderBy(F.col(ts_col), h)
+    cur = F.col("_sh")
+    prev = F.lag("_sh").over(w)
+    inter = F.size(F.array_intersect(prev, cur))
+    union = F.size(F.array_union(prev, cur))
+    jac = F.try_divide(inter.cast("double"), union.cast("double"))
+    return (
+        pages.withColumn("_sh", _shingles(tokens, k))
+        .select(
+            F.col(url_col).alias("url"),
+            F.col(ts_col).alias("warc_ts"),
+            F.row_number().over(w).alias("snap_rank"),
+            F.size(cur).cast("long").alias("n_shingles"),
+            inter.cast("long").alias("inter_sz"),
+            union.cast("long").alias("union_sz"),
+            F.round(jac, 6).alias("jaccard"),
+            F.round(F.lit(1.0) - jac, 6).alias("drift"),
+        )
+    )
+
+
+def drift_stats(
+    pages: DataFrame,
+    k: int = 1,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-url pooled drift: exact long sums of the pairwise
+    intersection / union sizes, with the pooled Jaccard drift
+    1 − Σinter/Σunion emitted once, rounded, from those sums — the
+    decimal-sum determinism rule the rollup tiers use. A url whose
+    content never changes pools to drift 0; a url that replaces its
+    entire text every snapshot pools to 1. Same single-shuffle shape
+    as change_stats (the groupBy key equals the window partition key,
+    so Catalyst reuses the exchange)."""
+    d = snapshot_drift(pages, k, url_col, ts_col, text_col)
+    pairs = F.count("inter_sz")
+    s_inter = F.sum("inter_sz")
+    s_union = F.sum("union_sz")
+    return d.groupBy("url").agg(
+        pairs.cast("long").alias("n_pairs"),
+        s_inter.cast("long").alias("sum_inter"),
+        s_union.cast("long").alias("sum_union"),
+        F.round(
+            F.lit(1.0)
+            - F.try_divide(s_inter.cast("double"), s_union.cast("double")),
+            6,
+        ).alias("pooled_drift"),
+    )

@@ -245,3 +245,63 @@ def test_ewma_smooth_recursion_and_keys(spark):
     ident = {(r["url_prefix"], r["bucket_us"]): r["ewma"]
              for r in ewma_smooth(df, alpha=1.0, value_col="cnt").collect()}
     assert ident == {(r[0], r[2]): r[3] for r in rows}
+
+
+def test_snapshot_drift_unigram_hand_case(spark):
+    """Known token sets: drift is 1 - |∩|/|∪| of consecutive distinct
+    token sets; first snapshot per url emits null pair columns."""
+    from mtslake.freshness import snapshot_drift
+
+    df = _pages(spark, [
+        ("a", 0, "x y z"),
+        ("a", 900, "x y q"),      # inter {x,y}=2, union {x,y,z,q}=4
+        ("a", 1800, "x y q"),     # identical: 3/3
+        ("b", 0, "solo"),
+    ])
+    got = {(r["url"], r["snap_rank"]):
+           (r["n_shingles"], r["inter_sz"], r["union_sz"], r["drift"])
+           for r in snapshot_drift(df, k=1).collect()}
+    assert got == {
+        ("a", 1): (3, None, None, None),
+        ("a", 2): (3, 2, 4, 0.5),
+        ("a", 3): (3, 3, 3, 0.0),
+        ("b", 1): (1, None, None, None),
+    }
+
+
+def test_snapshot_drift_bigram_and_short_text(spark):
+    """k=2 shingles: word ORDER matters (same bag, different order →
+    positive drift); texts shorter than k shingle to the empty set."""
+    from mtslake.freshness import snapshot_drift
+
+    df = _pages(spark, [
+        ("a", 0, "x y z"),        # bigrams {x y, y z}
+        ("a", 900, "z y x"),      # bigrams {z y, y x}: disjoint
+        ("c", 0, "one"),          # < k tokens -> empty set
+        ("c", 900, "one"),
+    ])
+    got = {(r["url"], r["snap_rank"]):
+           (r["n_shingles"], r["inter_sz"], r["union_sz"], r["drift"])
+           for r in snapshot_drift(df, k=2).collect()}
+    assert got[("a", 2)] == (2, 0, 4, 1.0)
+    assert got[("c", 1)][0] == 0
+    # empty-vs-empty union is 0 -> try_divide null -> null drift, not 0/0
+    assert got[("c", 2)] == (0, 0, 0, None)
+
+
+def test_drift_stats_pooled_sums(spark):
+    """Pooled drift comes from the exact long sums, not a mean of
+    per-pair ratios: two pairs (2/4, 3/3) pool to 1 - 5/7."""
+    from mtslake.freshness import drift_stats
+
+    df = _pages(spark, [
+        ("a", 0, "x y z"),
+        ("a", 900, "x y q"),
+        ("a", 1800, "x y q"),
+        ("b", 0, "solo"),
+    ])
+    got = {r["url"]: (r["n_pairs"], r["sum_inter"], r["sum_union"],
+                      r["pooled_drift"])
+           for r in drift_stats(df, k=1).collect()}
+    assert got["a"] == (2, 5, 7, round(1 - 5 / 7, 6))
+    assert got["b"] == (0, None, None, None)
