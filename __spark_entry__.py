@@ -2131,6 +2131,37 @@ def q_doc_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift_stats(_drift_pages(spark, sf_dir), k=1)
 
 
+def q_ts_quantiles_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact daily latency-style percentiles (series.exact_quantiles):
+    p50/p90/p99 of the float channel per (url_prefix, lang, 1d
+    bucket), by DISCRETE selection — min(value) where cume_dist ≥ q —
+    so every emitted quantile is an existing parquet double (no
+    interpolation arithmetic to diverge across engines). One shuffle:
+    the cume_dist window and the groupBy share the key, so Catalyst
+    reuses the exchange. The SQL oracle replays the identical
+    selection rule. approx_percentile (the mergeable 100-TB sketch
+    path) is audited against this exact operator in pytest.
+    Reference analogue: describe/stat surface (mtscomp.py:1131-1150)
+    extended to order statistics."""
+    from mtslake.series import exact_quantiles, url_prefix
+
+    day_us = 86_400_000_000
+    series = events_to_series(_events(spark, sf_dir))
+    keyed = series.select(
+        url_prefix().alias("url_prefix"),
+        "lang",
+        (F.col(TS_COL) - F.pmod(F.col(TS_COL), F.lit(day_us)))
+        .alias("bucket_us"),
+        "value",
+    )
+    return exact_quantiles(
+        keyed,
+        ["url_prefix", "lang", "bucket_us"],
+        "value",
+        {"p50": 0.5, "p90": 0.9, "p99": 0.99},
+    )
+
+
 def q_doc_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted HITS hubs/authorities (graph.hits, 10 rounds,
     per-round L2 normalization in-plan) over the deterministic host
@@ -2603,6 +2634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pagerank": q_doc_pagerank,
         "doc_crawl_delta": q_doc_crawl_delta,
         "doc_snapshot_drift": q_doc_snapshot_drift,
+        "ts_quantiles_1d": q_ts_quantiles_1d,
         "doc_anchor_terms": q_doc_anchor_terms,
         "doc_hits": q_doc_hits,
         "ts_anomaly_24h": q_ts_anomaly_24h,
@@ -2999,6 +3031,26 @@ def oracle_sql() -> dict[str, str]:
                        / 1000000, 6)
                    END AS est_change_interval_s
             FROM s
+        """,
+        # identical discrete-selection replay (see q_ts_quantiles_1d)
+        "ts_quantiles_1d": f"""
+            WITH s AS (
+                SELECT {_PREFIX} AS url_prefix, 'en' AS lang,
+                       epoch_us(ts) - epoch_us(ts) % 86400000000
+                           AS bucket_us,
+                       value,
+                       cume_dist() OVER (
+                           PARTITION BY user_id,
+                               epoch_us(ts) - epoch_us(ts) % 86400000000
+                           ORDER BY value) AS cd
+                FROM events WHERE value IS NOT NULL
+            )
+            SELECT url_prefix, lang, bucket_us,
+                   CAST(count(*) AS BIGINT) AS n,
+                   MIN(CASE WHEN cd >= 0.5 THEN value END) AS p50,
+                   MIN(CASE WHEN cd >= 0.9 THEN value END) AS p90,
+                   MIN(CASE WHEN cd >= 0.99 THEN value END) AS p99
+            FROM s GROUP BY 1, 2, 3
         """,
         # formula-derived drift: the oracle never tokenizes the text
         # (see q_doc_snapshot_drift / _drift_pages)

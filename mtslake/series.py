@@ -334,3 +334,51 @@ def ewma_smooth(
         .groupBy(*key_cols)
         .applyInPandas(fn, schema=schema)
     )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    keys: list,
+    value_col: str,
+    qs: dict,
+) -> DataFrame:
+    """Exact discrete per-key quantiles — the latency-percentile read
+    (p50/p95/p99) every TSDB dashboard runs. ``qs`` maps output column
+    name → quantile in (0, 1].
+
+    Selection rule: the SMALLEST value whose cumulative distribution
+    reaches q (``min(value) where cume_dist >= q``). Discrete selection
+    returns an EXISTING input value — no interpolation arithmetic — so
+    results are bit-stable across engines (interpolating percentiles
+    average two doubles and inherit rounding ties; the moving-avg
+    lesson). NULL values are excluded up front (engines disagree on
+    NULL sort position: Spark ASC is NULLS FIRST, ANSI/DuckDB NULLS
+    LAST).
+
+    Plan shape: one hash partition by key carrying BOTH the cume_dist
+    window and the same-key groupBy (Catalyst reuses the exchange —
+    single shuffle), with a per-key sort for the window. The sort is
+    the honest cost of exactness; its input is one key's rows, not the
+    table. At 100 TB the first-pass dashboard read should use Spark's
+    ``approx_percentile`` (a mergeable sketch with map-side partial
+    aggregation and bounded rank error — asserted against this exact
+    operator in tests); this operator is the exact tier the sketch is
+    audited against, and the reduced rollup tiers keep its per-key
+    sort input small.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.col(value_col))
+    d = df.where(F.col(value_col).isNotNull()).withColumn(
+        "_cd", F.cume_dist().over(w)
+    )
+    aggs = [F.count("*").cast("long").alias("n")]
+    for name, q in qs.items():
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"quantile {name}={q} outside (0, 1]")
+        aggs.append(
+            F.min(
+                F.when(F.col("_cd") >= F.lit(float(q)), F.col(value_col))
+            ).alias(name)
+        )
+    return d.groupBy(*keys).agg(*aggs)

@@ -305,3 +305,78 @@ def test_drift_stats_pooled_sums(spark):
            for r in drift_stats(df, k=1).collect()}
     assert got["a"] == (2, 5, 7, round(1 - 5 / 7, 6))
     assert got["b"] == (0, None, None, None)
+
+
+def _vals(spark, rows):
+    return spark.createDataFrame(rows, "k string, value double")
+
+
+def test_exact_quantiles_selection_rule(spark):
+    """Discrete rule: smallest value whose cume_dist reaches q.
+    [1,2,3,4]: cd = .25/.5/.75/1 -> p50=2 (the LOWER median), p90=4."""
+    from mtslake.series import exact_quantiles
+
+    df = _vals(spark, [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0)])
+    r = exact_quantiles(
+        df, ["k"], "value", {"p25": 0.25, "p50": 0.5, "p90": 0.9}
+    ).collect()[0]
+    assert (r["n"], r["p25"], r["p50"], r["p90"]) == (4, 1.0, 2.0, 4.0)
+
+
+def test_exact_quantiles_ties_and_nulls(spark):
+    """Tied values share one cume_dist (count of rows <= v over n);
+    NULLs are excluded from both n and the distribution."""
+    from mtslake.series import exact_quantiles
+
+    df = _vals(spark, [
+        ("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 2.0), ("a", 9.0),
+        ("a", None),
+    ])
+    # cd: 1->.2, 2->.8 (all three), 9->1.0
+    r = exact_quantiles(
+        df, ["k"], "value", {"p50": 0.5, "p85": 0.85, "p100": 1.0}
+    ).collect()[0]
+    assert (r["n"], r["p50"], r["p85"], r["p100"]) == (5, 2.0, 9.0, 9.0)
+
+
+def test_exact_quantiles_rejects_bad_q(spark):
+    from mtslake.series import exact_quantiles
+
+    df = _vals(spark, [("a", 1.0)])
+    with pytest.raises(ValueError):
+        exact_quantiles(df, ["k"], "value", {"p0": 0.0})
+
+
+def test_exact_quantiles_single_shuffle_plan(spark):
+    """The cume_dist window and the groupBy share the partition key,
+    so the whole operator costs ONE Exchange."""
+    from mtslake.series import exact_quantiles
+
+    df = _vals(spark, [("a", 1.0), ("b", 2.0)])
+    plan = exact_quantiles(
+        df, ["k"], "value", {"p50": 0.5}
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_approx_percentile_audited_against_exact(spark):
+    """The 100-TB dashboard path (approx_percentile, mergeable sketch,
+    map-side partials) must land within its rank-error bound of the
+    exact discrete operator: with accuracy A the sketch's rank error
+    is <= n/A, so at A >= n it must select within one position of the
+    exact discrete quantile."""
+    import pyspark.sql.functions as F_
+    from mtslake.series import exact_quantiles
+
+    rows = [("a", float((i * 37) % 101)) for i in range(101)]
+    df = _vals(spark, rows)
+    exact = exact_quantiles(
+        df, ["k"], "value", {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+    ).collect()[0]
+    approx = df.groupBy("k").agg(
+        F_.percentile_approx("value", [0.5, 0.9, 0.99], 10_000).alias("ap")
+    ).collect()[0]["ap"]
+    ordered = sorted(v for _, v in rows)
+    for got, want in zip(approx, (exact["p50"], exact["p90"], exact["p99"])):
+        i, j = ordered.index(got), ordered.index(want)
+        assert abs(i - j) <= 1, (got, want)
