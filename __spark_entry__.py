@@ -2162,6 +2162,33 @@ def q_ts_quantiles_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_time_weighted_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF time-weighted average per 1h bucket (gapfill.time_weighted
+    — TimescaleDB ``time_weight('LOCF')`` semantics): each observation
+    covers [its ts, the next observation), a gap carries its last
+    value across every bucket it spans, and the bucket mean weights
+    values by covered microseconds — the right mean for irregular
+    sampling, where the arithmetic vmean over-weights bursts. Graded
+    columns are the EXACT ``covered_us`` long and the EXACT decimal
+    Σ value·overlap graded as its STRING form — at ~1e10 magnitude a
+    decimal→double cast is 1 ULP ≈ 1e-5 wide and the engines' cast
+    rounding differs, so the decimal never touches a double; the
+    user-facing ``twa`` ratio stays out of the hashed projection (the
+    round-after-divide lesson). The SQL oracle replays segments,
+    bucket intersection, the duplicate-ts (ts, value) ordering, and
+    the (18,9)×(12,0) decimal algebra identically.
+    Reference analogue: none (sparse-time generalization of the
+    rollup mean, mtscomp's dense IR has no gaps)."""
+    from mtslake.gapfill import time_weighted
+
+    series = events_to_series(_events(spark, sf_dir))
+    tw = time_weighted(series, "1h", keys=["url"])
+    return tw.select(
+        "url", "bucket_us", "covered_us",
+        F.col("vtw_sum").cast("string").alias("vtw_sum"),
+    )
+
+
 def q_doc_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted HITS hubs/authorities (graph.hits, 10 rounds,
     per-round L2 normalization in-plan) over the deterministic host
@@ -2635,6 +2662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_crawl_delta": q_doc_crawl_delta,
         "doc_snapshot_drift": q_doc_snapshot_drift,
         "ts_quantiles_1d": q_ts_quantiles_1d,
+        "ts_time_weighted_1h": q_ts_time_weighted_1h,
         "doc_anchor_terms": q_doc_anchor_terms,
         "doc_hits": q_doc_hits,
         "ts_anomaly_24h": q_ts_anomaly_24h,
@@ -3031,6 +3059,39 @@ def oracle_sql() -> dict[str, str]:
                        / 1000000, 6)
                    END AS est_change_interval_s
             FROM s
+        """,
+        # identical segment/overlap replay (see q_ts_time_weighted_1h)
+        "ts_time_weighted_1h": f"""
+            WITH p AS (
+                SELECT user_id, epoch_us(ts) AS t, value,
+                       lead(epoch_us(ts)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY epoch_us(ts), value) AS nxt
+                FROM events
+            ),
+            seg AS (
+                SELECT user_id, t, value,
+                       COALESCE(nxt, t - t % 3600000000 + 3600000000) AS e
+                FROM p
+            ),
+            x AS (
+                SELECT user_id, t, value, e,
+                       unnest(generate_series(
+                           t - t % 3600000000,
+                           (e - 1) - (e - 1) % 3600000000,
+                           3600000000)) AS b
+                FROM seg WHERE e > t
+            )
+            SELECT {_URL} AS url, b AS bucket_us,
+                   CAST(SUM(LEAST(e, b + 3600000000) - GREATEST(t, b))
+                        AS BIGINT) AS covered_us,
+                   CAST(CAST(SUM(CAST(CAST(value AS DECIMAL(18,9))
+                                      AS DECIMAL(26,9))
+                                 * CAST(LEAST(e, b + 3600000000)
+                                        - GREATEST(t, b)
+                                        AS DECIMAL(12,0)))
+                             AS DECIMAL(38,9)) AS VARCHAR) AS vtw_sum
+            FROM x GROUP BY 1, 2
         """,
         # identical discrete-selection replay (see q_ts_quantiles_1d)
         "ts_quantiles_1d": f"""

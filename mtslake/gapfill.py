@@ -129,3 +129,96 @@ def gapfill_interpolate(
             ),
         )
     return out.drop("_tp", "_tn")
+
+
+def time_weighted(
+    series: DataFrame,
+    tier: str,
+    keys: list[str] | None = None,
+    ts_col: str = "ts_us",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-weighted average per tumbling bucket under LOCF weighting
+    (TimescaleDB ``time_weight('LOCF')`` semantics) — the right mean
+    for irregularly sampled series, where the arithmetic ``vmean``
+    over-weights bursts: each observation covers [its ts, the next
+    observation's ts), the key's LAST observation covers to the end of
+    its own bucket, and a bucket's average weights each value by its
+    covered microseconds. A gap therefore carries the last value
+    across every bucket it spans (twa = that value, covered_us =
+    full bucket) — the continuous-aggregate view of gapfill_locf.
+
+    ``keys`` must identify ONE logical series (default ``["url"]``) —
+    time-weighting across interleaved series is ill-defined. Duplicate
+    timestamps are ordered by (ts, value): the larger value wins the
+    carry (zero-length segments drop out of the weighting either way).
+
+    Output per (keys…, bucket_us): ``covered_us`` (exact long),
+    ``vtw_sum`` (exact DECIMAL Σ value·overlap_us — quantized via
+    rollup.vsum_cast, same |v| < 1e9 loud-overflow domain),
+    ``twa`` (vtw_sum / covered_us, one double division at the end).
+
+    Plan shape: one key-partitioned window (lead) → per-segment
+    two-level bucket explode (the spine() memory bound: inner arrays
+    ≤ 1440 buckets, so a month-long gap at the 1m tier never builds a
+    40 MB in-row array) → partial-aggregated groupBy. Per-row state is
+    O(1); the explode's output is proportional to buckets covered —
+    the size of the ANSWER, not of the gap.
+    """
+    from .rollup import vsum_cast
+
+    keys = keys or ["url"]
+    us = int(TIER_US[tier])
+    seg_us = _SPINE_SEGMENT * us
+    w = W.partitionBy(*keys).orderBy(ts_col, value_col)
+    start = F.col(ts_col)
+    b0 = start - F.pmod(start, F.lit(us))
+    end = F.coalesce(F.lead(ts_col).over(w), b0 + F.lit(us))
+    seg = (
+        series.select(*keys, ts_col, value_col)
+        .withColumn("_end", end)
+        .where(F.col("_end") > F.col(ts_col))      # zero-length: dropped
+        .withColumn("_b0", b0)
+        .withColumn(
+            "_bl",
+            (F.col("_end") - 1) - F.pmod(F.col("_end") - 1, F.lit(us)),
+        )
+    )
+    exploded = (
+        seg.withColumn(
+            "_o",
+            F.explode(F.sequence("_b0", "_bl", F.lit(seg_us))),
+        )
+        .withColumn(
+            "_b",
+            F.explode(
+                F.sequence(
+                    "_o",
+                    F.least(
+                        F.col("_o") + F.lit(seg_us - us), F.col("_bl")
+                    ),
+                    F.lit(us),
+                )
+            ),
+        )
+    )
+    overlap = F.least(F.col("_end"), F.col("_b") + F.lit(us)) - F.greatest(
+        F.col(ts_col), F.col("_b")
+    )
+    agg = (
+        exploded.groupBy(*keys, F.col("_b").alias("bucket_us"))
+        .agg(
+            F.sum(overlap).cast("long").alias("covered_us"),
+            # overlap as DECIMAL(12,0), NOT long: decimal(18,9)×long
+            # would need precision 39 > 38, so Spark silently REDUCES
+            # the result scale to 8 — a per-row rounding. (18,9)×(12,0)
+            # fits at (31,9) and stays exact.
+            F.sum(
+                vsum_cast(value_col) * overlap.cast("decimal(12,0)")
+            ).alias("vtw_sum"),
+        )
+    )
+    return agg.withColumn(
+        "twa",
+        F.col("vtw_sum").cast("double") / F.col("covered_us").cast("double"),
+    )

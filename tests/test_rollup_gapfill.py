@@ -690,3 +690,85 @@ def test_seasonal_profile_folds_exactly(spark):
     assert p0["mean_cnt"] == 3.0
     assert p0["mean_value"] == round(15.0 / 9, 6)
     assert got[1]["total_cnt"] == 5 and got[1]["mean_value"] == 0.4
+
+
+def _tw_series(spark, rows):
+    return spark.createDataFrame(rows, "url string, ts_us long, value double")
+
+
+HOUR = 3_600_000_000
+
+
+def test_time_weighted_hand_case(spark):
+    """Two points inside one hour: p1 covers [15m, 45m) at 2.0, p2
+    covers [45m, hour end) at 4.0 -> twa = (2*30 + 4*15)/45."""
+    df = _tw_series(spark, [
+        ("a", HOUR // 4, 2.0),          # 15m
+        ("a", (HOUR * 3) // 4, 4.0),    # 45m
+    ])
+    r = gapfill.time_weighted(df, "1h").collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row["bucket_us"] == 0
+    assert row["covered_us"] == (HOUR * 3) // 4  # 45 min observed
+    want = (2.0 * 30 + 4.0 * 15) / 45
+    assert row["twa"] == pytest.approx(want, abs=1e-9)
+
+
+def test_time_weighted_gap_carries_across_buckets(spark):
+    """A 3h gap: the last value before the gap fully covers the two
+    interior buckets (LOCF), and the final point covers to its own
+    bucket end."""
+    df = _tw_series(spark, [
+        ("a", 0, 1.0),
+        ("a", 3 * HOUR + HOUR // 2, 5.0),   # next obs at 3.5h
+    ])
+    got = {r["bucket_us"] // HOUR: (r["covered_us"], r["twa"])
+           for r in gapfill.time_weighted(df, "1h").collect()}
+    assert got[0] == (HOUR, 1.0)
+    assert got[1] == (HOUR, 1.0)            # carried
+    assert got[2] == (HOUR, 1.0)            # carried
+    # bucket 3: 1.0 for [3h, 3.5h) then 5.0 for [3.5h, 4h)
+    assert got[3][0] == HOUR
+    assert got[3][1] == pytest.approx(3.0)
+
+
+def test_time_weighted_duplicate_ts_larger_value_wins(spark):
+    """(ts, value) ordering: of two observations at the same instant
+    the LARGER value carries forward; the zero-length segment drops
+    out of the weighting."""
+    df = _tw_series(spark, [
+        ("a", 0, 9.0),
+        ("a", 0, 1.0),
+    ])
+    [row] = gapfill.time_weighted(df, "1h").collect()
+    assert row["covered_us"] == HOUR
+    assert row["twa"] == pytest.approx(9.0)
+
+
+def test_time_weighted_long_gap_segment_bound(spark):
+    """A gap longer than the 1440-bucket inner-array bound at the 1m
+    tier still produces one row per covered bucket (the two-level
+    explode), each fully covered."""
+    minute = 60_000_000
+    n_buckets = 3000  # > 1440 forces a second outer segment
+    df = _tw_series(spark, [
+        ("a", 0, 2.0),
+        ("a", n_buckets * minute, 7.0),
+    ])
+    out = gapfill.time_weighted(df, "1m")
+    rows = out.where(F.col("bucket_us") < n_buckets * minute).collect()
+    assert len(rows) == n_buckets
+    assert all(r["covered_us"] == minute and r["twa"] == 2.0 for r in rows)
+
+
+def test_time_weighted_matches_arithmetic_mean_when_regular(spark):
+    """On a perfectly regular grid TWA degenerates to the arithmetic
+    mean of the covering values — a consistency check against the
+    rollup's vmean on the same input."""
+    vals = [1.0, 5.0, 3.0, 7.0]
+    df = _tw_series(spark, [
+        ("a", i * (HOUR // 4), v) for i, v in enumerate(vals)
+    ])
+    [row] = gapfill.time_weighted(df, "1h").collect()
+    assert row["twa"] == pytest.approx(sum(vals) / len(vals))
