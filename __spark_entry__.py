@@ -2637,15 +2637,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     implementations). Every entry, graded or not, still runs in
     tools/compare_oracle.py."""
     return {
-        # -- never driver-graded / stale-graded (r5 priority) ---------
+        # -- never driver-graded, or r3-graded with a CHANGED impl ----
+        # (multimodal.py was refactored for the JPEG codec, so the
+        #  three mm_* r3-green rows are stale on changed code)
         "rel_set_ops": q_rel_set_ops,
         "emb_pq_topk": q_emb_pq_topk,
         "emb_ivfpq_topk": q_emb_ivfpq_topk,
-        "emb_near_dup": q_emb_near_dup,
-        "emb_lsh_planted_recall": q_emb_lsh_planted_recall,
-        "doc_minhash_lsh_recall": q_doc_minhash_lsh_recall,
-        "rel_pricing_summary": q_rel_pricing_summary,
-        "rel_top_suppliers": q_rel_top_suppliers,
         "mm_features": q_mm_features,
         "mm_frame_sample": q_mm_frame_sample,
         "mm_resize": q_mm_resize,
@@ -2698,8 +2695,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_cluster_chain": q_doc_cluster_chain,
         "doc_cluster_components": q_doc_cluster_components,
         "doc_dedup_survivors": q_doc_dedup_survivors,
+        # -- 51+: past the grading window this round ------------------
+        # doc_corpus_clean is the one CHANGED-path query left outside
+        # (a composition whose constituents — lang-ID, quality, exact
+        # dedup — are each graded above); the five after it are
+        # r3-green with byte-unchanged implementations.
         "doc_corpus_clean": q_doc_corpus_clean,
-        # -- flagship spares filling the 50-slot window ---------------
+        "emb_near_dup": q_emb_near_dup,
+        "emb_lsh_planted_recall": q_emb_lsh_planted_recall,
+        "doc_minhash_lsh_recall": q_doc_minhash_lsh_recall,
+        "rel_pricing_summary": q_rel_pricing_summary,
+        "rel_top_suppliers": q_rel_top_suppliers,
         "emb_cosine_topk": q_emb_cosine_topk,
         "ts_stream_rollup_1m": q_ts_stream_rollup_1m,
         # -- tail: r4-green AND executed code byte-unchanged since ----
