@@ -131,6 +131,54 @@ def gapfill_interpolate(
     return out.drop("_tp", "_tn")
 
 
+def explode_bucket_overlaps(
+    intervals: DataFrame,
+    us: int,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Half-open [start, end) interval rows → one row per covered
+    tumbling bucket, with ``_b`` (bucket start) and ``_overlap``
+    (covered μs in that bucket, exact long) appended. Zero- and
+    negative-length intervals produce no rows.
+
+    The explode is two-level (outer segment starts, inner ≤
+    ``_SPINE_SEGMENT`` buckets) — the spine() memory bound, so a
+    month-long interval at the 1m tier never builds a multi-MB in-row
+    array. Output size is proportional to buckets covered — the size
+    of the ANSWER, not of the interval.
+    """
+    us = int(us)
+    seg_us = _SPINE_SEGMENT * us
+    s, e = F.col(start_col), F.col(end_col)
+    seg = (
+        intervals.where(e > s)
+        .withColumn("_f0", s - F.pmod(s, F.lit(us)))
+        .withColumn("_fl", (e - 1) - F.pmod(e - 1, F.lit(us)))
+    )
+    out = (
+        seg.withColumn(
+            "_o", F.explode(F.sequence("_f0", "_fl", F.lit(seg_us)))
+        )
+        .withColumn(
+            "_b",
+            F.explode(
+                F.sequence(
+                    "_o",
+                    F.least(F.col("_o") + F.lit(seg_us - us), F.col("_fl")),
+                    F.lit(us),
+                )
+            ),
+        )
+        .withColumn(
+            "_overlap",
+            (F.least(e, F.col("_b") + F.lit(us)) - F.greatest(s, F.col("_b")))
+            .cast("long"),
+        )
+    )
+    return out.drop("_f0", "_fl", "_o")
+
+
 def time_weighted(
     series: DataFrame,
     tier: str,
@@ -169,42 +217,13 @@ def time_weighted(
 
     keys = keys or ["url"]
     us = int(TIER_US[tier])
-    seg_us = _SPINE_SEGMENT * us
     w = W.partitionBy(*keys).orderBy(ts_col, value_col)
     start = F.col(ts_col)
     b0 = start - F.pmod(start, F.lit(us))
     end = F.coalesce(F.lead(ts_col).over(w), b0 + F.lit(us))
-    seg = (
-        series.select(*keys, ts_col, value_col)
-        .withColumn("_end", end)
-        .where(F.col("_end") > F.col(ts_col))      # zero-length: dropped
-        .withColumn("_b0", b0)
-        .withColumn(
-            "_bl",
-            (F.col("_end") - 1) - F.pmod(F.col("_end") - 1, F.lit(us)),
-        )
-    )
-    exploded = (
-        seg.withColumn(
-            "_o",
-            F.explode(F.sequence("_b0", "_bl", F.lit(seg_us))),
-        )
-        .withColumn(
-            "_b",
-            F.explode(
-                F.sequence(
-                    "_o",
-                    F.least(
-                        F.col("_o") + F.lit(seg_us - us), F.col("_bl")
-                    ),
-                    F.lit(us),
-                )
-            ),
-        )
-    )
-    overlap = F.least(F.col("_end"), F.col("_b") + F.lit(us)) - F.greatest(
-        F.col(ts_col), F.col("_b")
-    )
+    seg = series.select(*keys, ts_col, value_col).withColumn("_end", end)
+    exploded = explode_bucket_overlaps(seg, us, ts_col, "_end")
+    overlap = F.col("_overlap")
     agg = (
         exploded.groupBy(*keys, F.col("_b").alias("bucket_us"))
         .agg(

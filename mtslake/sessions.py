@@ -196,3 +196,61 @@ def hash_split(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
         lo += pct
     return df.withColumn("split", expr)
+
+
+def uptime(
+    pings: DataFrame,
+    lease_us: int,
+    tier: str,
+    key: str = "url",
+    ts: str = "ts_us",
+    tiebreak: str | None = None,
+    block_us: int | None = None,
+) -> DataFrame:
+    """Heartbeat / liveness aggregation (TimescaleDB ``heartbeat_agg``
+    semantics): each ping keeps its key "live" for ``lease_us``; the
+    per-bucket uptime is the length of the UNION of those
+    [ts, ts + lease) intervals intersected with each tumbling bucket.
+    For a crawl fleet this is crawler liveness; for the page-history
+    table it is "url observed fresh within its recrawl lease".
+
+    Interval union via sessionize: with a constant lease, overlapping
+    leases are exactly the sessions at ``gap_us = lease_us`` (a ping
+    more than one lease after its predecessor starts a new island), so
+    one island = one maximal covered interval
+    [min ts, max ts + lease). Islands then explode into buckets
+    through gapfill.explode_bucket_overlaps (two-level, memory-
+    bounded) and sum EXACT long overlaps.
+
+    Output per (key, bucket_us): ``uptime_us`` (exact long),
+    ``n_islands`` (islands touching the bucket, exact long),
+    ``uptime_ratio`` (one double division at the end).
+
+    Scale shape: sessionize's key-partitioned window (pass
+    ``block_us`` for the two-phase hot-key-safe variant), a same-key
+    island aggregation that reuses the exchange, then an explode
+    proportional to covered buckets and one final (key, bucket)
+    aggregation. No step holds more than one island per row.
+    """
+    from .config import TIER_US
+    from .gapfill import explode_bucket_overlaps
+
+    us = int(TIER_US[tier])
+    s = sessionize(pings, key=key, ts=ts, gap_us=int(lease_us),
+                   tiebreak=tiebreak, block_us=block_us)
+    islands = s.groupBy(key, "session_seq").agg(
+        F.min(ts).alias("_start"),
+        (F.max(ts) + F.lit(int(lease_us))).alias("_end"),
+    )
+    x = explode_bucket_overlaps(islands, us, "_start", "_end")
+    return (
+        x.groupBy(key, F.col("_b").alias("bucket_us"))
+        .agg(
+            F.sum("_overlap").cast("long").alias("uptime_us"),
+            F.count("*").cast("long").alias("n_islands"),
+        )
+        .withColumn(
+            "uptime_ratio",
+            F.col("uptime_us").cast("double") / F.lit(float(us)),
+        )
+    )

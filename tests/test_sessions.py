@@ -1,5 +1,6 @@
 """Sessionization + deterministic hash-split sampling."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from mtslake.sessions import hash_split, session_stats, sessionize
@@ -168,3 +169,69 @@ def test_two_phase_spreads_hot_key_over_blocks(spark):
         if "Exchange hashpartitioning" in ln and "_blk" in ln
     ]
     assert blk_lines, plan
+
+
+HOUR_US = 3_600_000_000
+
+
+def _pings(spark, rows):
+    return spark.createDataFrame(rows, "url string, ts_us long")
+
+
+def test_uptime_union_of_overlapping_leases(spark):
+    """Pings 10 min apart under a 30-min lease merge into ONE island
+    covering [first, last + lease) — not three summed leases."""
+    from mtslake.sessions import uptime
+
+    m = 60_000_000
+    df = _pings(spark, [("a", 0), ("a", 10 * m), ("a", 20 * m)])
+    [row] = uptime(df, lease_us=30 * m, tier="1h").collect()
+    assert row["bucket_us"] == 0
+    assert row["uptime_us"] == 50 * m          # [0, 20m + 30m)
+    assert row["n_islands"] == 1
+    assert row["uptime_ratio"] == pytest.approx(50 / 60)
+
+
+def test_uptime_separate_islands_and_gap(spark):
+    """A ping more than one lease after its predecessor starts a new
+    island; the dead gap contributes nothing."""
+    from mtslake.sessions import uptime
+
+    m = 60_000_000
+    df = _pings(spark, [("a", 0), ("a", 45 * m)])   # gap 45m > 30m lease
+    got = {r["bucket_us"] // HOUR_US: (r["uptime_us"], r["n_islands"])
+           for r in uptime(df, lease_us=30 * m, tier="1h").collect()}
+    # islands [0, 30m) and [45m, 75m): bucket 0 gets 30m + 15m from
+    # TWO islands; the second island spills 15m into bucket 1
+    assert got[0] == (45 * m, 2)
+    assert got[1] == (15 * m, 1)
+
+
+def test_uptime_island_straddles_buckets(spark):
+    """A lease crossing the bucket boundary splits its μs exactly
+    across both buckets."""
+    from mtslake.sessions import uptime
+
+    m = 60_000_000
+    df = _pings(spark, [("a", 50 * m)])             # lease -> [50m, 80m)
+    got = {r["bucket_us"] // HOUR_US: (r["uptime_us"], r["n_islands"])
+           for r in uptime(df, lease_us=30 * m, tier="1h").collect()}
+    assert got[0] == (10 * m, 1)
+    assert got[1] == (20 * m, 1)
+
+
+def test_uptime_two_phase_matches_single_window(spark):
+    """block_us (the hot-key-safe sessionize path) must produce the
+    identical uptime surface."""
+    from mtslake.sessions import uptime
+
+    m = 60_000_000
+    rows = [("a", i * 7 * m) for i in range(40)] + [("b", 3 * m)]
+    df = _pings(spark, rows)
+    one = sorted(map(tuple, uptime(df, 10 * m, "1h")
+                 .select("url", "bucket_us", "uptime_us", "n_islands")
+                 .collect()))
+    two = sorted(map(tuple, uptime(df, 10 * m, "1h", block_us=2 * HOUR_US)
+                 .select("url", "bucket_us", "uptime_us", "n_islands")
+                 .collect()))
+    assert one == two
