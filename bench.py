@@ -209,7 +209,12 @@ def main() -> None:
         if not os.environ.get("SPARK_GRAFT_BENCH_SKIP_AUX"):
             import __spark_entry__ as entry
 
-            for qname in ("ts_rollup_1h_codec", "emb_cosine_topk"):
+            for qname in ("ts_rollup_1h_codec", "emb_cosine_topk",
+                          # r5 interval-algebra ops: both are
+                          # window + bounded bucket-explode + agg —
+                          # timed so the explode's cost tracks across
+                          # rounds at the full bench SF
+                          "ts_time_weighted_1h", "ts_uptime_1d"):
                 fn = entry.queries()[qname]
                 timed_min(qname, lambda f=fn: f(spark, sf_dir).count())
             # time the PRODUCTION-banding LSH (16 bands x 4 rows — the

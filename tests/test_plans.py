@@ -408,3 +408,37 @@ def test_rate_keeps_zero_delta_rows_with_null_rate(spark):
     assert got[0] == (1_000_000, 3.0, 2.0)
     assert got[1][2] is None                  # zero delta: explicit null
     assert got[2] == (2_000_000, 10.0, 1.0)
+
+
+def test_time_weighted_plan_shape(spark):
+    """The interval ops' final (key, bucket) aggregation must be
+    partial-aggregated (map-side combine above the explode), and the
+    whole operator costs exactly ONE exchange: hash(key) from the lead
+    window already CLUSTERS (key, bucket), so Catalyst plans the
+    bucket aggregation without a second shuffle and the explode is
+    narrow."""
+    from mtslake import gapfill
+
+    df = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 7_200_000_000, 2.0)],
+        "url string, ts_us long, value double",
+    )
+    plan = gapfill.time_weighted(df, "1h")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2, plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_uptime_plan_shape(spark):
+    """uptime stacks sessionize (window) + island agg + bucket agg —
+    every stage groups on a superset of the window's hash(key)
+    partitioning, so the whole three-stage operator costs ONE
+    exchange."""
+    from mtslake.sessions import uptime
+
+    df = spark.createDataFrame(
+        [("a", 0), ("a", 7_200_000_000)], "url string, ts_us long")
+    plan = uptime(df, 1_800_000_000, "1h")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2, plan
+    assert plan.count("Exchange") == 1, plan
