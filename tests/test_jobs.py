@@ -404,3 +404,32 @@ def test_webgraph_job(spark, tmp_path, capsys):
     auth = {r["host"]: r["auth"] for r in hs.collect()}
     assert auth["hub.example.com"] == max(auth.values())
     assert "edges" in capsys.readouterr().out
+
+
+def test_freshness_job(spark, tmp_path, capsys):
+    from mtslake.jobs import freshness as job_freshness
+    from mtslake.jobs import ingest as job_ingest3
+
+    store = str(tmp_path / "lake")
+    job_ingest3.main(["--store", store, "--n-urls", "10", "--snapshots", "5",
+                      "--hot", "0"])
+    out = str(tmp_path / "fresh")
+    job_freshness.main([
+        "--store", store, "--pages", f"{store}/pages", "--out", out,
+        "--shingle-k", "1", "--lease-minutes", "30",
+        "--uptime-tier", "1h",
+    ])
+    cs = spark.read.parquet(f"{out}/change_stats")
+    assert cs.count() == 10
+    assert set(cs.columns) >= {"url", "n_snapshots", "n_changes"}
+    dr = spark.read.parquet(f"{out}/drift")
+    assert dr.count() == 10
+    # 5 snapshots -> 4 pairs (the datagen duplicate-ts fixture can
+    # collapse one snapshot on one url -> 3)
+    assert dr.agg(F.min("n_pairs")).collect()[0][0] >= 3
+    assert dr.agg(F.max("n_pairs")).collect()[0][0] == 4
+    up = spark.read.parquet(f"{out}/uptime")
+    assert up.count() > 0
+    # uptime per bucket can never exceed the bucket
+    assert up.agg(F.max("uptime_us")).collect()[0][0] <= 3_600_000_000
+    assert "uptime buckets" in capsys.readouterr().out
