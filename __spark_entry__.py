@@ -2208,6 +2208,43 @@ def q_ts_uptime_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return up.select("url", "bucket_us", "uptime_us", "n_islands")
 
 
+def q_ts_corr_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-channel Pearson correlation (series.corr_stats): does a
+    page's payload size (n_chars) track its float signal, per
+    (url_prefix, lang, 7d bucket)? Carried as the MERGEABLE exact
+    decimal component sums (n, Σx, Σy, Σx², Σy², Σxy) — they add
+    across partitions and tiers like the rollup's (cnt, vsum); r is
+    derived once at read time and stays OUT of the hashed projection.
+    Sums are graded as decimal STRINGS ((18,9)×(18,9) → (37,18)
+    products, no precision-38 scale reduction; decimal→double at
+    these magnitudes is 1-ULP engine-divergent). The SQL oracle
+    replays the identical quantization and decimal algebra.
+    Reference analogue: none (single-signal stats only,
+    mtscomp.py:1131-1150)."""
+    from mtslake.series import corr_stats, url_prefix
+
+    week_us = 7 * 86_400_000_000
+    series = events_to_series(_events(spark, sf_dir))
+    keyed = series.select(
+        url_prefix().alias("url_prefix"),
+        "lang",
+        (F.col(TS_COL) - F.pmod(F.col(TS_COL), F.lit(week_us)))
+        .alias("bucket_us"),
+        "n_chars",
+        "value",
+    )
+    cs = corr_stats(keyed, ["url_prefix", "lang", "bucket_us"],
+                    "n_chars", "value")
+    return cs.select(
+        "url_prefix", "lang", "bucket_us", "n",
+        F.col("sx").cast("string").alias("sx"),
+        F.col("sy").cast("string").alias("sy"),
+        F.col("sxx").cast("string").alias("sxx"),
+        F.col("syy").cast("string").alias("syy"),
+        F.col("sxy").cast("string").alias("sxy"),
+    )
+
+
 def q_doc_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted HITS hubs/authorities (graph.hits, 10 rounds,
     per-round L2 normalization in-plan) over the deterministic host
@@ -2715,6 +2752,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_cluster_components": q_doc_cluster_components,
         "doc_dedup_survivors": q_doc_dedup_survivors,
         # -- 51+: past the grading window this round ------------------
+        # ts_corr_weekly landed after the 50 slots filled; it heads
+        # next round's never-graded priority block.
+        "ts_corr_weekly": q_ts_corr_weekly,
         # The two CHANGED-path queries left outside are
         # doc_cluster_chain (a synthetic-chain fixture whose code path
         # doc_cluster_components grades on the REAL near-dup graph)
@@ -3088,6 +3128,29 @@ def oracle_sql() -> dict[str, str]:
                        / 1000000, 6)
                    END AS est_change_interval_s
             FROM s
+        """,
+        # identical quantization + decimal algebra replay
+        # (see q_ts_corr_weekly)
+        "ts_corr_weekly": f"""
+            SELECT {_PREFIX} AS url_prefix, 'en' AS lang,
+                   epoch_us(ts) - epoch_us(ts) % 604800000000 AS bucket_us,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(length(props) AS DECIMAL(18,9)))
+                        AS VARCHAR) AS sx,
+                   CAST(SUM(CAST(value AS DECIMAL(18,9)))
+                        AS VARCHAR) AS sy,
+                   CAST(CAST(SUM(CAST(length(props) AS DECIMAL(18,9))
+                                 * CAST(length(props) AS DECIMAL(18,9)))
+                             AS DECIMAL(38,18)) AS VARCHAR) AS sxx,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(18,9))
+                                 * CAST(value AS DECIMAL(18,9)))
+                             AS DECIMAL(38,18)) AS VARCHAR) AS syy,
+                   CAST(CAST(SUM(CAST(length(props) AS DECIMAL(18,9))
+                                 * CAST(value AS DECIMAL(18,9)))
+                             AS DECIMAL(38,18)) AS VARCHAR) AS sxy
+            FROM events
+            WHERE props IS NOT NULL AND value IS NOT NULL
+            GROUP BY 1, 2, 3
         """,
         # identical lag/flag/island/overlap replay (see q_ts_uptime_1d)
         "ts_uptime_1d": f"""

@@ -382,3 +382,54 @@ def exact_quantiles(
             ).alias(name)
         )
     return d.groupBy(*keys).agg(*aggs)
+
+
+def corr_stats(
+    df: DataFrame,
+    keys: list,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-key Pearson correlation between two channels (e.g. does a
+    page's size track its signal?) carried as EXACT decimal component
+    sums — the mergeable form: (n, Σx, Σy, Σx², Σy², Σxy) add across
+    partitions/tiers like the rollup's (cnt, vsum), so correlation
+    composes over time tiers exactly the way the continuous
+    aggregates do, and r is derived once at read time:
+
+        r = (n·Σxy − Σx·Σy) / sqrt((n·Σx²−Σx²)·(n·Σy²−Σy²))
+
+    Inputs are quantized via rollup.vsum_cast (DECIMAL(18,9), loud
+    |v| < 1e9 overflow guard); products are (18,9)×(18,9) →
+    DECIMAL(37,18) — exact, no precision-38 scale reduction. Rows
+    where either channel is NULL are excluded (pairwise-complete).
+    ``r`` is NULL for degenerate (zero-variance) keys via try_divide.
+
+    One partial-aggregated groupBy — a single narrow shuffle of six
+    numbers per key.
+    """
+    from .rollup import vsum_cast
+
+    pair = df.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    )
+    x, y = vsum_cast(x_col), vsum_cast(y_col)
+    agg = pair.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    return agg.withColumn(
+        "r",
+        F.try_divide(
+            n * sxy - sx * sy,
+            F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+        ),
+    )

@@ -380,3 +380,57 @@ def test_approx_percentile_audited_against_exact(spark):
     for got, want in zip(approx, (exact["p50"], exact["p90"], exact["p99"])):
         i, j = ordered.index(got), ordered.index(want)
         assert abs(i - j) <= 1, (got, want)
+
+
+def test_corr_stats_matches_numpy(spark):
+    """r equals numpy's corrcoef on a hand dataset; component sums are
+    the exact decimals."""
+    import numpy as np
+    from mtslake.series import corr_stats
+
+    xs = [1.0, 2.0, 3.0, 4.0, 5.0]
+    ys = [2.0, 1.0, 4.0, 3.0, 6.0]
+    df = spark.createDataFrame(
+        [("a", x, y) for x, y in zip(xs, ys)],
+        "k string, x double, y double",
+    )
+    [row] = corr_stats(df, ["k"], "x", "y").collect()
+    assert row["n"] == 5
+    assert float(row["sx"]) == sum(xs)
+    assert float(row["sxy"]) == sum(x * y for x, y in zip(xs, ys))
+    assert row["r"] == pytest.approx(np.corrcoef(xs, ys)[0, 1], abs=1e-12)
+
+
+def test_corr_stats_merges_like_a_tier(spark):
+    """The component sums are MERGEABLE: stats over two halves add to
+    the stats over the whole — the property that lets correlation
+    ride the rollup tier cascade."""
+    from decimal import Decimal
+
+    from mtslake.series import corr_stats
+
+    rows = [("a", float(i), float(i * i % 7)) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    half1 = spark.createDataFrame(rows[:5], "k string, x double, y double")
+    half2 = spark.createDataFrame(rows[5:], "k string, x double, y double")
+    [w] = corr_stats(df, ["k"], "x", "y").collect()
+    [a] = corr_stats(half1, ["k"], "x", "y").collect()
+    [b] = corr_stats(half2, ["k"], "x", "y").collect()
+    for c in ("sx", "sy", "sxx", "syy", "sxy"):
+        assert Decimal(str(a[c])) + Decimal(str(b[c])) == Decimal(str(w[c]))
+    assert a["n"] + b["n"] == w["n"]
+
+
+def test_corr_stats_null_pairs_and_degenerate(spark):
+    """Pairwise-complete: rows with either channel NULL are excluded;
+    a zero-variance key yields r NULL (try_divide), never a crash."""
+    from mtslake.series import corr_stats
+
+    df = spark.createDataFrame(
+        [("a", 1.0, None), ("a", None, 2.0), ("a", 3.0, 4.0),
+         ("b", 2.0, 1.0), ("b", 2.0, 5.0)],
+        "k string, x double, y double",
+    )
+    got = {r["k"]: r for r in corr_stats(df, ["k"], "x", "y").collect()}
+    assert got["a"]["n"] == 1          # only the complete pair
+    assert got["b"]["r"] is None       # x variance 0 -> sqrt(0) divisor
