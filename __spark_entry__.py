@@ -2245,6 +2245,21 @@ def q_ts_corr_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_gap_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest coverage holes (sessions.downtime_gaps): each url's
+    top-3 longest dead intervals between lease islands — the
+    complement of ts_uptime_1d, the "where did the crawler lose this
+    page" report. Gaps are strictly positive by construction; the
+    rank is fully deterministic (length desc, start asc). All graded
+    columns are exact longs + int rank. The SQL oracle replays the
+    identical session/island/lead/rank algebra. Reference analogue:
+    none (dense IR has no gaps)."""
+    from mtslake.sessions import downtime_gaps
+
+    series = events_to_series(_events(spark, sf_dir))
+    return downtime_gaps(series, lease_us=30 * 60 * 1_000_000, k=3)
+
+
 def q_doc_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted HITS hubs/authorities (graph.hits, 10 rounds,
     per-round L2 normalization in-plan) over the deterministic host
@@ -2755,6 +2770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ts_corr_weekly landed after the 50 slots filled; it heads
         # next round's never-graded priority block.
         "ts_corr_weekly": q_ts_corr_weekly,
+        "ts_gap_topk": q_ts_gap_topk,
         # The two CHANGED-path queries left outside are
         # doc_cluster_chain (a synthetic-chain fixture whose code path
         # doc_cluster_components grades on the REAL near-dup graph)
@@ -3151,6 +3167,53 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE props IS NOT NULL AND value IS NOT NULL
             GROUP BY 1, 2, 3
+        """,
+        # identical session/island/lead/rank replay (see q_ts_gap_topk)
+        "ts_gap_topk": f"""
+            WITH p AS (
+                SELECT user_id, epoch_us(ts) AS t,
+                       lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                               ORDER BY epoch_us(ts)) AS prev
+                FROM events
+            ),
+            f AS (
+                SELECT user_id, t,
+                       CASE WHEN prev IS NULL OR t - prev > 1800000000
+                            THEN 1 ELSE 0 END AS flag
+                FROM p
+            ),
+            sess AS (
+                SELECT user_id, t,
+                       SUM(flag) OVER (PARTITION BY user_id ORDER BY t
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+                FROM f
+            ),
+            isl AS (
+                SELECT user_id, sid, MIN(t) AS s,
+                       MAX(t) + 1800000000 AS e
+                FROM sess GROUP BY 1, 2
+            ),
+            g AS (
+                SELECT user_id, e AS gap_start_us,
+                       lead(s) OVER (PARTITION BY user_id
+                                     ORDER BY s) AS gap_end_us
+                FROM isl
+            ),
+            r AS (
+                SELECT user_id, gap_start_us, gap_end_us,
+                       gap_end_us - gap_start_us AS gap_us,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY gap_end_us - gap_start_us DESC,
+                                    gap_start_us ASC) AS rank
+                FROM g WHERE gap_end_us IS NOT NULL
+            )
+            SELECT {_URL} AS url,
+                   CAST(gap_start_us AS BIGINT) AS gap_start_us,
+                   CAST(gap_end_us AS BIGINT) AS gap_end_us,
+                   CAST(gap_us AS BIGINT) AS gap_us,
+                   CAST(rank AS INTEGER) AS rank
+            FROM r WHERE rank <= 3
         """,
         # identical lag/flag/island/overlap replay (see q_ts_uptime_1d)
         "ts_uptime_1d": f"""

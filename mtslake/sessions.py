@@ -236,12 +236,7 @@ def uptime(
     from .gapfill import explode_bucket_overlaps
 
     us = int(TIER_US[tier])
-    s = sessionize(pings, key=key, ts=ts, gap_us=int(lease_us),
-                   tiebreak=tiebreak, block_us=block_us)
-    islands = s.groupBy(key, "session_seq").agg(
-        F.min(ts).alias("_start"),
-        (F.max(ts) + F.lit(int(lease_us))).alias("_end"),
-    )
+    islands = _lease_islands(pings, lease_us, key, ts, tiebreak, block_us)
     x = explode_bucket_overlaps(islands, us, "_start", "_end")
     return (
         x.groupBy(key, F.col("_b").alias("bucket_us"))
@@ -254,3 +249,70 @@ def uptime(
             F.col("uptime_us").cast("double") / F.lit(float(us)),
         )
     )
+
+
+def _lease_islands(
+    pings: DataFrame,
+    lease_us: int,
+    key: str,
+    ts: str,
+    tiebreak: str | None,
+    block_us: int | None,
+) -> DataFrame:
+    """Maximal covered intervals under a constant lease: one island
+    per session at gap = lease, spanning [min ts, max ts + lease).
+    Shared by uptime (interval ∩ bucket) and downtime_gaps (interval
+    complement)."""
+    s = sessionize(pings, key=key, ts=ts, gap_us=int(lease_us),
+                   tiebreak=tiebreak, block_us=block_us)
+    return s.groupBy(key, "session_seq").agg(
+        F.min(ts).alias("_start"),
+        (F.max(ts) + F.lit(int(lease_us))).alias("_end"),
+    )
+
+
+def downtime_gaps(
+    pings: DataFrame,
+    lease_us: int,
+    key: str = "url",
+    ts: str = "ts_us",
+    k: int | None = None,
+    tiebreak: str | None = None,
+    block_us: int | None = None,
+) -> DataFrame:
+    """Dead intervals — the complement of uptime's islands: for each
+    consecutive island pair of a key, the gap [island end, next island
+    start), which is strictly positive by construction (a new island
+    only starts when a ping arrives past the previous island's lease
+    horizon). The "where are my biggest coverage holes" report a crawl
+    scheduler reads next to the uptime surface.
+
+    ``k``: keep only each key's k longest gaps (ties broken by
+    earlier start — fully deterministic rank). None keeps all gaps.
+
+    Output per gap: ``gap_start_us`` / ``gap_end_us`` (exact longs),
+    ``gap_us`` (their difference), ``rank`` (1 = longest).
+
+    Scale shape: islands ride sessionize's key partition; the lead
+    window and the rank window reuse that same hash(key) exchange —
+    the whole report is ONE shuffle, and every window's input is the
+    ISLAND list (bounded by sessions/key), never the raw pings.
+    """
+    islands = _lease_islands(pings, lease_us, key, ts, tiebreak, block_us)
+    w = W.partitionBy(key).orderBy("_start")
+    nxt = F.lead("_start").over(w)
+    gaps = (
+        islands.withColumn("_nxt", nxt)
+        .where(F.col("_nxt").isNotNull())
+        .select(
+            key,
+            F.col("_end").alias("gap_start_us"),
+            F.col("_nxt").alias("gap_end_us"),
+            (F.col("_nxt") - F.col("_end")).cast("long").alias("gap_us"),
+        )
+    )
+    rw = W.partitionBy(key).orderBy(F.desc("gap_us"), F.asc("gap_start_us"))
+    ranked = gaps.withColumn("rank", F.row_number().over(rw).cast("int"))
+    if k is not None:
+        ranked = ranked.where(F.col("rank") <= int(k))
+    return ranked

@@ -235,3 +235,63 @@ def test_uptime_two_phase_matches_single_window(spark):
                  .select("url", "bucket_us", "uptime_us", "n_islands")
                  .collect()))
     assert one == two
+
+
+def test_downtime_gaps_hand_case(spark):
+    """Three islands -> two gaps, each strictly between one island's
+    lease horizon and the next island's first ping."""
+    from mtslake.sessions import downtime_gaps
+
+    m = 60_000_000
+    df = _pings(spark, [
+        ("a", 0),             # island 1: [0, 10m)
+        ("a", 25 * m),        # island 2: [25m, 35m)
+        ("a", 100 * m),       # island 3: [100m, 110m)
+    ])
+    got = sorted(
+        (r["gap_start_us"], r["gap_end_us"], r["gap_us"], r["rank"])
+        for r in downtime_gaps(df, lease_us=10 * m).collect()
+    )
+    assert got == [
+        (10 * m, 25 * m, 15 * m, 2),
+        (35 * m, 100 * m, 65 * m, 1),
+    ]
+
+
+def test_downtime_gaps_topk_and_tie_rank(spark):
+    """k keeps the longest gaps; equal lengths rank by earlier start."""
+    from mtslake.sessions import downtime_gaps
+
+    m = 60_000_000
+    df = _pings(spark, [
+        ("a", 0), ("a", 20 * m), ("a", 40 * m), ("a", 100 * m),
+    ])
+    # lease 5m -> islands at 0,20m,40m,100m; gaps 15m, 15m, 55m
+    out = {r["rank"]: (r["gap_start_us"], r["gap_us"])
+           for r in downtime_gaps(df, lease_us=5 * m, k=2).collect()}
+    assert len(out) == 2
+    assert out[1] == (45 * m, 55 * m)
+    assert out[2] == (5 * m, 15 * m)   # tie: earlier start outranks
+
+
+def test_downtime_gaps_complement_of_uptime(spark):
+    """Over each key's observed horizon [first ping, last island end),
+    uptime + downtime must account for every microsecond."""
+    from mtslake.sessions import downtime_gaps, uptime
+
+    m = 60_000_000
+    rows = [("a", i * 17 * m) for i in range(20)] + \
+           [("b", j * 53 * m) for j in range(7)]
+    df = _pings(spark, rows)
+    lease = 10 * m
+    up = uptime(df, lease, "1d")
+    up_tot = {r["url"]: r["u"] for r in
+              up.groupBy("url").agg(F.sum("uptime_us").alias("u")).collect()}
+    gap_tot = {r["url"]: r["g"] for r in
+               downtime_gaps(df, lease).groupBy("url")
+               .agg(F.sum("gap_us").alias("g")).collect()}
+    span = {k: max(t for u, t in rows if u == k)
+            - min(t for u, t in rows if u == k) + lease
+            for k in ("a", "b")}
+    for k in ("a", "b"):
+        assert up_tot[k] + gap_tot.get(k, 0) == span[k]
