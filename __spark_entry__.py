@@ -2260,6 +2260,31 @@ def q_ts_gap_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return downtime_gaps(series, lease_us=30 * 60 * 1_000_000, k=3)
 
 
+def q_ts_ohlc_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC candlesticks (series.ohlc) per (url_prefix, lang):
+    open/close selected by lexicographic (ts, value) struct min/max —
+    deterministic under duplicate timestamps, where bare min_by/
+    arg_min tie-break arbitrarily in BOTH engines — plus exact
+    high/low/count. Every emitted number is an existing parquet
+    double (selection, not arithmetic), so the projection hashes
+    bit-stable. The SQL oracle replays the same ordering via DuckDB's
+    lexicographic list min/max. Reference analogue: describe stats
+    (mtscomp.py:1131-1150) extended to first/last order semantics."""
+    from mtslake.series import ohlc, url_prefix
+
+    hour_us = 3_600_000_000
+    series = events_to_series(_events(spark, sf_dir))
+    keyed = series.select(
+        url_prefix().alias("url_prefix"),
+        "lang",
+        (F.col(TS_COL) - F.pmod(F.col(TS_COL), F.lit(hour_us)))
+        .alias("bucket_us"),
+        TS_COL,
+        "value",
+    )
+    return ohlc(keyed, ["url_prefix", "lang", "bucket_us"])
+
+
 def q_doc_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted HITS hubs/authorities (graph.hits, 10 rounds,
     per-round L2 normalization in-plan) over the deterministic host
@@ -2771,6 +2796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # next round's never-graded priority block.
         "ts_corr_weekly": q_ts_corr_weekly,
         "ts_gap_topk": q_ts_gap_topk,
+        "ts_ohlc_1h": q_ts_ohlc_1h,
         # The two CHANGED-path queries left outside are
         # doc_cluster_chain (a synthetic-chain fixture whose code path
         # doc_cluster_components grades on the REAL near-dup graph)
@@ -3166,6 +3192,20 @@ def oracle_sql() -> dict[str, str]:
                              AS DECIMAL(38,18)) AS VARCHAR) AS sxy
             FROM events
             WHERE props IS NOT NULL AND value IS NOT NULL
+            GROUP BY 1, 2, 3
+        """,
+        # identical (ts, value) lexicographic selection replay
+        # (see q_ts_ohlc_1h; DuckDB lists compare lexicographically
+        # and ts < 2^53 is double-exact)
+        "ts_ohlc_1h": f"""
+            SELECT {_PREFIX} AS url_prefix, 'en' AS lang,
+                   epoch_us(ts) - epoch_us(ts) % 3600000000 AS bucket_us,
+                   CAST(count(*) AS BIGINT) AS n,
+                   MIN([CAST(epoch_us(ts) AS DOUBLE), value])[2] AS open,
+                   MAX(value) AS high,
+                   MIN(value) AS low,
+                   MAX([CAST(epoch_us(ts) AS DOUBLE), value])[2] AS close
+            FROM events WHERE value IS NOT NULL
             GROUP BY 1, 2, 3
         """,
         # identical session/island/lead/rank replay (see q_ts_gap_topk)

@@ -433,3 +433,41 @@ def corr_stats(
             F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
         ),
     )
+
+
+def ohlc(
+    df: DataFrame,
+    keys: list,
+    ts_col: str = TS_COL,
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key OHLC (open/high/low/close) — the candlestick aggregate
+    every financial/metrics dashboard draws; open/close are the
+    bucket's first/last observed values.
+
+    First/last selection is ORDER-STRUCT min/max:
+    ``min(struct(ts, value)).value`` — lexicographic struct comparison
+    makes duplicate timestamps deterministic (earliest ts, tie → the
+    SMALLER value opens; latest ts, tie → the LARGER value closes),
+    unlike bare ``min_by``/``arg_min`` whose tie choice is
+    unspecified in both Spark and DuckDB. Every emitted number is an
+    existing input double (pure selection, no arithmetic) — bit-stable
+    across engines. NULL values are excluded (a NULL inside the
+    ordering struct would poison the comparison).
+
+    One groupBy with a map-side partial phase — min/max of a 2-field
+    struct combines like any min/max (Spark plans it as SortAggregate
+    since struct keys aren't hash-aggregable, but the partial/final
+    split and the single narrow shuffle of four numbers + count per
+    key are the same; plan-asserted in tests).
+    """
+    pair = df.where(F.col(value_col).isNotNull())
+    o_struct = F.struct(F.col(ts_col).alias("t"),
+                        F.col(value_col).alias("v"))
+    return pair.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("n"),
+        F.min(o_struct)["v"].alias("open"),
+        F.max(value_col).alias("high"),
+        F.min(value_col).alias("low"),
+        F.max(o_struct)["v"].alias("close"),
+    )

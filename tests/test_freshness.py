@@ -434,3 +434,41 @@ def test_corr_stats_null_pairs_and_degenerate(spark):
     got = {r["k"]: r for r in corr_stats(df, ["k"], "x", "y").collect()}
     assert got["a"]["n"] == 1          # only the complete pair
     assert got["b"]["r"] is None       # x variance 0 -> sqrt(0) divisor
+
+
+def test_ohlc_selection_and_duplicate_ts(spark):
+    """open/close pick first/last by ts with the (ts, value) struct
+    tiebreak: at a duplicated opening instant the SMALLER value opens;
+    at a duplicated closing instant the LARGER value closes."""
+    from mtslake.series import ohlc
+
+    df = spark.createDataFrame(
+        [("a", 10, 5.0), ("a", 10, 3.0),     # open tie -> 3.0
+         ("a", 50, 1.0),
+         ("a", 90, 7.0), ("a", 90, 9.0),     # close tie -> 9.0
+         ("b", 5, 2.0)],
+        "k string, ts_us long, value double",
+    )
+    got = {r["k"]: (r["n"], r["open"], r["high"], r["low"], r["close"])
+           for r in ohlc(df, ["k"]).collect()}
+    assert got["a"] == (5, 3.0, 9.0, 1.0, 9.0)
+    assert got["b"] == (1, 2.0, 2.0, 2.0, 2.0)
+
+
+def test_ohlc_nulls_excluded_and_partial_agg(spark):
+    """NULL values never reach the ordering struct; the aggregation is
+    map-side partial (struct min/max combine like any min/max)."""
+    from mtslake.series import ohlc
+
+    df = spark.createDataFrame(
+        [("a", 1, None), ("a", 2, 4.0), ("a", 3, None)],
+        "k string, ts_us long, value double",
+    )
+    [row] = ohlc(df, ["k"]).collect()
+    assert (row["n"], row["open"], row["close"]) == (1, 4.0, 4.0)
+    # struct min/max is not hash-aggregable, so Spark plans
+    # SortAggregate — but still with a map-side partial phase and a
+    # single exchange
+    plan = ohlc(df, ["k"])._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min(struct" in plan, plan
+    assert plan.count("Exchange") == 1, plan
