@@ -2285,6 +2285,70 @@ def q_ts_ohlc_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ohlc(keyed, ["url_prefix", "lang", "bucket_us"])
 
 
+def q_ts_cms_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency-sketch tier (rollup.cms_rollup /
+    cms_from_tier / cms_estimate): long-format exact integer counters
+    (bucket, d, slot, cnt), merged 1h→1d by plain SUM. Validity
+    construction (the doc_pagerank pattern — the sketch hash is not
+    SQL-replayable, so the query PROVES the guarantees in-plan and
+    the oracle derives the exact parts by formula): per day bucket,
+    (a) ``n_under`` — keys whose merged-tier estimate is below their
+    true count — must be 0 (CMS never underestimates: hard
+    guarantee); (b) ``merge_mismatch`` — counters where the 1h→1d
+    SUM-merge differs from sketching the day directly — must be 0
+    (the CMS matrix is linear); (c) ``n_keys``/``n_total`` — exact
+    per-day distinct-key and event totals the oracle recomputes
+    independently. Any defect in hashing, slotting, merging, or the
+    min-read breaks (a), (b), or both."""
+    from mtslake.rollup import cms_estimate, cms_from_tier, cms_rollup
+
+    day_us = 86_400_000_000
+    series = events_to_series(_events(spark, sf_dir))
+    cms_1h = cms_rollup(series, "1h", key_col="url")
+    merged = cms_from_tier(cms_1h, "1d")
+    direct = cms_rollup(series, "1d", key_col="url")
+
+    mm = (
+        merged.alias("a")
+        .join(direct.alias("b"), ["bucket_us", "d", "slot"], "full_outer")
+        .where(~F.col("a.cnt").eqNullSafe(F.col("b.cnt")))
+        .count()
+    )  # metadata-scale: ≤ days·depth·width rows ever compared
+
+    probes = series.select("url").distinct()
+    est = cms_estimate(merged, probes, key_col="url")
+    exact = (
+        series.select(
+            (F.col(TS_COL) - F.pmod(F.col(TS_COL), F.lit(day_us)))
+            .alias("bucket_us"),
+            "url",
+        )
+        .groupBy("bucket_us", "url")
+        .agg(F.count("*").alias("true_cnt"))
+    )
+    j = est.join(exact, ["bucket_us", "url"], "full_outer")
+    return (
+        j.groupBy("bucket_us")
+        .agg(
+            F.sum(
+                F.when(F.col("true_cnt").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("n_keys"),
+            F.sum(
+                F.when(
+                    F.coalesce(F.col("est"), F.lit(0))
+                    < F.coalesce(F.col("true_cnt"), F.lit(0)),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_under"),
+            F.sum(F.coalesce(F.col("true_cnt"), F.lit(0)))
+            .cast("long").alias("n_total"),
+        )
+        .withColumn("merge_mismatch", F.lit(mm).cast("long"))
+        .select("bucket_us", "n_keys", "n_under", "merge_mismatch",
+                "n_total")
+    )
+
+
 def q_doc_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted HITS hubs/authorities (graph.hits, 10 rounds,
     per-round L2 normalization in-plan) over the deterministic host
@@ -2797,6 +2861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_corr_weekly": q_ts_corr_weekly,
         "ts_gap_topk": q_ts_gap_topk,
         "ts_ohlc_1h": q_ts_ohlc_1h,
+        "ts_cms_daily": q_ts_cms_daily,
         # The two CHANGED-path queries left outside are
         # doc_cluster_chain (a synthetic-chain fixture whose code path
         # doc_cluster_components grades on the REAL near-dup graph)
@@ -3193,6 +3258,17 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE props IS NOT NULL AND value IS NOT NULL
             GROUP BY 1, 2, 3
+        """,
+        # validity flags derived by formula; n_keys/n_total recomputed
+        # independently (see q_ts_cms_daily)
+        "ts_cms_daily": """
+            SELECT epoch_us(ts) - epoch_us(ts) % 86400000000
+                       AS bucket_us,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys,
+                   CAST(0 AS BIGINT) AS n_under,
+                   CAST(0 AS BIGINT) AS merge_mismatch,
+                   CAST(COUNT(*) AS BIGINT) AS n_total
+            FROM events GROUP BY 1
         """,
         # identical (ts, value) lexicographic selection replay
         # (see q_ts_ohlc_1h; DuckDB lists compare lexicographically

@@ -602,3 +602,105 @@ def seasonal_profile(
             ).alias("mean_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min frequency-sketch tier (long format: exact integer counters)
+# ---------------------------------------------------------------------------
+
+def _cms_slot(key_col, depth_col, width: int) -> F.Column:
+    """Row-d hash slot for a key: xxhash64 chained with the depth index
+    as the per-row seed, reduced mod width — JVM-side, one expression."""
+    return F.pmod(F.xxhash64(key_col, depth_col), F.lit(int(width)))
+
+
+def cms_rollup(series: DataFrame, tier: str, key_col: str = "url",
+               width: int = 512, depth: int = 4) -> DataFrame:
+    """Frequency-sketch continuous aggregate — "how often did key X
+    appear in bucket B" without storing per-key counts — as a
+    LONG-FORMAT Count-Min sketch (Cormode & Muthukrishnan 2005):
+    rows ``(bucket_us, d, slot, cnt)`` where ``cnt`` is the EXACT
+    integer counter of hash row ``d``, slot ``h_d(key) % width``.
+
+    Long format instead of a binary blob on purpose: counters stay
+    JVM-side integers, so the tier MERGES by plain ``SUM`` group-by
+    (``cms_from_tier`` — bit-exact, the decimal-sum story applied to a
+    sketch), is partial-aggregated map-side, prunes by bucket like any
+    tier, and needs no UDF anywhere. Size per bucket ≤ depth·width
+    rows regardless of key cardinality — that is the sketch's point at
+    10¹² keys.
+
+    Scale shape: the heavy aggregation is per-(bucket, key) COUNT
+    first (one shuffle over real data); the d-way explode runs over
+    the DISTINCT keys of that aggregate, so its cost is
+    O(distinct · depth), never O(events · depth).
+    """
+    b = bucket_expr(TS_COL, tier)
+    per_key = (
+        series.select(b.alias("bucket_us"), F.col(key_col).alias("_k"))
+        .groupBy("bucket_us", "_k")
+        .agg(F.count("*").alias("_c"))
+    )
+    e = per_key.withColumn(
+        "_d", F.explode(F.sequence(F.lit(0), F.lit(int(depth) - 1)))
+    ).withColumn("_d", F.col("_d").cast("long"))
+    return (
+        e.groupBy(
+            "bucket_us",
+            F.col("_d").alias("d"),
+            _cms_slot(F.col("_k"), F.col("_d"), width).alias("slot"),
+        )
+        .agg(F.sum("_c").cast("long").alias("cnt"))
+    )
+
+
+def cms_from_tier(tier_df: DataFrame, to_tier: str) -> DataFrame:
+    """Coarser CMS tier from a finer one: counters ADD (the Count-Min
+    matrix is linear), so merged counters are bit-identical to
+    sketching the raw points at the coarse tier directly — asserted by
+    the contract query's merge flag and pytest."""
+    return (
+        tier_df.groupBy(
+            bucket_expr("bucket_us", to_tier).alias("bucket_us"),
+            "d", "slot",
+        )
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(cms: DataFrame, probes: DataFrame,
+                 key_col: str = "key", width: int = 512,
+                 depth: int = 4) -> DataFrame:
+    """Point-frequency estimates for a probe key set: min over the
+    sketch's depth rows of the probed counter — the classic CMS read.
+    NEVER underestimates (every counter ≥ the key's true count);
+    overestimation is bounded by collisions (≈ 2N/width w.h.p.).
+
+    Plan shape: probes explode to depth rows, broadcast-or-shuffle
+    join against the (bucket_us, d, slot)-keyed counters, then a
+    min-groupBy per (bucket, key). The long format stores NO zero
+    rows, so a probe that matches fewer than ``depth`` rows in a
+    bucket has hit an absent — i.e. zero — counter: its min, and
+    therefore its estimate, is exactly 0 (the key certainly never
+    appeared in that bucket). Only keys matching all ``depth`` rows
+    take min(cnt).
+    """
+    p = probes.select(F.col(key_col).alias("_k")).distinct().withColumn(
+        "_d", F.explode(F.sequence(F.lit(0), F.lit(int(depth) - 1)))
+    ).withColumn("_d", F.col("_d").cast("long")).withColumn(
+        "slot", _cms_slot(F.col("_k"), F.col("_d"), width)
+    )
+    j = cms.join(
+        p,
+        (cms["d"] == p["_d"]) & (cms["slot"] == p["slot"]),
+        "inner",
+    ).select("bucket_us", "_k", "d", "cnt")
+    est = j.groupBy("bucket_us", F.col("_k").alias(key_col)).agg(
+        F.min("cnt").cast("long").alias("est"),
+        F.count("*").cast("long").alias("_rows"),
+    )
+    return est.withColumn(
+        "est",
+        F.when(F.col("_rows") == F.lit(int(depth)), F.col("est"))
+        .otherwise(F.lit(0).cast("long")),
+    ).drop("_rows")

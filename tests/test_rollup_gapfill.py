@@ -772,3 +772,64 @@ def test_time_weighted_matches_arithmetic_mean_when_regular(spark):
     ])
     [row] = gapfill.time_weighted(df, "1h").collect()
     assert row["twa"] == pytest.approx(sum(vals) / len(vals))
+
+
+def _cms_series(spark, rows):
+    return spark.createDataFrame(rows, "url string, ts_us long")
+
+
+def test_cms_never_underestimates_and_exact_when_wide(spark):
+    """With width >> keys the sketch is collision-free: every estimate
+    equals the true count. With a tiny width collisions overestimate,
+    but NEVER underestimate — the CMS hard guarantee."""
+    rows = ([("a", i) for i in range(5)] + [("b", i) for i in range(3)]
+            + [("c", 7)])
+    df = _cms_series(spark, rows)
+    true = {"a": 5, "b": 3, "c": 1}
+    for width in (512, 2):
+        cms = rollup.cms_rollup(df, "1h", key_col="url", width=width)
+        probes = df.select("url").distinct()
+        est = {r["url"]: r["est"]
+               for r in rollup.cms_estimate(cms, probes, key_col="url",
+                                            width=width).collect()}
+        for k, t in true.items():
+            assert est[k] >= t, (width, k)
+            if width == 512:
+                assert est[k] == t, k
+
+
+def test_cms_merge_is_bit_exact(spark):
+    """SUM-merging hourly sketches to a day equals sketching the day
+    directly — counter-level equality (the linearity claim)."""
+    HOUR = 3_600_000_000
+    rows = [("a", i * HOUR // 4) for i in range(16)] + \
+           [("b", 5 * HOUR + 17), ("b", 30 * HOUR)]
+    df = _cms_series(spark, rows)
+    merged = rollup.cms_from_tier(
+        rollup.cms_rollup(df, "1h", key_col="url"), "1d")
+    direct = rollup.cms_rollup(df, "1d", key_col="url")
+    a = {(r["bucket_us"], r["d"], r["slot"]): r["cnt"]
+         for r in merged.collect()}
+    b = {(r["bucket_us"], r["d"], r["slot"]): r["cnt"]
+         for r in direct.collect()}
+    assert a == b
+
+
+def test_cms_absent_key_sparse_zero_read(spark):
+    """A probe key that never appeared in a bucket reads 0 whenever
+    any of its depth counters is absent (no zero rows are stored) —
+    and its estimate can only exceed 0 through genuine collisions."""
+    df = _cms_series(spark, [("a", 0)])
+    cms = rollup.cms_rollup(df, "1h", key_col="url", width=512)
+    probes = spark.createDataFrame([("zzz-never-seen",)], "url string")
+    out = rollup.cms_estimate(cms, probes, key_col="url").collect()
+    assert all(r["est"] == 0 for r in out)
+
+
+def test_cms_bounded_rows_per_bucket(spark):
+    """The sketch's point: rows per bucket are capped by depth·width
+    regardless of key cardinality."""
+    rows = [(f"u{i}", 0) for i in range(500)]
+    df = _cms_series(spark, rows)
+    cms = rollup.cms_rollup(df, "1h", key_col="url", width=16, depth=4)
+    assert cms.count() <= 4 * 16
