@@ -445,6 +445,49 @@ def q_ts_stream_rollup_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def q_ts_stream_ohlc_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming candlesticks (streaming.streaming_ohlc) graded with a
+    TRUE SQL oracle: events replayed through readStream → watermark →
+    tumbling 1h OHLC (the SAME (ts, value) struct-ordered open/close
+    selection as batch series.ohlc) → append-mode parquet sink.
+    Append emits only watermark-sealed windows; both sides restrict
+    to buckets two full hours before max(ts) — strictly inside the
+    emitted set — so a hash match proves sealed streaming candles are
+    bit-identical to the batch aggregate over the same rows."""
+    import shutil
+    import tempfile
+
+    from mtslake.streaming import streaming_ohlc
+
+    hour_us = 3_600_000_000
+    series = events_to_series(_events(spark, sf_dir))
+    tmp = tempfile.mkdtemp(prefix="mtslake_stream_ohlc_")
+    src, out, ck = (os.path.join(tmp, d) for d in ("src", "out", "ck"))
+    series.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(series.schema).parquet(src)
+    candles = streaming_ohlc(stream, tier="1h", watermark="0 seconds")
+    q = (
+        candles.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    max_ts = int(series.agg(F.max(TS_COL)).first()[0])
+    sealed = spark.read.parquet(out).filter(
+        F.col("bucket_us") + 2 * hour_us <= F.lit(max_ts)
+    )
+    result = sealed.select(
+        "url_prefix", "lang", "bucket_us", "n",
+        "open", "high", "low", "close",
+    )
+    rows, schema = result.collect(), result.schema
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 def q_ts_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming session windows (F.session_window) graded with a TRUE
     SQL oracle: the events series replayed through readStream →
@@ -2862,6 +2905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_gap_topk": q_ts_gap_topk,
         "ts_ohlc_1h": q_ts_ohlc_1h,
         "ts_cms_daily": q_ts_cms_daily,
+        "ts_stream_ohlc_1h": q_ts_stream_ohlc_1h,
         # The two CHANGED-path queries left outside are
         # doc_cluster_chain (a synthetic-chain fixture whose code path
         # doc_cluster_components grades on the REAL near-dup graph)
@@ -3258,6 +3302,21 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE props IS NOT NULL AND value IS NOT NULL
             GROUP BY 1, 2, 3
+        """,
+        # batch OHLC restricted to the watermark-sealed buckets
+        # (see q_ts_stream_ohlc_1h)
+        "ts_stream_ohlc_1h": f"""
+            SELECT {_PREFIX} AS url_prefix, 'en' AS lang,
+                   epoch_us(ts) - epoch_us(ts) % 3600000000 AS bucket_us,
+                   CAST(count(*) AS BIGINT) AS n,
+                   MIN([CAST(epoch_us(ts) AS DOUBLE), value])[2] AS open,
+                   MAX(value) AS high,
+                   MIN(value) AS low,
+                   MAX([CAST(epoch_us(ts) AS DOUBLE), value])[2] AS close
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2, 3
+            HAVING bucket_us + 2 * 3600000000 <=
+                   (SELECT MAX(epoch_us(ts)) FROM events)
         """,
         # validity flags derived by formula; n_keys/n_total recomputed
         # independently (see q_ts_cms_daily)

