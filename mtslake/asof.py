@@ -30,7 +30,24 @@ def asof_join(
     right_cols: list[str] | None = None,
     tolerance_us: int | None = None,
     suffix: str = "_r",
+    direction: str = "backward",
 ) -> DataFrame:
+    """``direction`` (pandas.merge_asof parity):
+
+    * ``backward`` (default) — latest right row at or before the left
+      row (the TSDB "state as of" read).
+    * ``forward`` — earliest right row at or after it.
+    * ``nearest`` — whichever of those is closer in time; exact ties
+      resolve BACKWARD (deterministic).
+
+    All three run in the same single-shuffle union plan: forward adds
+    a second window over the SAME (key) partition with the frame
+    reversed (an extra partition-local sort, no extra exchange);
+    nearest computes both fills and selects per row. ``tolerance_us``
+    bounds |ts_l − ts_r| in every direction.
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown asof direction: {direction!r}")
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (key, ts)]
 
@@ -62,18 +79,55 @@ def asof_join(
             f"{ts}{suffix}",
         )
     )
-    w = (
+    cols = [*[f"{c}{suffix}" for c in right_cols], f"{ts}{suffix}"]
+    # backward: right (side 0) sorts BEFORE left at equal ts, so an
+    # equal-ts right row is inside [unboundedPreceding, current] —
+    # "at or before". forward mirrors it: left sorts first, frame
+    # [current, unboundedFollowing] — "at or after".
+    wb = (
         W.partitionBy(key)
         .orderBy(ts, "_side")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    wf = (
+        W.partitionBy(key)
+        .orderBy(ts, F.desc("_side"))
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
     filled = union
-    for c in [*[f"{c}{suffix}" for c in right_cols], f"{ts}{suffix}"]:
-        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    out = filled.filter(F.col("_side") == 1).drop("_side")
+    if direction in ("backward", "nearest"):
+        for c in cols:
+            filled = filled.withColumn(
+                f"_b{c}", F.last(c, ignorenulls=True).over(wb)
+            )
+    if direction in ("forward", "nearest"):
+        for c in cols:
+            filled = filled.withColumn(
+                f"_f{c}", F.first(c, ignorenulls=True).over(wf)
+            )
+    out = filled.filter(F.col("_side") == 1)
+    if direction == "nearest":
+        bts, fts = F.col(f"_b{ts}{suffix}"), F.col(f"_f{ts}{suffix}")
+        pick_b = fts.isNull() | (
+            bts.isNotNull() & (F.col(ts) - bts <= fts - F.col(ts))
+        )
+        for c in cols:
+            out = out.withColumn(
+                c, F.when(pick_b, F.col(f"_b{c}")).otherwise(F.col(f"_f{c}"))
+            )
+    else:
+        pre = "_b" if direction == "backward" else "_f"
+        for c in cols:
+            out = out.withColumn(c, F.col(f"{pre}{c}"))
+    out = out.drop(
+        "_side", *[f"_b{c}" for c in cols], *[f"_f{c}" for c in cols]
+    )
     if tolerance_us is not None:
-        stale = F.col(ts) - F.col(f"{ts}{suffix}") > F.lit(int(tolerance_us))
-        for c in [*[f"{c}{suffix}" for c in right_cols], f"{ts}{suffix}"]:
+        stale = (
+            F.abs(F.col(ts) - F.col(f"{ts}{suffix}"))
+            > F.lit(int(tolerance_us))
+        )
+        for c in cols:
             out = out.withColumn(
                 c, F.when(stale, F.lit(None)).otherwise(F.col(c))
             )

@@ -105,3 +105,70 @@ def test_asof_join_randomized_vs_merge_asof(spark):
         )
 
     assert canon(got, "px_r") == canon(exp, "px")
+
+
+def test_asof_forward_and_nearest_hand_case(spark):
+    left = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("a", 35), ("b", 5), ("b", 50)],
+        "url string, ts_us long",
+    )
+    right = spark.createDataFrame(
+        [("a", 10, 1.0), ("a", 30, 2.0), ("b", 40, 3.0)],
+        "url string, ts_us long, px double",
+    )
+    fwd = {
+        (r["url"], r["ts_us"]): (r["px_r"], r["ts_us_r"])
+        for r in asof_join(left, right, direction="forward").collect()
+    }
+    assert fwd == {
+        ("a", 10): (1.0, 10),     # equal ts counts ('at or after')
+        ("a", 20): (2.0, 30),
+        ("a", 35): (None, None),  # nothing after -> null
+        ("b", 5): (3.0, 40),
+        ("b", 50): (None, None),
+    }
+    near = {
+        (r["url"], r["ts_us"]): (r["px_r"], r["ts_us_r"])
+        for r in asof_join(left, right, direction="nearest").collect()
+    }
+    assert near == {
+        ("a", 10): (1.0, 10),
+        ("a", 20): (1.0, 10),     # tie |20-10| == |20-30| -> backward
+        ("a", 35): (2.0, 30),
+        ("b", 5): (3.0, 40),
+        ("b", 50): (3.0, 40),
+    }
+
+
+def test_asof_directions_match_pandas(spark):
+    """Randomized cross-check of all three directions (and tolerance)
+    against pandas.merge_asof; timestamps are made tie-free so the
+    nearest comparison is engine-independent."""
+    import random
+
+    rng = random.Random(77)
+    lts = sorted(rng.sample(range(0, 20000, 2), 120))     # even ts
+    rts = sorted(rng.sample(range(1, 20001, 2), 60))      # odd ts
+    left = spark.createDataFrame([("k", t) for t in lts],
+                                 "url string, ts_us long")
+    right = spark.createDataFrame([("k", t, float(t % 97)) for t in rts],
+                                  "url string, ts_us long, px double")
+    lpd = pd.DataFrame({"url": "k", "ts_us": lts})
+    rpd = pd.DataFrame({"url": "k", "ts_us": rts,
+                        "px": [float(t % 97) for t in rts]})
+    for direction in ("backward", "forward", "nearest"):
+        for tol in (None, 500):
+            got = {
+                r["ts_us"]: r["px_r"]
+                for r in asof_join(left, right, direction=direction,
+                                   tolerance_us=tol).collect()
+            }
+            want_df = pd.merge_asof(
+                lpd, rpd, on="ts_us", by="url", direction=direction,
+                tolerance=tol,
+            )
+            want = {
+                int(t): (None if pd.isna(p) else float(p))
+                for t, p in zip(want_df["ts_us"], want_df["px"])
+            }
+            assert got == want, (direction, tol)
