@@ -248,3 +248,65 @@ def drift_stats(
             6,
         ).alias("pooled_drift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incrementally-maintained per-url freshness stats (materialized view)
+# ---------------------------------------------------------------------------
+
+N_STAT_BUCKETS = 64
+
+
+def _stat_bucket(url_col, n_buckets: int) -> F.Column:
+    return F.pmod(F.xxhash64(F.col(url_col)), F.lit(int(n_buckets)))
+
+
+def write_change_stats(pages: DataFrame, stats_path: str,
+                       n_buckets: int = N_STAT_BUCKETS) -> None:
+    """Full build of the persisted change-stats table, hash-bucketed
+    by url so nightly refreshes can overwrite only touched buckets."""
+    cs = change_stats(pages).withColumn(
+        "_bkt", _stat_bucket("url", n_buckets)
+    )
+    cs.write.mode("overwrite").partitionBy("_bkt").parquet(stats_path)
+
+
+def refresh_change_stats(
+    spark,
+    all_pages: DataFrame,
+    new_pages: DataFrame,
+    stats_path: str,
+    n_buckets: int = N_STAT_BUCKETS,
+) -> dict:
+    """Incremental maintenance of the change-stats view after a
+    snapshot batch lands (the refresh_tiers / incremental-dedup-index
+    pattern applied to freshness): recompute stats ONLY for urls
+    present in the batch — their full history, read from the pages
+    table pruned by url — and rewrite ONLY the hash buckets those
+    urls live in, via write-scoped dynamic partition overwrite.
+    Untouched urls sharing a rewritten bucket are CARRIED OVER from
+    the existing table (their stats are unchanged by definition —
+    zero recompute, zero history scan for them).
+
+    Work is O(touched urls' history + touched buckets' stat rows),
+    never O(corpus) — provably equivalent to a full rebuild (pytest).
+    Returns {"touched_urls", "touched_buckets"} counts for lineage.
+    """
+    touched = new_pages.select("url").distinct()
+    fresh = change_stats(
+        all_pages.join(F.broadcast(touched), "url", "left_semi")
+    ).withColumn("_bkt", _stat_bucket("url", n_buckets))
+
+    bkts = [r["_bkt"] for r in
+            touched.select(_stat_bucket("url", n_buckets).alias("_bkt"))
+            .distinct().collect()]  # metadata-scale: ≤ n_buckets ints
+    existing = spark.read.parquet(stats_path)
+    carry = (
+        existing.where(F.col("_bkt").isin(bkts))
+        .join(F.broadcast(touched), "url", "left_anti")
+    )
+    out = carry.unionByName(fresh.select(*carry.columns))
+    out.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("_bkt").parquet(stats_path)
+    return {"touched_urls": touched.count(), "touched_buckets": len(bkts)}

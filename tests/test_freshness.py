@@ -472,3 +472,62 @@ def test_ohlc_nulls_excluded_and_partial_agg(spark):
     plan = ohlc(df, ["k"])._jdf.queryExecution().executedPlan().toString()
     assert "partial_min(struct" in plan, plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_refresh_change_stats_equals_full_rebuild(spark, tmp_path):
+    """Incremental refresh after a snapshot batch must equal a full
+    rebuild EXACTLY, while rewriting only the touched hash buckets
+    (untouched bucket directories keep their files byte-for-byte)."""
+    import os
+
+    from mtslake.freshness import (change_stats, refresh_change_stats,
+                                   write_change_stats)
+
+    p1 = _pages(spark, [
+        (f"u{i}", 100 * i + j, f"doc {i} v{j // 2}")
+        for i in range(30) for j in range(4)
+    ])
+    stats_path = str(tmp_path / "stats")
+    write_change_stats(p1, stats_path, n_buckets=8)
+
+    # batch touches 3 urls: two with new versions, one brand-new
+    batch = _pages(spark, [
+        ("u3", 1000, "doc 3 v9"), ("u7", 1001, "doc 7 v9"),
+        ("brand-new", 5, "hello"),
+    ])
+    all_pages = p1.unionByName(batch)
+
+    before = {}
+    for d in os.listdir(stats_path):
+        if d.startswith("_bkt="):
+            full = os.path.join(stats_path, d)
+            before[d] = sorted(
+                (f, os.path.getmtime(os.path.join(full, f)))
+                for f in os.listdir(full) if f.endswith(".parquet")
+            )
+
+    info = refresh_change_stats(spark, all_pages, batch, stats_path,
+                                n_buckets=8)
+    assert info["touched_urls"] == 3
+
+    got = {r["url"]: (r["n_snapshots"], r["n_changes"])
+           for r in spark.read.parquet(stats_path).collect()}
+    want = {r["url"]: (r["n_snapshots"], r["n_changes"])
+            for r in change_stats(all_pages).collect()}
+    assert got == want
+
+    from mtslake.freshness import _stat_bucket
+    from pyspark.sql import functions as F_
+    touched_bkts = {
+        r[0] for r in batch.select(_stat_bucket("url", 8)).distinct()
+        .collect()
+    }
+    for d, files in before.items():
+        bkt = int(d.split("=")[1])
+        if bkt not in touched_bkts:
+            full = os.path.join(stats_path, d)
+            after = sorted(
+                (f, os.path.getmtime(os.path.join(full, f)))
+                for f in os.listdir(full) if f.endswith(".parquet")
+            )
+            assert after == files, f"untouched bucket {d} was rewritten"
