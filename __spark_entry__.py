@@ -984,6 +984,45 @@ def q_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted Bernoulli sampling
+    (sessions.weighted_sample): documents kept with probability equal
+    to a deterministic quality proxy (length-based, clamped to
+    [0, 1]), decided by the same stable per-id xxhash64 uniform
+    family as hash_split. Graded like doc_split: every document's
+    keep decision is recomputed through the independent pure-Python
+    xxhash64 twin and compared — n_mismatch must be 0; n_docs and
+    n_kept-bounds come from the oracle side too (kept ≤ docs)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from mtslake.hashing import spark_xxhash64_longs
+    from mtslake.sessions import SAMPLE_RESOLUTION, weighted_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    w = F.least(F.lit(1.0), F.length("text").cast("double") / F.lit(800.0))
+    weighted = docs.withColumn("_w", w)
+    kept = weighted_sample(weighted, "_w", id_col="doc_id", seed=0)
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    b_kept = spark.sparkContext.broadcast(kept_ids)
+
+    @pandas_udf("int")
+    def py_mismatch(ids: pd.Series, ws: pd.Series) -> pd.Series:
+        out = []
+        for i, wt in zip(ids, ws):
+            u = (spark_xxhash64_longs(int(i), 0) % SAMPLE_RESOLUTION) \
+                / SAMPLE_RESOLUTION
+            out.append(int((u < wt) != (int(i) in b_kept.value)))
+        return pd.Series(out)
+
+    checked = weighted.withColumn(
+        "_mm", py_mismatch(F.col("doc_id"), F.col("_w"))
+    )
+    return checked.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_mm").cast("long").alias("n_mismatch"),
+    )
+
+
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (distinct-word fraction,
     dominant word 2-gram and its occurrence share) — the repeated-
@@ -2935,6 +2974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_cms_daily": q_ts_cms_daily,
         "ts_stream_ohlc_1h": q_ts_stream_ohlc_1h,
         "ts_asof_nearest": q_ts_asof_nearest,
+        "doc_weighted_sample": q_doc_weighted_sample,
         # The two CHANGED-path queries left outside are
         # doc_cluster_chain (a synthetic-chain fixture whose code path
         # doc_cluster_components grades on the REAL near-dup graph)
@@ -4239,6 +4279,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         # independent-reimplementation validity (see q_doc_split)
         "doc_split": """
+            SELECT COUNT(*) AS n_docs, CAST(0 AS BIGINT) AS n_mismatch
+            FROM documents
+        """,
+        # keep-decision validity vs the pure-Python xxhash64 twin
+        # (see q_doc_weighted_sample)
+        "doc_weighted_sample": """
             SELECT COUNT(*) AS n_docs, CAST(0 AS BIGINT) AS n_mismatch
             FROM documents
         """,

@@ -316,3 +316,34 @@ def downtime_gaps(
     if k is not None:
         ranked = ranked.where(F.col("rank") <= int(k))
     return ranked
+
+
+SAMPLE_RESOLUTION = 1 << 20
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted Bernoulli sampling — the quality-
+    proportional downsampling pass of a training pipeline (keep
+    high-quality documents with probability ∝ their score): row kept
+    iff ``u(id) < weight``, where ``u = xxhash64(id, seed) mod 2^20 /
+    2^20`` is the same stable per-id uniform family hash_split draws
+    from. Like hash_split it is stateless and layout-independent:
+    re-runs, joins, and cluster re-partitioning keep exactly the same
+    rows, and the kept set is monotone in the weight (raising a doc's
+    score never evicts it).
+
+    Weights outside [0, 1] behave as clamped: w ≤ 0 keeps nothing,
+    w ≥ 1 keeps everything. NULL weights drop the row (a loud
+    upstream bug is better caught by count deltas than by silently
+    keeping).
+    """
+    u = F.pmod(
+        F.xxhash64(F.col(id_col), F.lit(int(seed)).cast("long")),
+        F.lit(SAMPLE_RESOLUTION),
+    ) / F.lit(float(SAMPLE_RESOLUTION))
+    return df.where(u < F.col(weight_col))

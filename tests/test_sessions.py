@@ -295,3 +295,33 @@ def test_downtime_gaps_complement_of_uptime(spark):
             for k in ("a", "b")}
     for k in ("a", "b"):
         assert up_tot[k] + gap_tot.get(k, 0) == span[k]
+
+
+def test_weighted_sample_properties(spark):
+    """Determinism, monotonicity in the weight, and edge weights."""
+    from mtslake.sessions import weighted_sample
+
+    df = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    lo = df.withColumn("w", F.lit(0.3))
+    hi = df.withColumn("w", F.lit(0.7))
+    kept_lo = {r["doc_id"] for r in
+               weighted_sample(lo, "w").select("doc_id").collect()}
+    kept_hi = {r["doc_id"] for r in
+               weighted_sample(hi, "w").select("doc_id").collect()}
+    # deterministic across evaluations
+    again = {r["doc_id"] for r in
+             weighted_sample(lo, "w").select("doc_id").collect()}
+    assert again == kept_lo
+    # monotone: raising the weight never evicts a kept row
+    assert kept_lo <= kept_hi
+    # rates roughly proportional (hash-uniform)
+    assert 0.25 < len(kept_lo) / 4000 < 0.35
+    assert 0.65 < len(kept_hi) / 4000 < 0.75
+    # edge weights
+    zero = df.withColumn("w", F.lit(0.0))
+    one = df.withColumn("w", F.lit(1.0))
+    assert weighted_sample(zero, "w").count() == 0
+    assert weighted_sample(one, "w").count() == 4000
+    # NULL weight drops the row
+    nw = df.withColumn("w", F.lit(None).cast("double"))
+    assert weighted_sample(nw, "w").count() == 0
