@@ -2965,9 +2965,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_cluster_components": q_doc_cluster_components,
         "doc_dedup_survivors": q_doc_dedup_survivors,
         # -- 51+: past the grading window this round ------------------
-        # The six ts_* queries below landed after the 50 slots filled;
-        # they head next round's never-graded priority block. All are
-        # green on tools/compare_oracle.py.
+        # The seven queries from ts_corr_weekly through
+        # doc_weighted_sample landed after the 50 slots filled; they
+        # head next round's never-graded priority block. All are green
+        # on tools/compare_oracle.py.
         "ts_corr_weekly": q_ts_corr_weekly,
         "ts_gap_topk": q_ts_gap_topk,
         "ts_ohlc_1h": q_ts_ohlc_1h,

@@ -1,0 +1,82 @@
+"""Analytics job: decoded series → dashboard read surfaces — OHLC
+candles, exact percentiles, LOCF time-weighted averages, cross-channel
+correlation — as parquet outputs next to the rollup tiers.
+
+spark-submit --py-files mtslake.zip mtslake/jobs/analytics.py \\
+    --store /data/lake --out /data/analytics \\
+    --tier 1h --quantiles 0.5,0.9,0.99
+
+Writes under ``--out`` (each selectable; default: all):
+  * ``ohlc/``       — per (url_prefix, lang, bucket) candles
+  * ``quantiles/``  — exact discrete percentiles of the float channel
+  * ``twa/``        — LOCF time-weighted average per url and bucket
+  * ``corr/``       — mergeable Pearson component sums
+    (n, Σx, Σy, Σx², Σy², Σxy) between n_chars and value + derived r
+
+All four are single-exchange plans per key (plan tests in
+tests/test_plans.py); the job is one decoded scan fanned into four
+key-partitioned passes.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import functions as F
+
+from mtslake.catalog import ChunkStore
+from mtslake.config import TIER_US
+from mtslake.gapfill import time_weighted
+from mtslake.jobs.common import base_parser, build_session
+from mtslake.read import read_range
+from mtslake.series import TS_COL, exact_quantiles, ohlc, url_prefix
+
+
+def main(argv=None) -> None:
+    p = base_parser("mtslake analytics surfaces")
+    p.add_argument("--out", required=True, help="output root")
+    p.add_argument("--tier", default="1h", help="bucket tier (1m/1h/1d)")
+    p.add_argument("--quantiles", default="0.5,0.9,0.99",
+                   help="comma-separated quantiles in (0,1]")
+    p.add_argument("--surfaces", default="ohlc,quantiles,twa,corr",
+                   help="comma-separated subset to compute")
+    args = p.parse_args(argv)
+    spark = build_session("mtslake-analytics", args)
+    store = ChunkStore(spark, args.store)
+    surfaces = {s.strip() for s in args.surfaces.split(",") if s.strip()}
+
+    series = read_range(store)
+    us = int(TIER_US[args.tier])
+    keyed = series.select(
+        url_prefix().alias("url_prefix"),
+        "lang",
+        (F.col(TS_COL) - F.pmod(F.col(TS_COL), F.lit(us)))
+        .alias("bucket_us"),
+        TS_COL, "url", "n_chars", "value",
+    )
+    keys = ["url_prefix", "lang", "bucket_us"]
+
+    if "ohlc" in surfaces:
+        out = ohlc(keyed, keys, ts_col=TS_COL, value_col="value")
+        out.write.mode("overwrite").parquet(f"{args.out}/ohlc")
+        print(f"ohlc buckets           {out.count()}")
+    if "quantiles" in surfaces:
+        qs = {f"p{int(float(q) * 100)}": float(q)
+              for q in args.quantiles.split(",") if q.strip()}
+        out = exact_quantiles(keyed, keys, "value", qs)
+        out.write.mode("overwrite").parquet(f"{args.out}/quantiles")
+        print(f"quantile buckets       {out.count()}")
+    if "twa" in surfaces:
+        out = time_weighted(series, args.tier, keys=["url"])
+        out.write.mode("overwrite").parquet(f"{args.out}/twa")
+        print(f"twa buckets            {out.count()}")
+    if "corr" in surfaces:
+        from mtslake.series import corr_stats
+
+        out = corr_stats(keyed, keys, "n_chars", "value")
+        out.write.mode("overwrite").parquet(f"{args.out}/corr")
+        print(f"corr groups            {out.count()}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

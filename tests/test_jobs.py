@@ -433,3 +433,33 @@ def test_freshness_job(spark, tmp_path, capsys):
     # uptime per bucket can never exceed the bucket
     assert up.agg(F.max("uptime_us")).collect()[0][0] <= 3_600_000_000
     assert "uptime buckets" in capsys.readouterr().out
+
+
+def test_analytics_job(spark, tmp_path, capsys):
+    from mtslake.jobs import analytics as job_analytics
+    from mtslake.jobs import compress as job_compress2
+    from mtslake.jobs import ingest as job_ingest4
+
+    store = str(tmp_path / "lake")
+    job_ingest4.main(["--store", store, "--n-urls", "8", "--snapshots", "24",
+                      "--hot", "0"])
+    job_compress2.main(["--store", store, "--job-id", "a1"])
+    out = str(tmp_path / "analytics")
+    job_analytics.main(["--store", store, "--out", out, "--tier", "1h",
+                        "--quantiles", "0.5,0.9"])
+    oh = spark.read.parquet(f"{out}/ohlc")
+    assert oh.count() > 0
+    assert {"open", "high", "low", "close"} <= set(oh.columns)
+    # candles are internally consistent
+    bad = oh.where((F.col("low") > F.col("high"))
+                   | (F.col("open") > F.col("high"))
+                   | (F.col("close") < F.col("low"))).count()
+    assert bad == 0
+    q = spark.read.parquet(f"{out}/quantiles")
+    assert {"p50", "p90"} <= set(q.columns)
+    assert q.where(F.col("p50") > F.col("p90")).count() == 0
+    tw = spark.read.parquet(f"{out}/twa")
+    assert tw.count() > 0 and "twa" in tw.columns
+    cr = spark.read.parquet(f"{out}/corr")
+    assert {"sxy", "r"} <= set(cr.columns)
+    assert "corr groups" in capsys.readouterr().out
