@@ -285,7 +285,17 @@ def main() -> None:
                         lambda pqi=pqi, pr=pr: ivfpq_search(
                             spark, pqi, pr, k=10, n_probe=4).count(),
                     )
-                    scaling[tag] = {"n_docs": n_d, "n_vecs": n_e}
+                    # r5 interval ops at both SFs: per-event ratio near
+                    # 1 is the measured form of the "one exchange +
+                    # answer-sized explode" scale claim
+                    ev = spark.read.parquet(os.path.join(d, "events.parquet"))
+                    n_ev = ev.count()
+                    for qname in ("ts_time_weighted_1h", "ts_uptime_1d"):
+                        fn = entry.queries()[qname]
+                        timed_min(f"{qname}_{tag}",
+                                  lambda f=fn, d=d: f(spark, d).count())
+                    scaling[tag] = {"n_docs": n_d, "n_vecs": n_e,
+                                    "n_events": n_ev}
                 r = timings
                 ratio = lambda q: round(  # noqa: E731  (per-item ratio)
                     (r[f"{q}_sf"] / scaling["sf"]["n_docs"])
@@ -299,6 +309,15 @@ def main() -> None:
                     "minhash_per_doc_ratio": ratio("mh"),
                     "probe_per_doc_ratio": ratio("mh_probe"),
                     "ivfpq_per_vec_ratio": vratio("ivfpq_search"),
+                    "twa_per_event_ratio": round(
+                        (r["ts_time_weighted_1h_sf"]
+                         / scaling["sf"]["n_events"])
+                        / (r["ts_time_weighted_1h_sf001"]
+                           / scaling["sf001"]["n_events"]), 2),
+                    "uptime_per_event_ratio": round(
+                        (r["ts_uptime_1d_sf"] / scaling["sf"]["n_events"])
+                        / (r["ts_uptime_1d_sf001"]
+                           / scaling["sf001"]["n_events"]), 2),
                     **scaling,
                 }
         else:
