@@ -241,3 +241,49 @@ def time_weighted(
         "twa",
         F.col("vtw_sum").cast("double") / F.col("covered_us").cast("double"),
     )
+
+
+def state_durations(
+    series: DataFrame,
+    tier: str,
+    keys: list[str] | None = None,
+    ts_col: str = "ts_us",
+    state_col: str = "state",
+) -> DataFrame:
+    """Time spent in each categorical state per tumbling bucket
+    (TimescaleDB ``state_agg`` / ``duration_in`` semantics) — "how
+    long was each url serving lang X / status Y today": an observation
+    puts its key INTO its state until the next observation; the last
+    observation holds to the end of its own bucket (the
+    time_weighted conventions applied to a categorical channel, same
+    shared machinery).
+
+    Duplicate timestamps order by (ts, state) — deterministic; the
+    lexicographically LATER state wins the carry, the earlier one's
+    zero-length segment drops out.
+
+    Output per (keys…, state, bucket_us): ``dur_us`` (exact long) and
+    ``n_segments`` (observation segments touching the bucket). Within
+    a bucket, Σ dur_us over states equals the key's covered time —
+    states partition the timeline (pytest-asserted).
+
+    Plan shape: identical to time_weighted — ONE exchange (window
+    hash(key) clusters the (key, state, bucket) aggregation),
+    answer-sized explode.
+    """
+    keys = keys or ["url"]
+    us = int(TIER_US[tier])
+    w = W.partitionBy(*keys).orderBy(ts_col, state_col)
+    start = F.col(ts_col)
+    b0 = start - F.pmod(start, F.lit(us))
+    end = F.coalesce(F.lead(ts_col).over(w), b0 + F.lit(us))
+    seg = series.select(*keys, ts_col, state_col).withColumn("_end", end)
+    x = explode_bucket_overlaps(seg, us, ts_col, "_end")
+    return (
+        x.groupBy(*keys, F.col(state_col).alias("state"),
+                  F.col("_b").alias("bucket_us"))
+        .agg(
+            F.sum("_overlap").cast("long").alias("dur_us"),
+            F.count("*").cast("long").alias("n_segments"),
+        )
+    )

@@ -833,3 +833,62 @@ def test_cms_bounded_rows_per_bucket(spark):
     df = _cms_series(spark, rows)
     cms = rollup.cms_rollup(df, "1h", key_col="url", width=16, depth=4)
     assert cms.count() <= 4 * 16
+
+
+def _st_series(spark, rows):
+    return spark.createDataFrame(rows, "url string, ts_us long, state string")
+
+
+def test_state_durations_hand_case(spark):
+    """up [15m,45m) then down [45m, bucket end): dwell splits 30/15."""
+    df = _st_series(spark, [
+        ("a", HOUR // 4, "up"),
+        ("a", (HOUR * 3) // 4, "down"),
+    ])
+    got = {(r["state"], r["bucket_us"]): (r["dur_us"], r["n_segments"])
+           for r in gapfill.state_durations(df, "1h").collect()}
+    assert got == {
+        ("up", 0): (HOUR // 2, 1),
+        ("down", 0): (HOUR // 4, 1),
+    }
+
+
+def test_state_durations_partition_the_timeline(spark):
+    """Within each (key, bucket), Σ dur over states equals uptime's
+    covered time — states partition the timeline exactly."""
+    m = 60_000_000
+    rows = [("a", i * 17 * m, ["up", "down", "degraded"][i % 3])
+            for i in range(25)]
+    df = _st_series(spark, rows)
+    dur = gapfill.state_durations(df, "1h")
+    per_bucket = {r["bucket_us"]: r["s"] for r in
+                  dur.groupBy("bucket_us").agg(F.sum("dur_us").alias("s"))
+                  .collect()}
+    # time_weighted over the same instants gives the covered-time base
+    tw = gapfill.time_weighted(
+        _tw_series(spark, [(u, t, 1.0) for u, t, _ in rows]), "1h")
+    covered = {r["bucket_us"]: r["covered_us"] for r in tw.collect()}
+    assert per_bucket == covered
+
+
+def test_state_durations_gap_carries_state_across_buckets(spark):
+    """A state observed before a long gap owns every spanned bucket."""
+    df = _st_series(spark, [
+        ("a", 0, "up"),
+        ("a", 3 * HOUR, "down"),
+    ])
+    got = {(r["state"], r["bucket_us"] // HOUR): r["dur_us"]
+           for r in gapfill.state_durations(df, "1h").collect()}
+    assert got == {("up", 0): HOUR, ("up", 1): HOUR, ("up", 2): HOUR,
+                   ("down", 3): HOUR}
+
+
+def test_state_durations_duplicate_ts_deterministic(spark):
+    """(ts, state) ordering: the lexicographically LATER state wins
+    the carry at a duplicated instant."""
+    df = _st_series(spark, [
+        ("a", 0, "zz"), ("a", 0, "aa"),
+    ])
+    got = {r["state"]: r["dur_us"]
+           for r in gapfill.state_durations(df, "1h").collect()}
+    assert got == {"zz": HOUR}
