@@ -2480,6 +2480,21 @@ def q_ts_state_durations_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state_durations(pings, "1d", keys=["url"])
 
 
+def q_ts_topk_other_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 urls per day PLUS the ``__other__`` remainder row
+    (series.topk_with_other — the Grafana panel form): a plain top-k
+    filter silently drops the tail, so the panel total lies; here
+    Σ cnt over the k+1 rows per bucket equals the bucket's event
+    count EXACTLY and ``n_keys`` says how many keys each row folds.
+    All graded columns are exact longs + int rank (ties key-asc,
+    deterministic). The SQL oracle replays rank + remainder fold
+    identically. Reference analogue: none."""
+    from mtslake.series import topk_with_other
+
+    series = events_to_series(_events(spark, sf_dir))
+    return topk_with_other(series, 86_400_000_000, k=3)
+
+
 def q_doc_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted HITS hubs/authorities (graph.hits, 10 rounds,
     per-round L2 normalization in-plan) over the deterministic host
@@ -2987,8 +3002,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_cluster_components": q_doc_cluster_components,
         "doc_dedup_survivors": q_doc_dedup_survivors,
         # -- 51+: past the grading window this round ------------------
-        # The eight queries from ts_corr_weekly through
-        # ts_state_durations_1d landed after the 50 slots filled; they
+        # The nine queries from ts_corr_weekly through
+        # ts_topk_other_daily landed after the 50 slots filled; they
         # head next round's never-graded priority block. All are green
         # on tools/compare_oracle.py.
         "ts_corr_weekly": q_ts_corr_weekly,
@@ -2999,6 +3014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_asof_nearest": q_ts_asof_nearest,
         "doc_weighted_sample": q_doc_weighted_sample,
         "ts_state_durations_1d": q_ts_state_durations_1d,
+        "ts_topk_other_daily": q_ts_topk_other_daily,
         # The two CHANGED-path queries left outside are
         # doc_cluster_chain (a synthetic-chain fixture whose code path
         # doc_cluster_components grades on the REAL near-dup graph)
@@ -3563,6 +3579,33 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS uptime_us,
                    CAST(COUNT(*) AS BIGINT) AS n_islands
             FROM x GROUP BY 1, 2
+        """,
+        # identical rank + remainder-fold replay
+        # (see q_ts_topk_other_daily)
+        "ts_topk_other_daily": f"""
+            WITH c AS (
+                SELECT epoch_us(ts) - epoch_us(ts) % 86400000000
+                           AS bucket_us,
+                       {_URL} AS key, count(*) AS cnt
+                FROM events GROUP BY 1, 2
+            ),
+            r AS (
+                SELECT bucket_us, key, cnt,
+                       row_number() OVER (PARTITION BY bucket_us
+                                          ORDER BY cnt DESC, key ASC)
+                           AS rank
+                FROM c
+            )
+            SELECT bucket_us, key, CAST(cnt AS BIGINT) AS cnt,
+                   CAST(rank AS INTEGER) AS rank,
+                   CAST(1 AS BIGINT) AS n_keys
+            FROM r WHERE rank <= 3
+            UNION ALL
+            SELECT bucket_us, '__other__' AS key,
+                   CAST(SUM(cnt) AS BIGINT) AS cnt,
+                   CAST(4 AS INTEGER) AS rank,
+                   CAST(COUNT(*) AS BIGINT) AS n_keys
+            FROM r WHERE rank > 3 GROUP BY bucket_us
         """,
         # identical categorical segment/overlap replay
         # (see q_ts_state_durations_1d)

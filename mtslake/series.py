@@ -471,3 +471,56 @@ def ohlc(
         F.min(value_col).alias("low"),
         F.max(o_struct)["v"].alias("close"),
     )
+
+
+def topk_with_other(
+    series: DataFrame,
+    tier_us: int,
+    k: int = 5,
+    key: str = "url",
+    ts_col: str = TS_COL,
+) -> DataFrame:
+    """Heavy hitters per bucket WITH the remainder folded into one
+    ``__other__`` row (rank k+1) — the dashboard form of
+    topk_per_bucket: a panel showing top-k series plus "everything
+    else" must CONSERVE the bucket total, which a plain top-k filter
+    silently drops. Per bucket: Σ cnt over the k+1 rows equals the
+    bucket's event count exactly; ``n_keys`` says how many real keys
+    each row folds (1 for top rows).
+
+    Scale shape: one hash aggregation over (bucket, key), one rank
+    window whose input is the AGGREGATE (never raw events), and a
+    same-key remainder aggregation that reuses the bucket clustering
+    — the remainder never materializes per-key rows downstream.
+    """
+    from pyspark.sql import Window as W
+
+    b = (F.col(ts_col) - F.pmod(F.col(ts_col), F.lit(int(tier_us)))).cast(
+        "long"
+    )
+    counts = (
+        series.select(b.alias("bucket_us"), F.col(key))
+        .groupBy("bucket_us", key)
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = W.partitionBy("bucket_us").orderBy(F.desc("cnt"), F.asc(key))
+    ranked = counts.withColumn("rank", F.row_number().over(w))
+    top = ranked.where(F.col("rank") <= int(k)).select(
+        "bucket_us", F.col(key).alias("key"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("rank").cast("int").alias("rank"),
+        F.lit(1).cast("long").alias("n_keys"),
+    )
+    other = (
+        ranked.where(F.col("rank") > int(k))
+        .groupBy("bucket_us")
+        .agg(
+            F.sum("cnt").cast("long").alias("cnt"),
+            F.count("*").cast("long").alias("n_keys"),
+        )
+        .select(
+            "bucket_us", F.lit("__other__").alias("key"), "cnt",
+            F.lit(int(k) + 1).cast("int").alias("rank"), "n_keys",
+        )
+    )
+    return top.unionByName(other)

@@ -531,3 +531,28 @@ def test_refresh_change_stats_equals_full_rebuild(spark, tmp_path):
                 for f in os.listdir(full) if f.endswith(".parquet")
             )
             assert after == files, f"untouched bucket {d} was rewritten"
+
+
+def test_topk_with_other_conserves_totals(spark):
+    """Per bucket: top rows + __other__ row sum to the exact event
+    count; __other__ folds exactly the non-top keys."""
+    from mtslake.series import topk_with_other
+
+    rows = []
+    for i, n in enumerate([10, 8, 5, 3, 2, 1]):  # 6 keys, one bucket
+        rows += [(f"k{i}", 0)] * n
+    rows += [("solo", 86_400_000_000)]           # second bucket: 1 key
+    df = spark.createDataFrame(rows, "url string, ts_us long")
+    out = topk_with_other(df, 86_400_000_000, k=2)
+    got = {(r["bucket_us"], r["key"]): (r["cnt"], r["rank"], r["n_keys"])
+           for r in out.collect()}
+    assert got[(0, "k0")] == (10, 1, 1)
+    assert got[(0, "k1")] == (8, 2, 1)
+    assert got[(0, "__other__")] == (5 + 3 + 2 + 1, 3, 4)
+    # bucket with fewer keys than k: no __other__ row
+    assert got[(86_400_000_000, "solo")] == (1, 1, 1)
+    assert (86_400_000_000, "__other__") not in got
+    # conservation
+    tot = {b: sum(c for (bb, _), (c, _, _) in got.items() if bb == b)
+           for b in (0, 86_400_000_000)}
+    assert tot == {0: 29, 86_400_000_000: 1}
