@@ -2631,6 +2631,58 @@ def q_ts_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                         value_col="counter")
 
 
+def q_ts_counter_resets_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus ``resets()`` (series.counter_resets): counter
+    restarts per (url, 1h bucket) over the SAME deterministic counter
+    fixture as ts_counter_rate, detected by the operator's
+    counter < prev rule and attributed to the first post-reset
+    sample's bucket. Exact longs only (n_resets, n_deltas). The SQL
+    oracle rebuilds the counter from the formula and replays the
+    detection + bucket attribution identically."""
+    from pyspark.sql import Window as _W
+
+    from mtslake.series import counter_resets
+
+    ev = (
+        _events(spark, sf_dir)
+        .select("user_id", F.unix_micros(F.col("ts").cast("timestamp"))
+                .alias("ts_us"))
+        .distinct()
+    )
+    ind = (
+        F.substring(
+            F.md5(F.concat(F.col("ts_us").cast("string"), F.lit("-"),
+                           F.col("user_id").cast("string"))), 1, 1
+        )
+        == F.lit("f")
+    ).cast("long")
+    base = ev.select(
+        "user_id", "ts_us",
+        F.pmod(F.col("ts_us"), F.lit(97)).alias("_inc"),
+        ind.alias("_ind"),
+    ).withColumn(
+        "_seg",
+        F.sum("_ind").over(
+            _W.partitionBy("user_id").orderBy("ts_us")
+            .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+        ),
+    )
+    ctr = base.withColumn(
+        "counter",
+        F.sum("_inc").over(
+            _W.partitionBy("user_id", "_seg").orderBy("ts_us")
+            .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+        ),
+    ).select(
+        F.format_string(
+            "https://user-%d.example.com/events", F.col("user_id")
+        ).alias("url"),
+        "ts_us", "counter",
+    )
+    return counter_resets(ctr, 3_600_000_000, key="url",
+                          ts_col="ts_us", value_col="counter")
+
+
 def q_ts_seasonal_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hour-of-day seasonal profile (rollup.seasonal_profile): the 1h
     tier folded onto phase = bucket mod 24 — the traffic-shape
@@ -3002,8 +3054,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_cluster_components": q_doc_cluster_components,
         "doc_dedup_survivors": q_doc_dedup_survivors,
         # -- 51+: past the grading window this round ------------------
-        # The nine queries from ts_corr_weekly through
-        # ts_topk_other_daily landed after the 50 slots filled; they
+        # The queries from ts_corr_weekly through
+        # ts_counter_resets_1h landed after the 50 slots filled; they
         # head next round's never-graded priority block. All are green
         # on tools/compare_oracle.py.
         "ts_corr_weekly": q_ts_corr_weekly,
@@ -3015,6 +3067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_weighted_sample": q_doc_weighted_sample,
         "ts_state_durations_1d": q_ts_state_durations_1d,
         "ts_topk_other_daily": q_ts_topk_other_daily,
+        "ts_counter_resets_1h": q_ts_counter_resets_1h,
         # The two CHANGED-path queries left outside are
         # doc_cluster_chain (a synthetic-chain fixture whose code path
         # doc_cluster_components grades on the REAL near-dup graph)
@@ -3579,6 +3632,47 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS uptime_us,
                    CAST(COUNT(*) AS BIGINT) AS n_islands
             FROM x GROUP BY 1, 2
+        """,
+        # counter rebuilt from the formula; detection + bucket
+        # attribution replayed (see q_ts_counter_resets_1h)
+        "ts_counter_resets_1h": f"""
+            WITH u AS (
+                SELECT DISTINCT user_id, epoch_us(ts) AS t FROM events
+            ),
+            m AS (
+                SELECT user_id, t, t % 97 AS inc,
+                       CASE WHEN substr(md5(
+                                CAST(t AS VARCHAR) || '-'
+                                || CAST(user_id AS VARCHAR)), 1, 1) = 'f'
+                            THEN 1 ELSE 0 END AS ind
+                FROM u
+            ),
+            s AS (
+                SELECT user_id, t, inc,
+                       SUM(ind) OVER (PARTITION BY user_id ORDER BY t
+                                      ROWS UNBOUNDED PRECEDING) AS seg
+                FROM m
+            ),
+            c AS (
+                SELECT user_id, t,
+                       SUM(inc) OVER (PARTITION BY user_id, seg
+                                      ORDER BY t
+                                      ROWS UNBOUNDED PRECEDING) AS ctr
+                FROM s
+            ),
+            d AS (
+                SELECT user_id, t, ctr,
+                       lag(ctr) OVER (PARTITION BY user_id
+                                      ORDER BY t) AS prev
+                FROM c
+            )
+            SELECT {_URL} AS url,
+                   t - t % 3600000000 AS bucket_us,
+                   CAST(SUM(CASE WHEN ctr < prev THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_resets,
+                   CAST(COUNT(*) AS BIGINT) AS n_deltas
+            FROM d WHERE prev IS NOT NULL
+            GROUP BY 1, 2
         """,
         # identical rank + remainder-fold replay
         # (see q_ts_topk_other_daily)

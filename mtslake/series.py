@@ -524,3 +524,43 @@ def topk_with_other(
         )
     )
     return top.unionByName(other)
+
+
+def counter_resets(
+    series: DataFrame,
+    tier_us: int,
+    key: str = "url",
+    ts_col: str = TS_COL,
+    value_col: str = "value",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Prometheus ``resets()``: how many times a monotonic counter
+    restarted (negative delta vs the previous sample) per key and
+    tumbling bucket — the process-restart/crash dashboard next to
+    counter_rate, sharing its ordering conventions (a reset is
+    attributed to the bucket of the FIRST sample after it). Also emits
+    ``n_deltas`` (sample pairs observed in the bucket) so a
+    reset-free quiet bucket (0/0) is distinguishable from a busy one
+    (0/n). Exact longs only. Same single-shuffle shape: the bucket
+    aggregate is partial-aggregated above the key window."""
+    from pyspark.sql import Window as W
+
+    order = [ts_col, tiebreak] if tiebreak else [ts_col]
+    w = W.partitionBy(key).orderBy(*order)
+    prev = F.lag(value_col).over(w)
+    b = (F.col(ts_col) - F.pmod(F.col(ts_col), F.lit(int(tier_us)))).cast(
+        "long"
+    )
+    d = (
+        series.withColumn("_prev", prev)
+        .where(F.col("_prev").isNotNull())
+        .select(
+            F.col(key),
+            b.alias("bucket_us"),
+            (F.col(value_col) < F.col("_prev")).cast("long").alias("_r"),
+        )
+    )
+    return d.groupBy(key, "bucket_us").agg(
+        F.sum("_r").cast("long").alias("n_resets"),
+        F.count("*").cast("long").alias("n_deltas"),
+    )

@@ -556,3 +556,26 @@ def test_topk_with_other_conserves_totals(spark):
     tot = {b: sum(c for (bb, _), (c, _, _) in got.items() if bb == b)
            for b in (0, 86_400_000_000)}
     assert tot == {0: 29, 86_400_000_000: 1}
+
+
+def test_counter_resets_hand_case(spark):
+    """Resets detected by counter < prev, attributed to the bucket of
+    the first post-reset sample; n_deltas counts pairs per bucket."""
+    from mtslake.series import counter_resets
+
+    H = 3_600_000_000
+    df = spark.createDataFrame(
+        [("a", 0, 10.0), ("a", H // 2, 20.0),      # growth
+         ("a", H + 1, 3.0),                        # reset, bucket 1
+         ("a", H + 2, 8.0),                        # growth
+         ("a", 2 * H, 1.0),                        # reset, bucket 2
+         ("b", 0, 5.0)],                           # single sample: no pair
+        "url string, ts_us long, value double",
+    )
+    got = {(r["url"], r["bucket_us"] // H): (r["n_resets"], r["n_deltas"])
+           for r in counter_resets(df, H).collect()}
+    assert got == {
+        ("a", 0): (0, 1),
+        ("a", 1): (1, 2),
+        ("a", 2): (1, 1),
+    }
