@@ -564,3 +564,75 @@ def counter_resets(
         F.sum("_r").cast("long").alias("n_resets"),
         F.count("*").cast("long").alias("n_deltas"),
     )
+
+
+def holt_smooth(
+    df: DataFrame,
+    alpha: float = 0.5,
+    beta: float = 0.5,
+    key_cols: tuple[str, ...] = ("url_prefix", "lang"),
+    order_col: str = "bucket_us",
+    value_col: str = "cnt",
+) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing per key — the
+    step past ewma_smooth when the series has drift (Holt 1957):
+
+        l₀ = x₀;  b₀ = 0
+        lᵢ = α·xᵢ + (1−α)·(lᵢ₋₁ + bᵢ₋₁)
+        bᵢ = β·(lᵢ − lᵢ₋₁) + (1−β)·bᵢ₋₁
+
+    Emits ``level``, ``trend``, and the one-step-ahead ``forecast``
+    (lᵢ₋₁ + bᵢ₋₁ seen by row i; null for the first row) — the
+    capacity-planning primitive. Same execution contract as
+    ewma_smooth: the two-state recursion is order-dependent, so
+    ``applyInPandas`` per key, one exchange, one linear pass, O(1)
+    state; each step is the exact written IEEE expression, so a
+    recursive-CTE replay is bit-identical (α = β = 0.5 keeps every
+    coefficient an exact binary fraction).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    a, b = float(alpha), float(beta)
+    ia, ib = 1.0 - a, 1.0 - b
+    in_fields = [df.schema[c] for c in (*key_cols, order_col, value_col)]
+    schema = T.StructType(
+        list(in_fields) + [
+            T.StructField("level", T.DoubleType()),
+            T.StructField("trend", T.DoubleType()),
+            T.StructField("forecast", T.DoubleType()),
+        ]
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort",
+                              ignore_index=True)
+        xs = pdf[value_col].to_numpy(np.float64)
+        n = len(xs)
+        ls = np.empty(n)
+        bs = np.empty(n)
+        fc = np.empty(n)
+        lev, tr = 0.0, 0.0
+        for i, x in enumerate(xs):
+            if i == 0:
+                lev, tr = x, 0.0
+                fc[i] = np.nan
+            else:
+                fc[i] = lev + tr
+                new_lev = a * x + ia * (lev + tr)
+                tr = b * (new_lev - lev) + ib * tr
+                lev = new_lev
+            ls[i] = lev
+            bs[i] = tr
+        out = pdf[[*key_cols, order_col, value_col]].copy()
+        out["level"] = ls
+        out["trend"] = bs
+        out["forecast"] = fc
+        return out
+
+    return (
+        df.select(*key_cols, order_col, value_col)
+        .groupBy(*key_cols)
+        .applyInPandas(fn, schema=schema)
+    )

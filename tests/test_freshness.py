@@ -579,3 +579,34 @@ def test_counter_resets_hand_case(spark):
         ("a", 1): (1, 2),
         ("a", 2): (1, 1),
     }
+
+
+def test_holt_smooth_matches_reference_recursion(spark):
+    """Engine output equals a direct Python fold of Holt's equations;
+    forecast is the PRIOR (level + trend); alpha=1, beta=0 degenerates
+    to identity level with zero trend."""
+    from mtslake.series import holt_smooth
+
+    vals = [10.0, 12.0, 15.0, 11.0, 20.0, 22.0]
+    df = spark.createDataFrame(
+        [("p", "en", i, int(v)) for i, v in enumerate(vals)],
+        "url_prefix string, lang string, bucket_us long, cnt long",
+    )
+    got = sorted(
+        (r["bucket_us"], r["level"], r["trend"], r["forecast"])
+        for r in holt_smooth(df, alpha=0.5, beta=0.5).collect()
+    )
+    lev, tr = vals[0], 0.0
+    for i, x in enumerate(vals):
+        if i == 0:
+            assert got[i][1:] == (lev, tr, None)
+            continue
+        fc = lev + tr
+        new_lev = 0.5 * x + 0.5 * (lev + tr)
+        tr = 0.5 * (new_lev - lev) + 0.5 * tr
+        lev = new_lev
+        assert got[i][1:] == (lev, tr, fc), i
+
+    ident = holt_smooth(df, alpha=1.0, beta=0.0).collect()
+    assert all(r["level"] == float(r["cnt"]) and r["trend"] == 0.0
+               for r in ident)
