@@ -636,3 +636,54 @@ def holt_smooth(
         .groupBy(*key_cols)
         .applyInPandas(fn, schema=schema)
     )
+
+
+def regr_components(
+    df: DataFrame,
+    keys: list,
+    t_col: str,
+    y_col: str,
+    t_origin_col: str | None = None,
+) -> DataFrame:
+    """Per-key least-squares regression of a channel on time —
+    Prometheus ``deriv()`` / ``predict_linear()`` parity — carried as
+    EXACT decimal component sums (n, Σt, Σy, Σt², Σty), the mergeable
+    form (components add across partitions/tiers like corr_stats);
+    slope and intercept are derived once at read time:
+
+        slope     = (n·Σty − Σt·Σy) / (n·Σt² − (Σt)²)
+        intercept = (Σy − slope·Σt) / n
+
+    ``t_origin_col``: optional per-row origin (e.g. the bucket start)
+    subtracted from ``t_col`` so t offsets stay small: t as
+    DECIMAL(12,0) μs (< 10¹², i.e. offsets up to ~11.5 days) keeps
+    t² at (25,0) and t·y at (31,9) — all exact, no precision-38 scale
+    loss. y is quantized via rollup.vsum_cast (|y| < 1e9 domain).
+    NULL y rows are excluded. Degenerate keys (all observations at
+    one instant) yield NULL slope via try_divide.
+
+    One partial-aggregated groupBy — a narrow shuffle of five numbers
+    per key.
+    """
+    from .rollup import vsum_cast
+
+    t_rel = F.col(t_col) - (
+        F.col(t_origin_col) if t_origin_col else F.lit(0)
+    )
+    pair = df.where(F.col(y_col).isNotNull())
+    t = t_rel.cast("decimal(12,0)")
+    y = vsum_cast(y_col)
+    agg = pair.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(t).alias("st"),
+        F.sum(y).alias("sy"),
+        F.sum(t * t).alias("stt"),
+        F.sum(t * y).alias("sty"),
+    )
+    n = F.col("n").cast("double")
+    st, sy = F.col("st").cast("double"), F.col("sy").cast("double")
+    stt, sty = F.col("stt").cast("double"), F.col("sty").cast("double")
+    slope = F.try_divide(n * sty - st * sy, n * stt - st * st)
+    return agg.withColumn("slope", slope).withColumn(
+        "intercept", (sy - slope * st) / n
+    )

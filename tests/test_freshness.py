@@ -610,3 +610,43 @@ def test_holt_smooth_matches_reference_recursion(spark):
     ident = holt_smooth(df, alpha=1.0, beta=0.0).collect()
     assert all(r["level"] == float(r["cnt"]) and r["trend"] == 0.0
                for r in ident)
+
+
+def test_regr_components_matches_numpy(spark):
+    """slope/intercept equal numpy's polyfit on a hand dataset;
+    component sums are the exact integers/decimals; degenerate
+    (single-instant) keys yield NULL slope."""
+    import numpy as np
+    from mtslake.series import regr_components
+
+    ts = [0, 10, 20, 30, 40]
+    ys = [1.0, 3.0, 2.0, 5.0, 4.0]
+    rows = [("a", t, y) for t, y in zip(ts, ys)] + [
+        ("b", 7, 1.0), ("b", 7, 9.0)]          # all at one instant
+    df = spark.createDataFrame(rows, "k string, ts_us long, value double")
+    got = {r["k"]: r for r in
+           regr_components(df, ["k"], "ts_us", "value").collect()}
+    a = got["a"]
+    assert a["n"] == 5 and float(a["st"]) == sum(ts)
+    assert float(a["sty"]) == sum(t * y for t, y in zip(ts, ys))
+    m, c = np.polyfit(ts, ys, 1)
+    assert a["slope"] == pytest.approx(m, rel=1e-12)
+    assert a["intercept"] == pytest.approx(c, rel=1e-12)
+    assert got["b"]["slope"] is None           # zero time variance
+
+
+def test_regr_components_merge_across_halves(spark):
+    """Components are mergeable: sums over two halves add to the
+    whole — the tier-cascade property shared with corr_stats."""
+    from decimal import Decimal
+    from mtslake.series import regr_components
+
+    rows = [("a", i * 3, float((i * 7) % 11)) for i in range(12)]
+    df = spark.createDataFrame(rows, "k string, ts_us long, value double")
+    h1 = spark.createDataFrame(rows[:6], "k string, ts_us long, value double")
+    h2 = spark.createDataFrame(rows[6:], "k string, ts_us long, value double")
+    [w] = regr_components(df, ["k"], "ts_us", "value").collect()
+    [x] = regr_components(h1, ["k"], "ts_us", "value").collect()
+    [y] = regr_components(h2, ["k"], "ts_us", "value").collect()
+    for c in ("st", "sy", "stt", "sty"):
+        assert Decimal(str(x[c])) + Decimal(str(y[c])) == Decimal(str(w[c]))
