@@ -892,3 +892,47 @@ def test_state_durations_duplicate_ts_deterministic(spark):
     got = {r["state"]: r["dur_us"]
            for r in gapfill.state_durations(df, "1h").collect()}
     assert got == {"zz": HOUR}
+
+
+def test_explode_bucket_overlaps_property(spark):
+    """Property: for ANY interval set, per-interval overlaps are in
+    (0, us], bucket-aligned, and sum EXACTLY to the interval length —
+    the invariant time_weighted / uptime / state_durations all ride
+    on. Randomized with seeded adversarial cases (boundary-aligned,
+    sub-bucket, multi-segment-spanning, zero/negative length)."""
+    import random
+
+    from mtslake.gapfill import explode_bucket_overlaps
+
+    rng = random.Random(4242)
+    us = 1000
+    rows = []
+    for i in range(200):
+        kind = i % 5
+        s = rng.randrange(0, 10_000_000)
+        if kind == 0:        # boundary-aligned
+            s -= s % us
+            e = s + us * rng.randrange(0, 4)
+        elif kind == 1:      # sub-bucket
+            e = s + rng.randrange(0, us)
+        elif kind == 2:      # spans more than one inner segment (1440)
+            e = s + us * (1440 + rng.randrange(1, 50))
+        elif kind == 3:      # zero / negative
+            e = s - rng.randrange(0, 2 * us)
+        else:                # generic
+            e = s + rng.randrange(0, 20 * us)
+        rows.append((i, s, e))
+    df = spark.createDataFrame(rows, "iid long, s long, e long")
+    out = explode_bucket_overlaps(df, us, "s", "e").collect()
+    by_iid = {}
+    for r in out:
+        assert 0 < r["_overlap"] <= us, r
+        assert r["_b"] % us == 0
+        # bucket must intersect the interval
+        s, e = rows[r["iid"]][1], rows[r["iid"]][2]
+        assert r["_b"] + us > s and r["_b"] < e
+        by_iid.setdefault(r["iid"], 0)
+        by_iid[r["iid"]] += r["_overlap"]
+    for iid, s, e in rows:
+        want = max(0, e - s)
+        assert by_iid.get(iid, 0) == want, (iid, s, e)
