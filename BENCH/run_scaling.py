@@ -210,8 +210,28 @@ raw JSON:
 {raw}
 ```
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    # APPEND a dated section instead of overwriting: BASELINE.md also
+    # carries hand-written narrative (host-state notes, A/B closures,
+    # per-round trajectories) that a whole-file rewrite destroyed once
+    # (round 5; restored from git). The canonical header/table stays
+    # whatever the file already has; each run adds its own record.
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    section = (
+        "\n\n## run_scaling.py shot (levels "
+        + ", ".join(str(c) for c in levels)
+        + ")\n\n"
+        + "| parallelism | points/sec | pipeline sec | compress s | "
+          "decode+rollup s | ALU probe s | mem-bw probe s |\n"
+        + "|---|---|---|---|---|---|---|\n"
+        + "\n".join(rows) + "\n\n"
+        + "\n".join(pairs) + "\n\nraw JSON:\n\n```json\n" + raw + "\n```\n"
+    )
+    if os.path.exists(path):
+        with open(path, "a") as f:
+            f.write(section)
+    else:
+        with open(path, "w") as f:
+            f.write(md)
     print(md)
 
 
