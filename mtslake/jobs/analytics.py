@@ -38,8 +38,10 @@ def main(argv=None) -> None:
     p.add_argument("--tier", default="1h", help="bucket tier (1m/1h/1d)")
     p.add_argument("--quantiles", default="0.5,0.9,0.99",
                    help="comma-separated quantiles in (0,1]")
-    p.add_argument("--surfaces", default="ohlc,quantiles,twa,corr",
+    p.add_argument("--surfaces", default="ohlc,quantiles,twa,corr,m4",
                    help="comma-separated subset to compute")
+    p.add_argument("--m4-width", type=int, default=512,
+                   help="pixel columns per key for the m4 surface")
     args = p.parse_args(argv)
     spark = build_session("mtslake-analytics", args)
     store = ChunkStore(spark, args.store)
@@ -76,6 +78,16 @@ def main(argv=None) -> None:
         out = corr_stats(keyed, keys, "n_chars", "value")
         out.write.mode("overwrite").parquet(f"{args.out}/corr")
         print(f"corr groups            {out.count()}")
+    if "m4" in surfaces:
+        from mtslake.downsample import m4_downsample
+
+        span = series.agg(
+            F.min(TS_COL).alias("a"), F.max(TS_COL).alias("b")
+        ).first()
+        px_us = max(1, (int(span["b"]) - int(span["a"])) // args.m4_width)
+        out = m4_downsample(series, px_us, key_cols=("url",))
+        out.write.mode("overwrite").parquet(f"{args.out}/m4")
+        print(f"m4 rows                {out.count()}")
 
 
 if __name__ == "__main__":

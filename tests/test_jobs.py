@@ -463,3 +463,22 @@ def test_analytics_job(spark, tmp_path, capsys):
     cr = spark.read.parquet(f"{out}/corr")
     assert {"sxy", "r"} <= set(cr.columns)
     assert "corr groups" in capsys.readouterr().out
+
+
+def test_analytics_job_m4_surface(spark, tmp_path):
+    from mtslake.jobs import analytics as job_analytics2
+    from mtslake.jobs import compress as job_compress3
+    from mtslake.jobs import ingest as job_ingest5
+
+    store = str(tmp_path / "lake")
+    job_ingest5.main(["--store", store, "--n-urls", "4", "--snapshots", "30",
+                      "--hot", "0"])
+    job_compress3.main(["--store", store, "--job-id", "m1"])
+    out = str(tmp_path / "an")
+    job_analytics2.main(["--store", store, "--out", out,
+                         "--surfaces", "m4", "--m4-width", "16"])
+    m4 = spark.read.parquet(f"{out}/m4")
+    n = m4.count()
+    assert 0 < n
+    # ≤ 4 rows per (key, pixel column); all rows carry original values
+    assert n <= 4 * 16 * 4 + 4 * 4   # keys * cols * 4 + slack for tail
