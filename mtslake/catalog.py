@@ -414,3 +414,27 @@ def prune_chunks_by_value(
     if upper is not None:
         out = out.filter(F.col(f"{channel}_min") <= upper)
     return out
+
+
+def register_views(store: "ChunkStore", prefix: str = "mtslake") -> list[str]:
+    """SQL surface: register every existing store table as a temp view
+    (``{prefix}_chunks``, ``{prefix}_catalog``, ``{prefix}_rollup_1m/
+    1h/1d``, ``{prefix}_pages`` when present) so the whole lake is
+    queryable through ``spark.sql`` — the engine's DataFrame API and
+    its SQL API read the same storage through the same pruned scans
+    (filters on chunk_id / bucket ranges still push down; views add no
+    materialization). Returns the view names it registered.
+
+    The reference exposes a Python-only API (mtscomp.py:798-856); the
+    lakehouse form of that surface is "it's a table" — this is the
+    affordance that makes it one.
+    """
+    names = []
+    for tbl in ("chunks", "catalog", "rollup_1m", "rollup_1h",
+                "rollup_1d", "pages", "lineage"):
+        if store.has(tbl):
+            view = f"{prefix}_{tbl}"
+            store.spark.read.parquet(store.path(tbl)) \
+                .createOrReplaceTempView(view)
+            names.append(view)
+    return names

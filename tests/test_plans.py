@@ -442,3 +442,22 @@ def test_uptime_plan_shape(spark):
         .executedPlan().toString()
     assert plan.count("HashAggregate") >= 2, plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_register_views_sql_surface(spark, store):
+    """The SQL surface reads the same storage with the same pruning:
+    a chunk_id-filtered SQL query over the registered view must show
+    partition filters in its plan, and SQL results must equal the
+    DataFrame API's."""
+    from mtslake.catalog import register_views
+
+    names = register_views(store)
+    assert "mtslake_chunks" in names and "mtslake_catalog" in names
+    # only existing tables are registered — this fixture store has no tiers
+    assert not any(n.endswith("rollup_1h") for n in names)
+    sql_cnt = spark.sql("SELECT count(*) FROM mtslake_chunks").first()[0]
+    assert sql_cnt == store.chunks().count()
+    plan = spark.sql(
+        "SELECT * FROM mtslake_chunks WHERE chunk_id = 1"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "chunk_id" in plan, plan
