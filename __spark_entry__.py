@@ -515,6 +515,47 @@ def q_ts_stream_ohlc_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def q_ts_stream_uptime_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming liveness (streaming.streaming_uptime,
+    applyInPandasWithState): per-url interval-union uptime sealed as
+    the watermark passes each hourly bucket — the second custom
+    stateful operator beside the chunk sealer. Sealed rows are final
+    (late pings drop) and bit-identical to sessions.uptime over the
+    same pings; both sides restrict to buckets two full hours before
+    max(ts) — strictly inside the sealed set. The SQL oracle replays
+    the batch lag/flag/island/overlap integer algebra at 1h."""
+    import shutil
+    import tempfile
+
+    from mtslake.streaming import streaming_uptime
+
+    hour_us = 3_600_000_000
+    series = events_to_series(_events(spark, sf_dir)).select("url", TS_COL)
+    tmp = tempfile.mkdtemp(prefix="mtslake_stream_uptime_")
+    src, out, ck = (os.path.join(tmp, d) for d in ("src", "out", "ck"))
+    series.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(series.schema).parquet(src)
+    q = (
+        streaming_uptime(stream, 30 * 60 * 1_000_000, tier="1h",
+                         watermark="0 seconds")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    max_ts = int(series.agg(F.max(TS_COL)).first()[0])
+    sealed = spark.read.parquet(out).filter(
+        F.col("bucket_us") + 2 * hour_us <= F.lit(max_ts)
+    )
+    result = sealed.select("url", "bucket_us", "uptime_us", "n_islands")
+    rows, schema = result.collect(), result.schema
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 def q_ts_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming session windows (F.session_window) graded with a TRUE
     SQL oracle: the events series replayed through readStream →
@@ -3107,7 +3148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_survivors": q_doc_dedup_survivors,
         # -- 51+: past the grading window this round ------------------
         # The queries from ts_corr_weekly through
-        # ts_regr_daily landed after the 50 slots filled; they
+        # ts_stream_uptime_1h landed after the 50 slots filled; they
         # head next round's never-graded priority block. All are green
         # on tools/compare_oracle.py.
         "ts_corr_weekly": q_ts_corr_weekly,
@@ -3122,6 +3163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_counter_resets_1h": q_ts_counter_resets_1h,
         "ts_holt_hourly": q_ts_holt_hourly,
         "ts_regr_daily": q_ts_regr_daily,
+        "ts_stream_uptime_1h": q_ts_stream_uptime_1h,
         # The two CHANGED-path queries left outside are
         # doc_cluster_chain (a synthetic-chain fixture whose code path
         # doc_cluster_components grades on the REAL near-dup graph)
@@ -3647,6 +3689,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(gap_us AS BIGINT) AS gap_us,
                    CAST(rank AS INTEGER) AS rank
             FROM r WHERE rank <= 3
+        """,
+        # batch island algebra at 1h restricted to the sealed buckets
+        # (see q_ts_stream_uptime_1h)
+        "ts_stream_uptime_1h": f"""
+            WITH p AS (
+                SELECT user_id, epoch_us(ts) AS t,
+                       lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                               ORDER BY epoch_us(ts)) AS prev
+                FROM events
+            ),
+            f AS (
+                SELECT user_id, t,
+                       CASE WHEN prev IS NULL OR t - prev > 1800000000
+                            THEN 1 ELSE 0 END AS flag
+                FROM p
+            ),
+            sess AS (
+                SELECT user_id, t,
+                       SUM(flag) OVER (PARTITION BY user_id ORDER BY t
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+                FROM f
+            ),
+            isl AS (
+                SELECT user_id, sid, MIN(t) AS s,
+                       MAX(t) + 1800000000 AS e
+                FROM sess GROUP BY 1, 2
+            ),
+            x AS (
+                SELECT user_id, s, e,
+                       unnest(generate_series(
+                           s - s % 3600000000,
+                           (e - 1) - (e - 1) % 3600000000,
+                           3600000000)) AS b
+                FROM isl
+            )
+            SELECT {_URL} AS url, b AS bucket_us,
+                   CAST(SUM(LEAST(e, b + 3600000000) - GREATEST(s, b))
+                        AS BIGINT) AS uptime_us,
+                   CAST(COUNT(*) AS BIGINT) AS n_islands
+            FROM x
+            GROUP BY 1, 2
+            HAVING b + 2 * 3600000000 <=
+                   (SELECT MAX(epoch_us(ts)) FROM events)
         """,
         # identical lag/flag/island/overlap replay (see q_ts_uptime_1d)
         "ts_uptime_1d": f"""

@@ -538,3 +538,111 @@ def streaming_ohlc(
             "n", "open", "high", "low", "close",
         )
     )
+
+
+def streaming_uptime(
+    pings_stream: DataFrame,
+    lease_us: int,
+    tier: str = "1h",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Custom stateful streaming liveness (``applyInPandasWithState``):
+    the streaming sibling of ``sessions.uptime`` — per (url, bucket)
+    length of the UNION of [ping, ping+lease) intervals, emitted
+    (append) once the event-time watermark passes the bucket's end.
+
+    Sealing is sound because a bucket [b, b+us) can only gain coverage
+    from pings with ts < b+us: once the watermark passes b+us, any
+    such ping would be late (dropped here, like the sealer's ``drop``
+    policy) — so sealed rows are FINAL and bit-identical to the batch
+    operator over the same pings (pytest + contract query).
+
+    State per url is two scalars' worth of pings: only pings whose
+    lease crosses the seal frontier are retained
+    (``ts + lease > sealed_until``) — O(pings within one lease
+    horizon), not O(stream). Dropped bridge pings cannot change
+    unsealed coverage or island counts (their leases end before the
+    frontier; a retained ping more than one lease after another is a
+    new island with or without them). An event-time timeout armed at
+    the earliest open bucket end flushes urls that stop pinging.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    us = int(TIER_US[tier])
+    lease = int(lease_us)
+
+    with_ts = pings_stream.withColumn(
+        "event_ts", F.timestamp_micros(F.col("ts_us"))
+    ).withWatermark("event_ts", watermark)
+
+    def handler(key, pdfs, state):
+        url = key[0]
+        pings: list[int] = []
+        sealed_until = 0
+        if state.exists:
+            stored, su = state.get
+            # state pings were on-time when buffered; those with
+            # ts < sealed_until were retained precisely because their
+            # lease crosses the frontier — never re-filter them
+            pings = list(stored)
+            sealed_until = int(su)
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        seal_to = (wm_us // us) * us if wm_us > 0 else 0
+        for p in pdfs:
+            if len(p):
+                # NEW pings behind the seal frontier are late: their
+                # bucket rows are already emitted — drop (sealer's
+                # 'drop' policy; sealed rows stay final)
+                pings.extend(int(t) for t in p["ts_us"]
+                             if int(t) >= sealed_until)
+        pings = sorted(set(pings))
+        out_rows = []
+        if seal_to > sealed_until and pings:
+            # islands over the retained pings
+            acc: dict[int, list[int]] = {}
+            isl_start = pings[0]
+            isl_end = pings[0] + lease
+            islands = []
+            for t in pings[1:]:
+                if t > isl_end:
+                    islands.append((isl_start, isl_end))
+                    isl_start, isl_end = t, t + lease
+                else:
+                    isl_end = t + lease
+            islands.append((isl_start, isl_end))
+            for s, e in islands:
+                b = max((s // us) * us, sealed_until)
+                while b < min(e, seal_to):
+                    ov = min(e, b + us) - max(s, b)
+                    if ov > 0:
+                        cur = acc.setdefault(b, [0, 0])
+                        cur[0] += ov
+                        cur[1] += 1
+                    b += us
+            out_rows = [(url, b, v[0], v[1])
+                        for b, v in sorted(acc.items())]
+            sealed_until = seal_to
+            pings = [t for t in pings if t + lease > sealed_until]
+
+        if pings:
+            state.update((pings, sealed_until))
+            # flush when the watermark passes the earliest open bucket
+            next_boundary = ((pings[0] // us) + 1) * us
+            state.setTimeoutTimestamp(max(next_boundary, wm_us + 1) // 1000)
+        elif state.exists:
+            state.remove()
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows,
+                columns=["url", "bucket_us", "uptime_us", "n_islands"],
+            )
+
+    return with_ts.groupBy("url").applyInPandasWithState(
+        handler,
+        outputStructType=("url string, bucket_us long, uptime_us long, "
+                          "n_islands long"),
+        stateStructType="pings array<long>, sealed_until long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -356,3 +356,48 @@ def test_streaming_ohlc_equals_batch(spark, series_parquet, tmp_path):
     assert got <= exp
     n_keys = series.select("url").distinct().count()
     assert len(got) >= len(exp) - 2 * n_keys   # only trailing open windows
+
+
+def test_streaming_uptime_equals_batch(spark, series_parquet, tmp_path):
+    """Sealed streaming liveness rows must equal the batch uptime
+    operator exactly over the sealed bucket set (buckets whose end the
+    final watermark passed); restart from checkpoint emits nothing
+    new."""
+    from mtslake.sessions import uptime
+
+    src, series = series_parquet
+    out, ck = str(tmp_path / "up_out"), str(tmp_path / "up_ck")
+    lease = 30 * 60 * 1_000_000
+
+    def _run():
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).parquet(src)
+        q = (
+            streaming.streaming_uptime(stream, lease, tier="1h",
+                                       watermark="0 seconds")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _run()
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert got, "no sealed liveness rows emitted"
+    batch = uptime(series.select("url", "ts_us"), lease, "1h")
+    exp = {tuple(r) for r in batch
+           .select("url", "bucket_us", "uptime_us", "n_islands").collect()}
+    assert got <= exp
+    # coverage: everything but each url's trailing unsealed buckets
+    max_ts = series.agg(F.max("ts_us")).first()[0]
+    hour = 3_600_000_000
+    sealed_exp = {t for t in exp if t[1] + hour <= (max_ts // hour) * hour}
+    assert sealed_exp <= got
+
+    _run()  # checkpoint restart: nothing new -> no duplicates
+    again = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert again == got
