@@ -650,3 +650,37 @@ def test_regr_components_merge_across_halves(spark):
     [y] = regr_components(h2, ["k"], "ts_us", "value").collect()
     for c in ("st", "sy", "stt", "sty"):
         assert Decimal(str(x[c])) + Decimal(str(y[c])) == Decimal(str(w[c]))
+
+
+def test_divide_sensitive_ops_survive_ansi_mode(spark):
+    """Spark 4 environments may run ANSI-on, where a bare divide-by-
+    zero hard-fails the job: every ratio-emitting operator here uses
+    try_divide (or guards), so the suite's semantics must hold under
+    BOTH modes. Exercise the divide paths with adversarial inputs
+    under ansi.enabled=true."""
+    from mtslake.sessions import uptime
+    from mtslake.series import corr_stats, exact_quantiles, rate
+
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        dup = spark.createDataFrame(
+            [("a", 5, 1.0), ("a", 5, 2.0)],   # zero time delta
+            "url string, ts_us long, value double",
+        )
+        rows = rate(dup, tiebreak="value").collect()
+        assert len(rows) == 1 and rows[0]["rate"] is None
+        zv = spark.createDataFrame(
+            [("k", 1.0, 2.0), ("k", 1.0, 3.0)],  # zero x variance
+            "k string, x double, y double",
+        )
+        assert corr_stats(zv, ["k"], "x", "y").collect()[0]["r"] is None
+        one = spark.createDataFrame([("a", 0)], "url string, ts_us long")
+        [r] = uptime(one, 60, "1h").collect()
+        assert r["uptime_us"] == 60
+        [qr] = exact_quantiles(
+            spark.createDataFrame([("a", 1.0)], "k string, value double"),
+            ["k"], "value", {"p50": 0.5},
+        ).collect()
+        assert qr["p50"] == 1.0
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
