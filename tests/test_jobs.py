@@ -482,3 +482,33 @@ def test_analytics_job_m4_surface(spark, tmp_path):
     assert 0 < n
     # ≤ 4 rows per (key, pixel column); all rows carry original values
     assert n <= 4 * 16 * 4 + 4 * 4   # keys * cols * 4 + slack for tail
+
+
+def test_stream_job(spark, tmp_path, capsys):
+    from mtslake.datagen import generate_pages
+    from mtslake.jobs import stream as job_stream
+    from mtslake.series import pages_to_series
+
+    src = str(tmp_path / "src")
+    series = pages_to_series(
+        generate_pages(spark, n_urls=6, snapshots_per_url=40, n_hot=0))
+    series.write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "stream")
+    job_stream.main(["--store", str(tmp_path / "lk"), "--src", src,
+                     "--out", out, "--surfaces", "rollup,uptime",
+                     "--tier", "1m", "--available-now"])
+    ro = spark.read.parquet(f"{out}/rollup")
+    assert ro.count() > 0 and "vsum" in ro.columns
+    up = spark.read.parquet(f"{out}/uptime")
+    assert up.count() > 0
+    assert up.agg(F.max("uptime_us")).first()[0] <= 3_600_000_000
+    assert "rollup" in capsys.readouterr().out
+
+    # restart with the same checkpoints: availableNow drains nothing
+    # new -> counts unchanged (checkpoint-resume contract)
+    n_ro, n_up = ro.count(), up.count()
+    job_stream.main(["--store", str(tmp_path / "lk"), "--src", src,
+                     "--out", out, "--surfaces", "rollup,uptime",
+                     "--tier", "1m", "--available-now"])
+    assert spark.read.parquet(f"{out}/rollup").count() == n_ro
+    assert spark.read.parquet(f"{out}/uptime").count() == n_up
