@@ -3088,16 +3088,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     implementations). Every entry, graded or not, still runs in
     tools/compare_oracle.py."""
     return {
-        # -- never driver-graded, or r3-graded with a CHANGED impl ----
-        # (multimodal.py was refactored for the JPEG codec, so the
-        #  three mm_* r3-green rows are stale on changed code)
+        # Rotation re-ranked mid-round-5: every slot in the graded
+        # window now holds a query with NO driver CORRECTNESS row in
+        # any round, the one red r4 row (ts_moving_avg_24h, regraded
+        # on the exact-sum projection), an r3-green row on
+        # since-changed code (mm_* predate the resize/JPEG refactor),
+        # or a changed-code-path regrade (Arrow decode rewrite /
+        # NaN-stat pruning / try_divide / dedup lifecycle).
+        # -- never driver-graded (39) ---------------------------------
         "rel_set_ops": q_rel_set_ops,
         "emb_pq_topk": q_emb_pq_topk,
         "emb_ivfpq_topk": q_emb_ivfpq_topk,
-        "mm_features": q_mm_features,
-        "mm_frame_sample": q_mm_frame_sample,
-        "mm_resize": q_mm_resize,
-        # -- new this round (never driver-graded) ---------------------
         "mm_jpeg_pipeline": q_mm_jpeg_pipeline,
         "ts_m4_downsample": q_ts_m4_downsample,
         "doc_extract_text": q_doc_extract_text,
@@ -3121,36 +3122,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_trustrank": q_doc_trustrank,
         "doc_inverted_index": q_doc_inverted_index,
         "ts_ewma_hourly": q_ts_ewma_hourly,
-        # -- executed code path changed since the r4 green row --------
-        # (Arrow decode rewrite: chunk.py/sources.py; rate try_divide;
-        #  moving-avg graded projection; dedup.py checkpoint
-        #  lifecycle; multimodal.py JPEG refactor)
-        "ts_rollup_1h_codec": q_ts_rollup_1h_codec,
-        "ts_rollup_1d_from_1h": q_ts_rollup_1d_from_1h,
-        "ts_read_range_codec": q_ts_read_range_codec,
-        "ts_moving_avg_24h": q_ts_moving_avg_24h,
-        "ts_value_filtered_read": q_ts_value_filtered_read,
-        "ts_rate": q_ts_rate,
-        "ts_step_read": q_ts_step_read,
-        "ts_verify_roundtrip": q_ts_verify_roundtrip,
-        "ts_compact": q_ts_compact,
-        "ts_catalog_stats": q_ts_catalog_stats,
-        "ts_retention_filter": q_ts_retention_filter,
-        "ts_hot_urls_topk": q_ts_hot_urls_topk,
-        "ts_stream_compress_seal": q_ts_stream_compress_seal,
-        "mm_ppm_pipeline": q_mm_ppm_pipeline,
-        "mm_png_pipeline": q_mm_png_pipeline,
-        "doc_dedup_exact": q_doc_dedup_exact,
-        "doc_minhash_lsh": q_doc_minhash_lsh,
-        "doc_simhash": q_doc_simhash,
-        "doc_dedup_incremental": q_doc_dedup_incremental,
-        "doc_cluster_components": q_doc_cluster_components,
-        "doc_dedup_survivors": q_doc_dedup_survivors,
-        # -- 51+: past the grading window this round ------------------
-        # The queries from ts_corr_weekly through
-        # ts_stream_uptime_1h landed after the 50 slots filled; they
-        # head next round's never-graded priority block. All are green
-        # on tools/compare_oracle.py.
         "ts_corr_weekly": q_ts_corr_weekly,
         "ts_gap_topk": q_ts_gap_topk,
         "ts_ohlc_1h": q_ts_ohlc_1h,
@@ -3164,13 +3135,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_holt_hourly": q_ts_holt_hourly,
         "ts_regr_daily": q_ts_regr_daily,
         "ts_stream_uptime_1h": q_ts_stream_uptime_1h,
-        # The two CHANGED-path queries left outside are
-        # doc_cluster_chain (a synthetic-chain fixture whose code path
-        # doc_cluster_components grades on the REAL near-dup graph)
-        # and doc_corpus_clean (a composition whose constituents —
-        # lang-ID, quality, exact dedup — are each graded above); the
-        # five after them are r3-green with byte-unchanged
-        # implementations.
+        # -- red or green-on-stale-code (4) ---------------------------
+        "ts_moving_avg_24h": q_ts_moving_avg_24h,
+        "mm_features": q_mm_features,
+        "mm_frame_sample": q_mm_frame_sample,
+        "mm_resize": q_mm_resize,
+        # -- changed-code-path regrades filling the window (7) --------
+        "ts_rollup_1h_codec": q_ts_rollup_1h_codec,
+        "ts_read_range_codec": q_ts_read_range_codec,
+        "ts_value_filtered_read": q_ts_value_filtered_read,
+        "ts_verify_roundtrip": q_ts_verify_roundtrip,
+        "ts_rate": q_ts_rate,
+        "ts_stream_compress_seal": q_ts_stream_compress_seal,
+        "doc_minhash_lsh": q_doc_minhash_lsh,
+        # -- 51+: green driver row on byte-equivalent code; rotated
+        # -- out this round, still run by tools/compare_oracle.py -----
+        "ts_rollup_1d_from_1h": q_ts_rollup_1d_from_1h,
+        "ts_step_read": q_ts_step_read,
+        "ts_compact": q_ts_compact,
+        "ts_catalog_stats": q_ts_catalog_stats,
+        "ts_retention_filter": q_ts_retention_filter,
+        "ts_hot_urls_topk": q_ts_hot_urls_topk,
+        "mm_ppm_pipeline": q_mm_ppm_pipeline,
+        "mm_png_pipeline": q_mm_png_pipeline,
+        "doc_dedup_exact": q_doc_dedup_exact,
+        "doc_simhash": q_doc_simhash,
+        "doc_dedup_incremental": q_doc_dedup_incremental,
+        "doc_cluster_components": q_doc_cluster_components,
+        "doc_dedup_survivors": q_doc_dedup_survivors,
         "doc_cluster_chain": q_doc_cluster_chain,
         "doc_corpus_clean": q_doc_corpus_clean,
         "emb_near_dup": q_emb_near_dup,
@@ -3180,9 +3172,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_top_suppliers": q_rel_top_suppliers,
         "emb_cosine_topk": q_emb_cosine_topk,
         "ts_stream_rollup_1m": q_ts_stream_rollup_1m,
-        # -- tail: r4-green AND executed code byte-unchanged since ----
-        # (additive-only module edits; all still green on the local
-        #  stand-in every round)
         "ts_histogram_1h": q_ts_histogram_1h,
         "ts_lttb_downsample": q_ts_lttb_downsample,
         "ts_topk_daily": q_ts_topk_daily,
