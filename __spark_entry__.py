@@ -3077,6 +3077,95 @@ def q_doc_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_duplication(_docs(spark, sf_dir), k=8)
 
 
+def q_ts_cusum_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM change-point alarms over the 1h tier
+    (series.cusum_flags): the sequential drift detector that catches
+    many small same-signed deviations no per-bucket k-sigma test sees.
+    The classic max(0, S+dx) recursion is closed to pure window
+    algebra — S_t = P_t − min(0, min_j P_j) over mean-centered prefix
+    sums — and scaled by the per-key bucket count N so no division
+    ever happens: G_t = N·RunningSum − t·S_total, exact
+    DECIMAL(38,0)/HUGEINT in both engines, graded as strings; the
+    mean-relative alarm (cusum > h·S_total ⟺ excess > h bucket-means)
+    keeps the flag float-free. Reference analogue: none (Page 1954
+    CUSUM; TSDB monitoring primitive)."""
+    from mtslake.series import cusum_flags
+
+    series = events_to_series(_events(spark, sf_dir))
+    rolled = _rollup.rollup_from_series(series, "1h")
+    c = cusum_flags(rolled, h_mult=8, min_points=24)
+    return c.select(
+        "url_prefix", "lang", "bucket_us", "cnt",
+        F.col("cusum_pos").cast("string").alias("cusum_pos"),
+        F.col("cusum_neg").cast("string").alias("cusum_neg"),
+        "shift_up", "shift_down",
+    )
+
+
+def q_ts_acf_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the 1h tier at lag 24 (series.acf_stats):
+    "does this hour's traffic track the same hour yesterday?" Pairs
+    come from an equi-self-join on the EXACT bucket offset (sparse
+    holes pair by time, not row position, and drop if the partner is
+    missing), then corr_stats' mergeable exact decimal component sums,
+    graded as decimal strings; r derives at read time and stays out of
+    the hashed projection (the ts_corr_weekly discipline). Reference
+    analogue: none (single-signal stats only, mtscomp.py:1131-1150)."""
+    from mtslake.config import TIER_US
+    from mtslake.series import acf_stats
+
+    series = events_to_series(_events(spark, sf_dir))
+    rolled = _rollup.rollup_from_series(series, "1h")
+    a = acf_stats(rolled, TIER_US["1h"], lag=24)
+    return a.select(
+        "url_prefix", "lang", "n",
+        F.col("sx").cast("string").alias("sx"),
+        F.col("sy").cast("string").alias("sy"),
+        F.col("sxx").cast("string").alias("sxx"),
+        F.col("syy").cast("string").alias("syy"),
+        F.col("sxy").cast("string").alias("sxy"),
+    )
+
+
+def q_ts_mad_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust MAD outlier flags over the 1h tier (series.mad_flags):
+    median / |x−med| / median-of-deviations / dev > k·MAD, every step
+    on exact_quantiles' DISCRETE selection rule (smallest value whose
+    cume_dist reaches 0.5 — an existing integer, no interpolation), so
+    the whole chain is exact longs and the SQL oracle replays it
+    bit-for-bit. The robust companion to ts_anomaly_24h's moment-based
+    test: medians don't move when the baseline itself is contaminated.
+    Reference analogue: none (TSDB monitoring primitive)."""
+    from mtslake.series import mad_flags
+
+    series = events_to_series(_events(spark, sf_dir))
+    rolled = _rollup.rollup_from_series(series, "1h")
+    return mad_flags(rolled, k=5, min_points=24)
+
+
+def q_doc_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model coverage scoring (textops.train_bigram_lm
+    + lm_coverage_score) — the CCNet/KenLM-style quality signal
+    (Wenzek et al. 2020): train bigram counts on a deterministic 80%
+    split (engine-portable doc_id mod rule so BOTH engines rebuild the
+    identical model; production uses the xxhash64 bucket), then score
+    every document by exact-long familiar-mass sums (n_pairs, n_hits,
+    Σc_bigram, Σc_head). The transcendental log-likelihood exists for
+    ranking but stays OUT of the graded projection. The SQL oracle
+    replays tokenize → bigram → model → left-join → aggregate
+    end-to-end. Reference analogue: none (webtext-axis addition)."""
+    from mtslake.textops import lm_coverage_score, train_bigram_lm
+
+    docs = _docs(spark, sf_dir)
+    lm = train_bigram_lm(
+        docs, train_filter=(F.col("doc_id") % 5 != 0)
+    )
+    sc = lm_coverage_score(docs, lm)
+    return sc.select(
+        "doc_id", "n_pairs", "n_hits", "sum_c_bigram", "sum_c_head"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the grading order: the driver grades the
     first 50 entries per round, so the dict is maintained as a
@@ -3144,12 +3233,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_rollup_1h_codec": q_ts_rollup_1h_codec,
         "ts_read_range_codec": q_ts_read_range_codec,
         "ts_value_filtered_read": q_ts_value_filtered_read,
+        # -- new this session (never driver-graded) -------------------
+        "ts_cusum_1h": q_ts_cusum_1h,
+        "ts_acf_24h": q_ts_acf_24h,
+        "ts_mad_1h": q_ts_mad_1h,
+        "doc_lm_bigram": q_doc_lm_bigram,
+        # -- 51+: green driver row on byte-equivalent code; rotated
+        # -- out this round, still run by tools/compare_oracle.py -----
         "ts_verify_roundtrip": q_ts_verify_roundtrip,
         "ts_rate": q_ts_rate,
         "ts_stream_compress_seal": q_ts_stream_compress_seal,
         "doc_minhash_lsh": q_doc_minhash_lsh,
-        # -- 51+: green driver row on byte-equivalent code; rotated
-        # -- out this round, still run by tools/compare_oracle.py -----
         "ts_rollup_1d_from_1h": q_ts_rollup_1d_from_1h,
         "ts_step_read": q_ts_step_read,
         "ts_compact": q_ts_compact,
@@ -3237,6 +3331,141 @@ _EXACT_TOPK_SQL = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # identical window algebra in HUGEINT (exact ≤1.7e38): N-scaled
+        # mean-centered prefix sums + running min/max (see q_ts_cusum_1h)
+        "ts_cusum_1h": f"""
+            WITH t AS (
+                SELECT url_prefix, lang, bucket_us, cnt,
+                       count(*) OVER wf AS n,
+                       sum(cnt) OVER wf AS s,
+                       row_number() OVER wo AS t_idx,
+                       sum(cnt) OVER wr AS rs
+                FROM ({_ROLLUP_1H})
+                WINDOW
+                    wf AS (PARTITION BY url_prefix, lang),
+                    wo AS (PARTITION BY url_prefix, lang
+                           ORDER BY bucket_us),
+                    wr AS (PARTITION BY url_prefix, lang
+                           ORDER BY bucket_us ROWS UNBOUNDED PRECEDING)
+            ), g AS (
+                SELECT *, CAST(n AS HUGEINT) * rs
+                          - CAST(t_idx AS HUGEINT) * s AS gt
+                FROM t
+            ), m AS (
+                SELECT *,
+                       min(least(gt, 0)) OVER wr2 AS mn,
+                       max(greatest(gt, 0)) OVER wr2 AS mx
+                FROM g
+                WINDOW wr2 AS (PARTITION BY url_prefix, lang
+                               ORDER BY bucket_us ROWS UNBOUNDED PRECEDING)
+            )
+            SELECT url_prefix, lang, bucket_us, cnt,
+                   CAST(gt - mn AS VARCHAR) AS cusum_pos,
+                   CAST(mx - gt AS VARCHAR) AS cusum_neg,
+                   (n >= 24 AND (gt - mn) > 8 * CAST(s AS HUGEINT))
+                       AS shift_up,
+                   (n >= 24 AND (mx - gt) > 8 * CAST(s AS HUGEINT))
+                       AS shift_down
+            FROM m
+        """,
+        # exact-bucket-offset self-join + the corr_weekly decimal
+        # algebra (see q_ts_acf_24h)
+        "ts_acf_24h": f"""
+            WITH r AS ({_ROLLUP_1H}),
+            p AS (
+                SELECT a.url_prefix, a.lang,
+                       CAST(a.cnt AS DECIMAL(18,9)) AS x,
+                       CAST(b.cnt AS DECIMAL(18,9)) AS y
+                FROM r a JOIN r b
+                  ON a.url_prefix = b.url_prefix AND a.lang = b.lang
+                 AND b.bucket_us = a.bucket_us + 86400000000
+            )
+            SELECT url_prefix, lang,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS VARCHAR) AS sx,
+                   CAST(SUM(y) AS VARCHAR) AS sy,
+                   CAST(CAST(SUM(x * x) AS DECIMAL(38,18)) AS VARCHAR)
+                       AS sxx,
+                   CAST(CAST(SUM(y * y) AS DECIMAL(38,18)) AS VARCHAR)
+                       AS syy,
+                   CAST(CAST(SUM(x * y) AS DECIMAL(38,18)) AS VARCHAR)
+                       AS sxy
+            FROM p GROUP BY 1, 2
+        """,
+        # identical discrete-selection replay, twice (median, then
+        # median of absolute deviations) — see q_ts_mad_1h
+        "ts_mad_1h": f"""
+            WITH c1 AS (
+                SELECT url_prefix, lang, bucket_us, cnt,
+                       cume_dist() OVER (PARTITION BY url_prefix, lang
+                                         ORDER BY cnt) AS cdv
+                FROM ({_ROLLUP_1H})
+            ), c2 AS (
+                SELECT *, MIN(CASE WHEN cdv >= 0.5 THEN cnt END)
+                          OVER (PARTITION BY url_prefix, lang) AS med
+                FROM c1
+            ), c3 AS (
+                SELECT url_prefix, lang, bucket_us, cnt, med,
+                       abs(cnt - med) AS dev
+                FROM c2
+            ), c4 AS (
+                SELECT *,
+                       cume_dist() OVER (PARTITION BY url_prefix, lang
+                                         ORDER BY dev) AS cdd,
+                       count(*) OVER (PARTITION BY url_prefix, lang) AS n
+                FROM c3
+            ), c5 AS (
+                SELECT *, MIN(CASE WHEN cdd >= 0.5 THEN dev END)
+                          OVER (PARTITION BY url_prefix, lang) AS mad
+                FROM c4
+            )
+            SELECT url_prefix, lang, bucket_us, cnt,
+                   CAST(med AS BIGINT) AS med,
+                   CAST(dev AS BIGINT) AS abs_dev,
+                   CAST(mad AS BIGINT) AS mad,
+                   (n >= 24 AND dev > 5 * mad) AS is_outlier,
+                   CASE WHEN n >= 24 AND dev > 5 * mad
+                        THEN CAST(sign(cnt - med) AS INT) ELSE 0 END
+                       AS direction
+            FROM c5
+        """,
+        # full tokenize -> bigram -> 80%-split model -> left-join ->
+        # exact-long familiar-mass replay (see q_doc_lm_bigram)
+        "doc_lm_bigram": r"""
+            WITH tk AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(text)),
+                           '\s+'), x -> x <> '') AS t
+                FROM documents
+            ), bg AS (
+                SELECT doc_id, t[i] || ' ' || t[i + 1] AS bigram
+                FROM tk, LATERAL (SELECT unnest(range(1, len(t))) AS i) ix
+            ), model AS (
+                SELECT bigram, count(*) AS c_bigram
+                FROM bg WHERE doc_id % 5 <> 0 GROUP BY bigram
+            ), model2 AS (
+                SELECT bigram, c_bigram,
+                       SUM(c_bigram) OVER (
+                           PARTITION BY split_part(bigram, ' ', 1))
+                           AS c_head
+                FROM model
+            ), sc AS (
+                SELECT bg.doc_id,
+                       count(*) AS n_pairs,
+                       count(m.c_bigram) AS n_hits,
+                       COALESCE(SUM(m.c_bigram), 0) AS sum_c_bigram,
+                       COALESCE(SUM(m.c_head), 0) AS sum_c_head
+                FROM bg LEFT JOIN model2 m USING (bigram)
+                GROUP BY bg.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs,
+                   CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+                   CAST(COALESCE(sum_c_bigram, 0) AS BIGINT)
+                       AS sum_c_bigram,
+                   CAST(COALESCE(sum_c_head, 0) AS BIGINT) AS sum_c_head
+            FROM documents d LEFT JOIN sc USING (doc_id)
+        """,
         "ts_rollup_1h_codec": f"""
             SELECT url_prefix, lang, bucket_us, cnt, vmin, vmax,
                    ROUND(CAST(vsum_dec AS DOUBLE), 6) AS vsum

@@ -687,3 +687,176 @@ def regr_components(
     return agg.withColumn("slope", slope).withColumn(
         "intercept", (sy - slope * st) / n
     )
+
+
+def cusum_flags(
+    rolled: DataFrame,
+    h_mult: int = 8,
+    min_points: int = 24,
+    value_col: str = "cnt",
+    keys: tuple[str, ...] = ("url_prefix", "lang"),
+) -> DataFrame:
+    """Two-sided CUSUM change-point detection over a rollup tier —
+    the drift alarm behind "this url-prefix's crawl volume shifted
+    regime" (Page 1954's cumulative-sum chart, the sequential
+    complement of anomaly_flags' per-bucket k·sigma test: CUSUM
+    accumulates many SMALL same-signed deviations that no single
+    bucket would flag).
+
+    The classic recursion S_t = max(0, S_{t-1} + (x_t − μ)) looks
+    inherently sequential, but with P_t = Σ_{i≤t}(x_i − μ) it closes
+    to pure window algebra:  S_t = P_t − min(0, min_{j≤t} P_j)  — a running
+    sum plus a running min, both plain window functions, no
+    applyInPandas, no recursion (the EWMA/Holt operators need the
+    sequential Arrow pass; CUSUM provably does not).
+
+    Determinism (the anomaly_flags discipline): no float ever enters
+    the statistic. With N = per-key bucket count and S = per-key total
+    of the integer ``value_col``, scale everything by N so the mean
+    needs no division:
+
+        G_t     = N·RunningSum_t − t·S        (≡ N·P_t, exact)
+        cusum⁺  = G_t − min(0, min_{j≤t} G_j)  (≡ N·S_t)
+        cusum⁻  = max(0, max_{j≤t} G_j) − G_t
+
+    computed in DECIMAL(38,0) from longs. The alarm threshold is
+    mean-relative: flag when cusum⁺ > h_mult·S ⟺ S_t > h_mult·μ —
+    i.e. the accumulated excess exceeds ``h_mult`` bucket-means
+    (σ-relative thresholds need a sqrt; the mean-relative form keeps
+    the flag float-free and SQL-replayable bit-for-bit).
+
+    Scale shape: ONE hash partition by key carries every window
+    (full-frame totals + both running frames share the sort);
+    runs over the TIER (bounded buckets/key), never raw events.
+    Operand bound: N·S < 10³⁸ (buckets/key × total points — beyond
+    any real tenant).
+    """
+    from pyspark.sql import Window as W
+
+    dec = "decimal(38,0)"
+    w_full = W.partitionBy(*keys)
+    w_ord = W.partitionBy(*keys).orderBy("bucket_us")
+    w_run = w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+    x = F.col(value_col).cast("long")
+    n_total = F.count(value_col).over(w_full)
+    s_total = F.sum(x).over(w_full)
+    t_idx = F.row_number().over(w_ord)
+    run_sum = F.sum(x).over(w_run)
+    g = (n_total.cast(dec) * run_sum.cast(dec)
+         - t_idx.cast(dec) * s_total.cast(dec))
+    base = rolled.select(
+        *keys, "bucket_us", x.alias(value_col),
+        n_total.alias("_n"), s_total.alias("_s"), g.alias("_g"),
+    )
+    run_min = F.min(F.least(F.col("_g"), F.lit(0).cast(dec))).over(w_run)
+    run_max = F.max(F.greatest(F.col("_g"), F.lit(0).cast(dec))).over(w_run)
+    pos = (F.col("_g") - run_min).alias("cusum_pos")
+    neg = (run_max - F.col("_g")).alias("cusum_neg")
+    thresh = F.lit(int(h_mult)).cast(dec) * F.col("_s").cast(dec)
+    ok = F.col("_n") >= int(min_points)
+    return base.select(
+        *keys, "bucket_us", value_col,
+        pos, neg,
+        (ok & (pos > thresh)).alias("shift_up"),
+        (ok & (neg > thresh)).alias("shift_down"),
+    )
+
+
+def acf_stats(
+    rolled: DataFrame,
+    tier_us: int,
+    lag: int = 1,
+    value_col: str = "cnt",
+    keys: tuple[str, ...] = ("url_prefix", "lang"),
+) -> DataFrame:
+    """Per-key autocorrelation of a rollup tier at ``lag`` buckets —
+    "does this hour's traffic track the same hour yesterday?"
+    (lag = 24 on the 1h tier): Pearson correlation of
+    (x_t, x_{t+lag}) carried as corr_stats' EXACT mergeable decimal
+    component sums; ``r`` derives once at read time and stays out of
+    any hashed projection.
+
+    Pairs come from an equi-self-join on the EXACT bucket offset
+    (bucket_us = bucket_us + lag·tier_us), not a row-offset lag():
+    the tier is sparse, and a ROWS-frame lag over holes would pair
+    values ``lag`` OBSERVATIONS apart instead of ``lag`` BUCKETS
+    apart (the moving_aggregate RANGE-frame rationale applied to
+    joins). Buckets whose lagged partner is missing drop out —
+    pairwise-complete over observed buckets, holes are not imputed.
+
+    Scale shape: a co-partitioned narrow self-join (both sides hash
+    on (keys, bucket) — one shuffle each over tier-sized input) into
+    corr_stats' single partial-aggregated groupBy.
+    """
+    off = int(lag) * int(tier_us)
+    a = rolled.select(
+        *keys, "bucket_us", F.col(value_col).alias("_x")
+    )
+    b = rolled.select(
+        *keys,
+        (F.col("bucket_us") - F.lit(off)).alias("bucket_us"),
+        F.col(value_col).alias("_y"),
+    )
+    return corr_stats(a.join(b, on=[*keys, "bucket_us"]),
+                      list(keys), "_x", "_y")
+
+
+def mad_flags(
+    rolled: DataFrame,
+    k: int = 5,
+    min_points: int = 24,
+    value_col: str = "cnt",
+    keys: tuple[str, ...] = ("url_prefix", "lang"),
+) -> DataFrame:
+    """Robust per-bucket outlier flags over a rollup tier via median
+    absolute deviation — the companion anomaly_flags needs when the
+    baseline itself is contaminated: mean/σ move with every outlier
+    (masking), medians don't (50% breakdown point).
+
+    Both medians use exact_quantiles' DISCRETE selection rule (the
+    smallest value whose cume_dist reaches 0.5 — an existing input
+    value, no interpolation arithmetic), so with integer inputs the
+    whole chain — med, dev = |x − med|, mad = med(dev), flag
+    dev > k·mad — is EXACT LONGS end to end; a SQL replayer agrees
+    bit-for-bit. Degenerate keys (mad = 0: over half the buckets sit
+    at the median) flag any deviating bucket, like anomaly_flags'
+    σ = 0 case.
+
+    Scale shape: one hash partition by key reused by all four
+    windows; two per-key sorts (by value, then by deviation) are the
+    honest cost of exact medians — over the TIER, never raw events.
+    The first-pass read at 100 TB is approx_percentile's mergeable
+    sketch; this is the exact tier it's audited against.
+    """
+    from pyspark.sql import Window as W
+
+    w_full = W.partitionBy(*keys)
+    x = F.col(value_col).cast("long")
+    cd_v = F.cume_dist().over(w_full.orderBy(F.col(value_col)))
+    base = rolled.select(
+        *keys, "bucket_us", x.alias(value_col), cd_v.alias("_cdv"),
+    )
+    med = F.min(
+        F.when(F.col("_cdv") >= 0.5, F.col(value_col))
+    ).over(w_full)
+    base = base.select(
+        *keys, "bucket_us", value_col, med.alias("_med"),
+        (F.abs(F.col(value_col) - med)).alias("_dev"),
+    )
+    cd_d = F.cume_dist().over(w_full.orderBy(F.col("_dev")))
+    base = base.withColumn("_cdd", cd_d)
+    mad = F.min(F.when(F.col("_cdd") >= 0.5, F.col("_dev"))).over(w_full)
+    n = F.count("*").over(w_full)
+    flag = (n >= int(min_points)) & (
+        F.col("_dev") > F.lit(int(k)) * mad
+    )
+    return base.select(
+        *keys, "bucket_us", value_col,
+        F.col("_med").alias("med"),
+        F.col("_dev").alias("abs_dev"),
+        mad.alias("mad"),
+        flag.alias("is_outlier"),
+        F.when(flag, F.signum((F.col(value_col) - F.col("_med"))
+                              .cast("double")).cast("int"))
+        .otherwise(F.lit(0)).alias("direction"),
+    )

@@ -466,3 +466,124 @@ def inverted_index(
             ).alias("postings"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram language-model coverage scoring (CCNet-style quality signal)
+# ---------------------------------------------------------------------------
+
+
+def _bigrams(text_col: str) -> F.Column:
+    """Token bigrams as 'w1 w2' strings — the corpus tokenizer
+    (lower/trim/split, empty tokens dropped) zipped against itself at
+    offset 1, all JVM array built-ins."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda x: x != "",
+    )
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+
+
+def train_bigram_lm(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 0,
+    train_pct: int = 80,
+    train_filter: F.Column | None = None,
+) -> DataFrame:
+    """Bigram language model counts from a deterministic hash split of
+    the corpus — the mergeable core of the CCNet/KenLM-style quality
+    filter (Wenzek et al. 2020: docs scored by an n-gram LM trained on
+    reference text; here the reference split is carved from the corpus
+    itself by the hash_split rule so both engines rebuild it exactly).
+
+    Returns (bigram, c_bigram, c_head): occurrence counts of each
+    bigram and of its HEAD word as-a-bigram-head (Σ c_bigram over w1 —
+    a same-key window over the aggregate, no second tokenize pass), so
+    P(w2|w1) = c_bigram / c_head derives at read time. Counts are
+    exact longs and ADD across corpus shards — train incrementally
+    like the rollup tiers.
+
+    Scale shape: explode → one partial-aggregated groupBy(bigram)
+    (map-side combine collapses the heavy head before the shuffle) +
+    one head-key window. The model is a table, not a driver object —
+    never collected.
+    """
+    from pyspark.sql import Window as W
+
+    if not 0 < int(train_pct) <= 100:
+        raise ValueError(f"train_pct must be in (0,100]: {train_pct}")
+    if train_filter is not None:
+        # caller-supplied split predicate (e.g. an engine-portable
+        # modulus rule for cross-engine-replayable contracts); the
+        # xxhash64 bucket below is the production default
+        train = docs.where(train_filter)
+    else:
+        bucket = F.pmod(
+            F.xxhash64(F.col(id_col), F.lit(int(seed)).cast("long")),
+            F.lit(100),
+        )
+        train = docs.where(bucket < int(train_pct))
+    bg = train.select(F.explode(_bigrams(text_col)).alias("bigram"))
+    counts = bg.groupBy("bigram").agg(
+        F.count("*").cast("long").alias("c_bigram")
+    )
+    head = F.substring_index(F.col("bigram"), " ", 1)
+    w = W.partitionBy(head)
+    return counts.select(
+        "bigram", "c_bigram",
+        F.sum("c_bigram").over(w).cast("long").alias("c_head"),
+    )
+
+
+def lm_coverage_score(
+    docs: DataFrame,
+    lm: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score every document against a bigram LM: per doc,
+
+    * ``n_pairs``  — bigrams in the document (long)
+    * ``n_hits``   — bigrams found in the model (long)
+    * ``sum_c_bigram`` / ``sum_c_head`` — Σ model counts over hit
+      pairs (long; familiar mass ≈ how 'reference-like' the text is)
+    * ``ll_score`` — Σ log(c_bigram/c_head), the log-likelihood
+      under the LM (double, transcendental — for ranking/filtering
+      ONLY, never for a hashed contract projection; the four exact
+      longs above are the graded quantities)
+
+    Out-of-vocabulary pairs contribute to ``n_pairs`` alone — the OOV
+    rate (1 − n_hits/n_pairs) is the CCNet "unknown mass" signal.
+    Docs with no bigram (≤1 token) keep n_pairs = 0.
+
+    Scale shape: explode → LEFT join on the bigram key (AQE picks
+    broadcast when the model is small, sort-merge on the narrow
+    (id, bigram) pairs otherwise — both sides shuffle at most once)
+    → one partial-aggregated groupBy(id). Zipf-head bigrams ('of
+    the') are hot join keys, but the model side is unique per bigram
+    so the join only fans out to the pairs that exist; no all-pairs
+    hazard.
+    """
+    pairs = docs.select(
+        F.col(id_col), F.explode_outer(_bigrams(text_col)).alias("bigram")
+    )
+    j = pairs.join(lm, on="bigram", how="left")
+    return j.groupBy(id_col).agg(
+        F.count("bigram").cast("long").alias("n_pairs"),
+        F.count("c_bigram").cast("long").alias("n_hits"),
+        F.coalesce(F.sum("c_bigram"), F.lit(0)).cast("long")
+        .alias("sum_c_bigram"),
+        F.coalesce(F.sum("c_head"), F.lit(0)).cast("long")
+        .alias("sum_c_head"),
+        F.sum(
+            F.log(F.col("c_bigram").cast("double"))
+            - F.log(F.col("c_head").cast("double"))
+        ).alias("ll_score"),
+    )

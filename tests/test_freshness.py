@@ -684,3 +684,129 @@ def test_divide_sensitive_ops_survive_ansi_mode(spark):
         assert qr["p50"] == 1.0
     finally:
         spark.conf.set("spark.sql.ansi.enabled", "false")
+
+
+def _mk_tier(spark, xs, key="a"):
+    H = 3_600_000_000
+    return spark.createDataFrame(
+        [(key, "en", i * H, int(x)) for i, x in enumerate(xs)],
+        "url_prefix string, lang string, bucket_us long, cnt long",
+    )
+
+
+def test_cusum_matches_reference_recursion(spark):
+    """The window-algebra closed form (G_t − running min) must equal
+    N·(classic Page recursion S_t = max(0, S_{t-1} + (x_t − μ)))."""
+    from mtslake.series import cusum_flags
+
+    xs = [10, 11, 9, 10, 30, 31, 29, 32, 30, 31]  # level shift at t=4
+    out = (
+        cusum_flags(_mk_tier(spark, xs), h_mult=1, min_points=2)
+        .orderBy("bucket_us")
+        .collect()
+    )
+    n, mean = len(xs), sum(xs) / len(xs)
+    s = 0.0
+    for i, r in enumerate(out):
+        s = max(0.0, s + (xs[i] - mean))
+        assert int(r["cusum_pos"]) == round(n * s), f"t={i}"
+    # the shift is flagged only after enough excess accumulates, and
+    # the alarm stays up once the regime persists
+    assert not out[0]["shift_up"] and out[-1]["shift_up"]
+
+
+def test_cusum_stationary_and_downshift(spark):
+    from mtslake.series import cusum_flags
+
+    flat = cusum_flags(_mk_tier(spark, [5] * 8), h_mult=1, min_points=2)
+    rows = flat.collect()
+    assert all(int(r["cusum_pos"]) == 0 and int(r["cusum_neg"]) == 0
+               for r in rows)
+    assert not any(r["shift_up"] or r["shift_down"] for r in rows)
+    down = cusum_flags(
+        _mk_tier(spark, [30, 31, 29, 30, 5, 6, 4, 5, 6, 5]),
+        h_mult=1, min_points=2,
+    ).orderBy("bucket_us").collect()
+    assert down[-1]["shift_down"] and not down[-1]["shift_up"]
+    assert not down[0]["shift_down"]
+
+
+def test_acf_stats_matches_numpy_and_skips_holes(spark):
+    import numpy as np
+
+    from mtslake.series import acf_stats
+
+    H = 3_600_000_000
+    xs = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8]
+    rows = [("a", "en", i * H, x) for i, x in enumerate(xs)]
+    del rows[7]  # hole: bucket 7 missing -> pairs (6,7) and (7,8) drop
+    tier = spark.createDataFrame(
+        rows, "url_prefix string, lang string, bucket_us long, cnt long"
+    )
+    [r] = acf_stats(tier, H, lag=1).collect()
+    pairs = [
+        (xs[i], xs[i + 1])
+        for i in range(len(xs) - 1)
+        if i != 7 and i + 1 != 7
+    ]
+    assert r["n"] == len(pairs)
+    x = np.array([p[0] for p in pairs], dtype=float)
+    y = np.array([p[1] for p in pairs], dtype=float)
+    assert abs(r["r"] - np.corrcoef(x, y)[0, 1]) < 1e-12
+    assert float(r["sx"]) == x.sum() and float(r["sxy"]) == (x * y).sum()
+
+
+def test_mad_flags_hand_case_and_masking(spark):
+    from mtslake.series import mad_flags
+
+    # one gross outlier in a noisy baseline: MAD flags it alone
+    xs = [10, 12, 8, 11, 9, 13, 7, 10, 11, 1000]
+    out = (
+        mad_flags(_mk_tier(spark, xs), k=5, min_points=5)
+        .orderBy("bucket_us")
+        .collect()
+    )
+    # discrete selection: med = 10 (cd 0.5), mad = 1 (5 of 10 devs <= 1)
+    assert out[0]["med"] == 10 and out[0]["mad"] == 1
+    assert out[-1]["is_outlier"] and out[-1]["direction"] == 1
+    assert sum(r["is_outlier"] for r in out) == 1
+    # degenerate mad = 0 (over half the buckets AT the median): any
+    # deviating bucket flags — the documented anomaly_flags sigma=0
+    # analogue
+    deg = mad_flags(
+        _mk_tier(spark, [5, 5, 5, 5, 5, 5, 7]), k=5, min_points=5
+    ).orderBy("bucket_us").collect()
+    assert deg[-1]["mad"] == 0 and deg[-1]["is_outlier"]
+    assert sum(r["is_outlier"] for r in deg) == 1
+
+
+def test_lm_bigram_hand_case(spark):
+    from mtslake.textops import lm_coverage_score, train_bigram_lm
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat"),        # train
+            (2, "the cat ran"),        # train
+            (3, "the dog sat"),        # train
+            (4, "the cat sat"),        # held out: all pairs known
+            (5, "a zebra"),            # held out: OOV bigram
+            (6, "word"),               # single token: no pairs
+        ],
+        "doc_id long, text string",
+    )
+    lm = train_bigram_lm(docs, train_filter=F.col("doc_id") <= 3)
+    model = {r["bigram"]: (r["c_bigram"], r["c_head"]) for r in lm.collect()}
+    # hand counts over docs 1-3
+    assert model["the cat"] == (2, 3)   # 'the' heads 3 bigrams
+    assert model["cat sat"] == (1, 2)   # 'cat' heads 2
+    assert model["dog sat"] == (1, 1)
+    sc = {r["doc_id"]: r for r in lm_coverage_score(docs, lm).collect()}
+    assert sc[4]["n_pairs"] == 2 and sc[4]["n_hits"] == 2
+    assert sc[4]["sum_c_bigram"] == 2 + 1 and sc[4]["sum_c_head"] == 3 + 2
+    assert sc[5]["n_pairs"] == 1 and sc[5]["n_hits"] == 0
+    assert sc[5]["sum_c_bigram"] == 0 and sc[5]["ll_score"] is None
+    assert sc[6]["n_pairs"] == 0 and sc[6]["n_hits"] == 0
+    import math
+    want = math.log(2 / 3) + math.log(1 / 2)
+    assert abs(sc[4]["ll_score"] - want) < 1e-12
