@@ -201,8 +201,19 @@ def snapshot_drift(
     w = Window.partitionBy(url_col).orderBy(F.col(ts_col), h)
     cur = F.col("_sh")
     prev = F.lag("_sh").over(w)
-    inter = F.size(F.array_intersect(prev, cur))
-    union = F.size(F.array_union(prev, cur))
+    # explicit null guard, NOT bare size(array_intersect(NULL, ...)):
+    # with ANSI off, Spark's legacy sizeOfNull returns -1 instead of
+    # NULL, and a -1 "pair" for each url's first snapshot silently
+    # corrupts n_pairs/Σinter in drift_stats — the operator must be
+    # bit-identical under BOTH ANSI modes (this exact divergence
+    # surfaced as an order-dependent test failure when another test
+    # left ansi.enabled=false on the shared session)
+    inter = F.when(
+        prev.isNotNull(), F.size(F.array_intersect(prev, cur))
+    )
+    union = F.when(
+        prev.isNotNull(), F.size(F.array_union(prev, cur))
+    )
     jac = F.try_divide(inter.cast("double"), union.cast("double"))
     return (
         pages.withColumn("_sh", _shingles(tokens, k))

@@ -661,6 +661,7 @@ def test_divide_sensitive_ops_survive_ansi_mode(spark):
     from mtslake.sessions import uptime
     from mtslake.series import corr_stats, exact_quantiles, rate
 
+    prior = spark.conf.get("spark.sql.ansi.enabled")
     spark.conf.set("spark.sql.ansi.enabled", "true")
     try:
         dup = spark.createDataFrame(
@@ -683,7 +684,11 @@ def test_divide_sensitive_ops_survive_ansi_mode(spark):
         ).collect()
         assert qr["p50"] == 1.0
     finally:
-        spark.conf.set("spark.sql.ansi.enabled", "false")
+        # restore the session's PRIOR mode, not a hardcoded one:
+        # pinning "false" here flipped the shared session's default
+        # (Spark 4 runs ANSI-on) for every later test — which is how
+        # the legacy sizeOfNull divergence in snapshot_drift was found
+        spark.conf.set("spark.sql.ansi.enabled", prior)
 
 
 def _mk_tier(spark, xs, key="a"):
