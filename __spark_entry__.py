@@ -3166,6 +3166,74 @@ def q_doc_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_sax_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolic approximation of the 1h tier
+    (downsample.sax_symbolize, Lin et al. 2003): each bucket's count
+    becomes one of 8 letters by EQUI-DEPTH RANK binning —
+    sym = ((row_number − 1)·a) div n in exact integer arithmetic
+    (classic Gaussian-breakpoint SAX needs mean/σ + Φ⁻¹,
+    transcendentals no SQL replayer reproduces bit-for-bit; rank
+    binning gives the equiprobable-symbol property directly on the
+    empirical distribution). Ordering ties break by bucket_us, so the
+    one float the operator touches (IEEE comparison) is
+    engine-portable. Reference analogue: none (timeseries-tier
+    addition)."""
+    from mtslake.downsample import sax_symbolize
+
+    series = events_to_series(_events(spark, sf_dir))
+    rolled = _rollup.rollup_from_series(series, "1h")
+    return sax_symbolize(rolled, alphabet=8)
+
+
+def q_ts_stream_sliding_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window streaming rollup
+    (streaming.streaming_sliding_rollup): 1h windows sliding every
+    15m — each event enters exactly 4 overlapping windows — through
+    readStream → watermark → append parquet sink, the live-dashboard
+    freshness read a tumbling tier can't serve. Graded with a TRUE
+    SQL oracle: the window set per event is deterministic
+    (starts = t − t mod slide − i·slide, i < 4), so DuckDB rebuilds
+    every window by exploding a 4-element range; both sides restrict
+    to windows sealed a full slide before max(ts). Hash match proves
+    sealed sliding aggregates are bit-identical to the batch
+    replay."""
+    import shutil
+    import tempfile
+
+    from mtslake.streaming import streaming_sliding_rollup
+
+    series = events_to_series(_events(spark, sf_dir))
+    tmp = tempfile.mkdtemp(prefix="mtslake_stream_slide_")
+    src, out, ck = (os.path.join(tmp, d) for d in ("src", "out", "ck"))
+    series.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(series.schema).parquet(src)
+    agg = streaming_sliding_rollup(
+        stream, window="1 hour", slide="15 minutes", watermark="0 seconds"
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    max_ts = int(series.agg(F.max(TS_COL)).first()[0])
+    slide_us = 900_000_000
+    sealed = spark.read.parquet(out).filter(
+        F.col("bucket_end_us") + slide_us <= F.lit(max_ts)
+    )
+    result = sealed.select(
+        "url_prefix", "lang", "bucket_us", "bucket_end_us",
+        "cnt", "vmin", "vmax",
+        F.round(F.col("vsum").cast("double"), 6).alias("vsum"),
+    )
+    rows, schema = result.collect(), result.schema
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the grading order: the driver grades the
     first 50 entries per round, so the dict is maintained as a
@@ -3230,9 +3298,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_sample": q_mm_frame_sample,
         "mm_resize": q_mm_resize,
         # -- changed-code-path regrades filling the window (7) --------
-        "ts_rollup_1h_codec": q_ts_rollup_1h_codec,
-        "ts_read_range_codec": q_ts_read_range_codec,
         "ts_value_filtered_read": q_ts_value_filtered_read,
+        "ts_sax_1h": q_ts_sax_1h,
+        "ts_stream_sliding_1h": q_ts_stream_sliding_1h,
         # -- new this session (never driver-graded) -------------------
         "ts_cusum_1h": q_ts_cusum_1h,
         "ts_acf_24h": q_ts_acf_24h,
@@ -3240,6 +3308,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_bigram": q_doc_lm_bigram,
         # -- 51+: green driver row on byte-equivalent code; rotated
         # -- out this round, still run by tools/compare_oracle.py -----
+        "ts_rollup_1h_codec": q_ts_rollup_1h_codec,
+        "ts_read_range_codec": q_ts_read_range_codec,
         "ts_verify_roundtrip": q_ts_verify_roundtrip,
         "ts_rate": q_ts_rate,
         "ts_stream_compress_seal": q_ts_stream_compress_seal,
@@ -3331,6 +3401,43 @@ _EXACT_TOPK_SQL = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # identical equi-depth rank binning in integer `//` division
+        # (see q_ts_sax_1h)
+        "ts_sax_1h": f"""
+            WITH r AS (
+                SELECT url_prefix, lang, bucket_us, cnt,
+                       row_number() OVER (PARTITION BY url_prefix, lang
+                           ORDER BY cnt, bucket_us) AS rn,
+                       count(*) OVER (PARTITION BY url_prefix, lang) AS n
+                FROM ({_ROLLUP_1H})
+            )
+            SELECT url_prefix, lang, bucket_us, cnt,
+                   CAST(((rn - 1) * 8) // n AS INT) AS sym,
+                   chr(CAST(((rn - 1) * 8) // n AS INT) + 97) AS sym_char
+            FROM r
+        """,
+        # deterministic overlapping-window rebuild: starts =
+        # t − t mod slide − i·slide, i ∈ [0,4) (see
+        # q_ts_stream_sliding_1h)
+        "ts_stream_sliding_1h": f"""
+            WITH m AS (SELECT max(epoch_us(ts)) AS mx FROM events),
+            w AS (
+                SELECT {_PREFIX} AS url_prefix, 'en' AS lang,
+                       (epoch_us(ts) - epoch_us(ts) % 900000000)
+                           - i * 900000000 AS bucket_us,
+                       value
+                FROM events,
+                     LATERAL (SELECT unnest(range(0, 4)) AS i) ix
+            )
+            SELECT url_prefix, lang, bucket_us,
+                   bucket_us + 3600000000 AS bucket_end_us,
+                   count(*) AS cnt, min(value) AS vmin, max(value) AS vmax,
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(18,9)))
+                       AS DOUBLE), 6) AS vsum
+            FROM w, m
+            GROUP BY 1, 2, 3, m.mx
+            HAVING bucket_us + 3600000000 + 900000000 <= m.mx
+        """,
         # identical window algebra in HUGEINT (exact ≤1.7e38): N-scaled
         # mean-centered prefix sums + running min/max (see q_ts_cusum_1h)
         "ts_cusum_1h": f"""

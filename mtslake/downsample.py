@@ -142,3 +142,57 @@ def lttb_downsample(
         .groupBy(*key_cols)
         .applyInPandas(fn, schema=out_fields)
     )
+
+
+def sax_symbolize(
+    rolled: DataFrame,
+    alphabet: int = 8,
+    value_col: str = "cnt",
+    keys: tuple[str, ...] = ("url_prefix", "lang"),
+) -> DataFrame:
+    """SAX-style symbolic approximation over a rollup tier (Lin et
+    al. 2003): each bucket's aggregate becomes one letter of an
+    ``alphabet``-sized alphabet, turning a numeric series into a
+    string for motif/novelty search and cheap similarity pruning. The
+    tier IS the PAA step (piecewise aggregate means over fixed
+    windows — exactly the rollup's (cnt, vsum) carry); this adds the
+    symbolization.
+
+    VARIANT — rank-SAX, by design: classic SAX z-normalizes and cuts
+    at Gaussian quantile breakpoints (mean/σ + Φ⁻¹ — two
+    transcendental steps no SQL replayer reproduces bit-for-bit).
+    Equi-depth rank binning gives the same equiprobable-symbol
+    property directly on the EMPIRICAL distribution:
+
+        sym = ((row_number − 1) · alphabet) div n     (exact integers)
+
+    ordered by (value, bucket_us) per key — the only float the
+    operator touches is the ordering itself, and ordering under IEEE
+    comparison is engine-portable. Degenerate keys (constant value)
+    still spread deterministically by bucket order — equal values may
+    straddle a bin boundary, split by time order, never arbitrarily.
+
+    Scale shape: one hash partition by key + one per-key sort (the
+    exact_quantiles shape); input is the TIER, never raw events.
+    """
+    from pyspark.sql import Window as W
+
+    if not 2 <= int(alphabet) <= 26:
+        raise ValueError(f"alphabet must be in [2, 26]: {alphabet}")
+    a = int(alphabet)
+    w_full = W.partitionBy(*keys)
+    w_ord = w_full.orderBy(F.col(value_col), F.col("bucket_us"))
+    staged = rolled.select(
+        *keys, "bucket_us", value_col,
+        F.row_number().over(w_ord).cast("long").alias("_rn"),
+        F.count("*").over(w_full).cast("long").alias("_n"),
+    )
+    # integer `div`, NOT `/`: Spark's `/` is IEEE double division, and
+    # a truncating cast back to long can land one off when the true
+    # quotient sits within one ulp of an integer
+    sym = F.expr(f"(( _rn - 1) * {a}) div _n")
+    return staged.select(
+        *keys, "bucket_us", value_col,
+        sym.cast("int").alias("sym"),
+        F.char(sym + F.lit(97)).alias("sym_char"),
+    )

@@ -646,3 +646,47 @@ def streaming_uptime(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def streaming_sliding_rollup(
+    series_stream: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Sliding-window streaming aggregates — the live dashboard's
+    "last hour, refreshed every 15 minutes" read that a tumbling tier
+    can't serve (a tumbling 1h bucket is up to an hour stale at its
+    close). Same (cnt, vmin, vmax, vsum) carry and the same decimal
+    quantization as the batch tiers; each event enters window/slide
+    overlapping windows (4 here), emitted per window START.
+
+    State: window/slide open (key, window) groups instead of the
+    tumbling rollup's one — the overlap factor is the knob that trades
+    read freshness for state size, bounded either way by the
+    watermark horizon. Append mode seals each window when the
+    watermark passes its END, exactly like the tumbling case.
+    """
+    with_ts = series_stream.withColumn(
+        "event_ts", F.timestamp_micros(F.col("ts_us"))
+    ).withWatermark("event_ts", watermark)
+    win = F.window("event_ts", window, slide)
+    return (
+        with_ts.select(
+            url_prefix(), F.col("lang"), F.col("event_ts"), F.col("value")
+        )
+        .groupBy("url_prefix", "lang", win.alias("w"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            F.sum(vsum_cast("value")).alias("vsum"),
+        )
+        .select(
+            "url_prefix", "lang",
+            F.unix_micros(F.col("w.start")).alias("bucket_us"),
+            F.unix_micros(F.col("w.end")).alias("bucket_end_us"),
+            "cnt", "vmin", "vmax",
+            F.col("vsum").cast("decimal(38,18)").alias("vsum"),
+        )
+    )

@@ -461,3 +461,50 @@ def test_register_views_sql_surface(spark, store):
         "SELECT * FROM mtslake_chunks WHERE chunk_id = 1"
     )._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "chunk_id" in plan, plan
+
+
+def test_cusum_plan_single_exchange(spark):
+    """cusum_flags stacks four window specs (full-frame totals,
+    row_number, running sum, running min/max) — all partitioned by the
+    SAME key, so the whole operator costs exactly ONE exchange and the
+    sort is planned once per distinct ordering."""
+    from mtslake.series import cusum_flags
+
+    tier = spark.createDataFrame(
+        [("a", "en", 0, 5), ("a", "en", 3_600_000_000, 6)],
+        "url_prefix string, lang string, bucket_us long, cnt long",
+    )
+    plan = cusum_flags(tier)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_mad_plan_single_exchange(spark):
+    """mad_flags' four windows (two cume_dist sorts + two full-frame
+    medians) all hash on the key: one exchange, the two value/dev
+    sorts are partition-local."""
+    from mtslake.series import mad_flags
+
+    tier = spark.createDataFrame(
+        [("a", "en", 0, 5), ("a", "en", 3_600_000_000, 6)],
+        "url_prefix string, lang string, bucket_us long, cnt long",
+    )
+    plan = mad_flags(tier)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_acf_join_is_co_partitioned_and_partial_aggregated(spark):
+    """acf_stats' lag self-join hashes both sides on (keys, bucket) —
+    no broadcast of a big side, no extra exchange beyond the two join
+    inputs — and the corr aggregation is map-side partial."""
+    from mtslake.series import acf_stats
+
+    tier = spark.createDataFrame(
+        [("a", "en", i * 3_600_000_000, i) for i in range(4)],
+        "url_prefix string, lang string, bucket_us long, cnt long",
+    )
+    plan = acf_stats(tier, 3_600_000_000, lag=1)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan

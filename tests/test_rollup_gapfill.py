@@ -936,3 +936,39 @@ def test_explode_bucket_overlaps_property(spark):
     for iid, s, e in rows:
         want = max(0, e - s)
         assert by_iid.get(iid, 0) == want, (iid, s, e)
+
+
+def test_sax_equi_depth_and_determinism(spark):
+    """rank-SAX invariants: (1) symbols are non-decreasing in value,
+    (2) equi-depth — each symbol's bin size is n//a or n//a+1,
+    (3) ties split deterministically by bucket order, (4) integer
+    `div` exactness (the bin boundary at an exact multiple), and the
+    alphabet guard."""
+    import pytest as _pytest
+
+    from mtslake.downsample import sax_symbolize
+
+    rows = [("p", "en", i * 10, c) for i, c in
+            enumerate([5, 1, 9, 1, 7, 3, 3, 8, 2, 6, 4, 0])]
+    tier = spark.createDataFrame(
+        rows, "url_prefix string, lang string, bucket_us long, cnt long")
+    out = sax_symbolize(tier, alphabet=4).collect()
+    by_val = sorted(out, key=lambda r: (r["cnt"], r["bucket_us"]))
+    syms = [r["sym"] for r in by_val]
+    assert syms == sorted(syms)                    # monotone in value
+    n, a = len(rows), 4
+    import collections
+    sizes = collections.Counter(syms)
+    assert all(v in (n // a, n // a + 1) for v in sizes.values())
+    assert {r["sym_char"] for r in out} <= set("abcd")
+    # ties: the two 1s and two 3s get symbols by bucket order
+    ones = sorted((r for r in out if r["cnt"] == 1),
+                  key=lambda r: r["bucket_us"])
+    assert [r["sym"] for r in ones] == sorted(r["sym"] for r in ones)
+    # exact boundary: 12 rows / 4 letters -> rank 4 (0-based 3) is 'a'
+    # iff (3*4)//12 == 1 boundary lands exactly; replay in python
+    for r in out:
+        rn = by_val.index(r) + 1
+        assert r["sym"] == ((rn - 1) * a) // n
+    with _pytest.raises(ValueError):
+        sax_symbolize(tier, alphabet=1)

@@ -401,3 +401,64 @@ def test_streaming_uptime_equals_batch(spark, series_parquet, tmp_path):
     _run()  # checkpoint restart: nothing new -> no duplicates
     again = {tuple(r) for r in spark.read.parquet(out).collect()}
     assert again == got
+
+
+def test_streaming_sliding_equals_batch_windows(spark, series_parquet,
+                                                tmp_path):
+    """Sliding 1h/15m windows: every sealed streaming window matches
+    the batch rebuild (each event in exactly window/slide = 4
+    windows), and restart from checkpoint emits nothing new."""
+    src, series = series_parquet
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def run():
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).parquet(src)
+        q = (
+            streaming.streaming_sliding_rollup(
+                stream, window="1 hour", slide="15 minutes",
+                watermark="0 seconds",
+            )
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ck)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    run()
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+
+    slide_us, win_us = 900_000_000, 3_600_000_000
+    from mtslake.rollup import vsum_cast
+    from mtslake.series import url_prefix
+
+    offs = spark.range(4).select(F.col("id").alias("_i"))
+    exp_df = (
+        series.crossJoin(offs)
+        .select(
+            url_prefix(), "lang", "value",
+            ((F.col("ts_us") - F.pmod(F.col("ts_us"), F.lit(slide_us)))
+             - F.col("_i") * slide_us).alias("bucket_us"),
+        )
+        .groupBy("url_prefix", "lang", "bucket_us")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            F.sum(vsum_cast("value")).cast("decimal(38,18)").alias("vsum"),
+        )
+        .select("url_prefix", "lang", "bucket_us",
+                (F.col("bucket_us") + win_us).alias("bucket_end_us"),
+                "cnt", "vmin", "vmax", "vsum")
+    )
+    exp = {tuple(r) for r in exp_df.collect()}
+    assert got <= exp
+    # every window ending a slide before max(ts) must be emitted
+    max_ts = series.agg(F.max("ts_us")).first()[0]
+    sealed = {e for e in exp if e[3] + slide_us <= max_ts}
+    assert sealed <= got
+
+    run()  # checkpoint restart: no new data -> no duplicates
+    again = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert again == got
