@@ -214,7 +214,12 @@ def main() -> None:
                           # window + bounded bucket-explode + agg —
                           # timed so the explode's cost tracks across
                           # rounds at the full bench SF
-                          "ts_time_weighted_1h", "ts_uptime_1d"):
+                          "ts_time_weighted_1h", "ts_uptime_1d",
+                          # r5 additions: CUSUM's four stacked windows
+                          # over one exchange, and the bigram-LM's
+                          # tokenize-explode + model join — the two
+                          # new cost shapes worth cross-round tracking
+                          "ts_cusum_1h", "doc_lm_bigram"):
                 fn = entry.queries()[qname]
                 timed_min(qname, lambda f=fn: f(spark, sf_dir).count())
             # time the PRODUCTION-banding LSH (16 bands x 4 rows — the
