@@ -3234,6 +3234,48 @@ def q_ts_stream_sliding_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def q_ts_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch range join (asof.interval_join): events x per-user daily
+    maintenance windows ([day + (uid mod 7)h, +2h)), via the
+    bucket-explode equi-join — Spark has no native range join, and
+    the naive key-equi-join-with-range-filter degenerates to an
+    in-task cross product on hot keys. The oracle replays the SAME
+    fixture with DuckDB's native IEJoin range join, independently
+    checking the bucketing trick's exactness (containment boundaries,
+    multi-bucket intervals, pair uniqueness). All graded columns are
+    exact longs + raw parquet doubles (selection only)."""
+    from mtslake.asof import interval_join
+
+    day_us, hour_us = 86_400_000_000, 3_600_000_000
+    ev = _events(spark, sf_dir).select(
+        F.concat(F.lit("https://user-"), F.col("user_id").cast("string"),
+                 F.lit(".example.com/events")).alias("url"),
+        F.col("user_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "value",
+    )
+    iv = (
+        ev.select(
+            "url", "user_id",
+            (F.col("ts_us") - F.pmod(F.col("ts_us"), F.lit(day_us)))
+            .alias("_day"),
+        )
+        .distinct()
+        .select(
+            "url",
+            (F.col("_day")
+             + F.pmod(F.col("user_id"), F.lit(7)) * hour_us)
+            .alias("start_us"),
+            (F.col("_day")
+             + (F.pmod(F.col("user_id"), F.lit(7)) + 2) * hour_us)
+            .alias("end_us"),
+        )
+    )
+    j = interval_join(ev.drop("user_id"), iv, key="url",
+                      bucket_us=hour_us)
+    return j.select("url", "ts_us", "value", "start_us", "end_us")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the grading order: the driver grades the
     first 50 entries per round, so the dict is maintained as a
@@ -3298,7 +3340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_sample": q_mm_frame_sample,
         "mm_resize": q_mm_resize,
         # -- changed-code-path regrades filling the window (7) --------
-        "ts_value_filtered_read": q_ts_value_filtered_read,
+        "ts_interval_join": q_ts_interval_join,
         "ts_sax_1h": q_ts_sax_1h,
         "ts_stream_sliding_1h": q_ts_stream_sliding_1h,
         # -- new this session (never driver-graded) -------------------
@@ -3308,6 +3350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_bigram": q_doc_lm_bigram,
         # -- 51+: green driver row on byte-equivalent code; rotated
         # -- out this round, still run by tools/compare_oracle.py -----
+        "ts_value_filtered_read": q_ts_value_filtered_read,
         "ts_rollup_1h_codec": q_ts_rollup_1h_codec,
         "ts_read_range_codec": q_ts_read_range_codec,
         "ts_verify_roundtrip": q_ts_verify_roundtrip,
@@ -3401,6 +3444,26 @@ _EXACT_TOPK_SQL = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # independent check by ENGINE-NATIVE range join (DuckDB
+        # IEJoin) over the same fixture (see q_ts_interval_join)
+        "ts_interval_join": f"""
+            WITH e AS (
+                SELECT {_URL} AS url, user_id, epoch_us(ts) AS ts_us,
+                       value
+                FROM events
+            ), iv AS (
+                SELECT DISTINCT url,
+                       (ts_us - ts_us % 86400000000)
+                           + (user_id % 7) * 3600000000 AS start_us,
+                       (ts_us - ts_us % 86400000000)
+                           + (user_id % 7 + 2) * 3600000000 AS end_us
+                FROM e
+            )
+            SELECT e.url, e.ts_us, e.value, iv.start_us, iv.end_us
+            FROM e JOIN iv ON e.url = iv.url
+                          AND e.ts_us >= iv.start_us
+                          AND e.ts_us < iv.end_us
+        """,
         # identical equi-depth rank binning in integer `//` division
         # (see q_ts_sax_1h)
         "ts_sax_1h": f"""

@@ -132,3 +132,54 @@ def asof_join(
                 c, F.when(stale, F.lit(None)).otherwise(F.col(c))
             )
     return out
+
+
+def interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    key: str = "url",
+    ts_col: str = "ts_us",
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+    bucket_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Batch range join — which events fall inside which half-open
+    [start, end) interval per key (maintenance windows, incident
+    spans, ad campaigns)? Spark has no native range join; the naive
+    formulation `events JOIN intervals ON key AND ts BETWEEN s AND e`
+    plans an equi-join on key with the range as a post-filter — one
+    hot key degenerates to an in-task cross product.
+
+    This implementation buckets time: intervals explode into their
+    covered tumbling buckets (gapfill.explode_bucket_overlaps — the
+    memory-bounded two-level explode shared with time_weighted/
+    uptime), events map to ONE bucket each, and the join runs on
+    (key, bucket) — an equi-join whose per-task work is bounded by
+    events-per-bucket × intervals-overlapping-that-bucket, not by
+    per-key row counts. The exact containment predicate then trims
+    bucket-grain false pairs. Each qualifying (event, interval) pair
+    appears EXACTLY once: the event's single bucket occurs once in
+    the interval's bucket set — no dedup pass.
+
+    ``bucket_us`` is the skew/blowup knob: it should sit near the
+    TYPICAL interval length (explode rows ≈ len/bucket + 1 per
+    interval; a bucket far below interval length inflates the build
+    side, far above it re-concentrates hot keys).
+
+    Inner join; events in no interval drop (anti-join the result for
+    the complement). Interval frames carry any payload columns along.
+    """
+    us = int(bucket_us)
+    from .gapfill import explode_bucket_overlaps
+
+    ev = events.withColumn(
+        "_b", F.col(ts_col) - F.pmod(F.col(ts_col), F.lit(us))
+    )
+    iv = explode_bucket_overlaps(
+        intervals, us, start_col, end_col
+    ).drop("_overlap")
+    joined = ev.join(iv, on=[key, "_b"], how="inner").where(
+        (F.col(ts_col) >= F.col(start_col))
+        & (F.col(ts_col) < F.col(end_col))
+    )
+    return joined.drop("_b")

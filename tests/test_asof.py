@@ -1,6 +1,7 @@
 """As-of join vs a hand-computed and a pandas merge_asof oracle."""
 
 import pandas as pd
+from pyspark.sql import functions as F
 
 from mtslake.asof import asof_join
 
@@ -172,3 +173,56 @@ def test_asof_directions_match_pandas(spark):
                 for t, p in zip(want_df["ts_us"], want_df["px"])
             }
             assert got == want, (direction, tol)
+
+
+def test_interval_join_equals_naive_range_join(spark):
+    """Bucketed range join == naive key-join + range filter, on a
+    randomized fixture with multi-bucket intervals, boundary events
+    (ts == start kept, ts == end dropped), zero-length intervals, and
+    overlapping intervals per key (pair multiplicity must match)."""
+    import random
+
+    from mtslake.asof import interval_join
+
+    rng = random.Random(7)
+    B = 100
+    evs = [(f"k{rng.randrange(4)}", rng.randrange(0, 3000))
+           for _ in range(300)]
+    ivs = []
+    for _ in range(40):
+        s = rng.randrange(0, 2900)
+        ivs.append((f"k{rng.randrange(4)}", s,
+                    s + rng.choice([0, 1, 37, 250, 900])))
+    # explicit boundary probes
+    evs += [("kb", 500), ("kb", 700)]
+    ivs += [("kb", 500, 700)]
+    ev = spark.createDataFrame(evs, "url string, ts_us long")
+    iv = spark.createDataFrame(ivs, "url string, start_us long, end_us long")
+    got = sorted(
+        tuple(r) for r in interval_join(ev, iv, bucket_us=B).collect()
+    )
+    exp = sorted(
+        tuple(r)
+        for r in ev.join(iv, on="url")
+        .where((F.col("ts_us") >= F.col("start_us"))
+               & (F.col("ts_us") < F.col("end_us")))
+        .select("url", "ts_us", "start_us", "end_us")
+        .collect()
+    )
+    # same multiset of pairs (exactly-once per qualifying pair)
+    g2 = sorted((r[0], r[1], r[2], r[3]) for r in got)
+    assert g2 == exp
+    assert (("kb", 500, 500, 700) in g2) and ("kb", 700, 500, 700) not in g2
+
+
+def test_interval_join_is_equi_join_on_bucket(spark):
+    """The physical plan must join on (key, bucket) — hash or
+    sort-merge equi-join, never BroadcastNestedLoop/cartesian."""
+    from mtslake.asof import interval_join
+
+    ev = spark.createDataFrame([("a", 5)], "url string, ts_us long")
+    iv = spark.createDataFrame(
+        [("a", 0, 10)], "url string, start_us long, end_us long")
+    plan = interval_join(ev, iv, bucket_us=10)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
