@@ -3276,6 +3276,25 @@ def q_ts_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select("url", "ts_us", "value", "start_us", "end_us")
 
 
+def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (dedup.decontaminate) — the GPT-3
+    appendix-C training-data hygiene pass, cross-corpus sibling of
+    doc_substring_dup's ExactSubstr: training docs (doc_id mod 10 ≠ 7)
+    sharing any 8-word md5-keyed window with the benchmark split
+    (mod 10 = 7) are flagged, with interval-union contaminated-token
+    coverage per doc. TRUE SQL oracle: DuckDB replays tokenize →
+    window keys → benchmark distinct-key semi-join → running-max
+    sweep → rollup from the raw table. contam_frac divides identical
+    integer operands in both engines (bit-identical IEEE, the
+    doc_substring_dup rule)."""
+    from mtslake.dedup import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 10 == 7)
+    train = docs.where(F.col("doc_id") % 10 != 7)
+    return decontaminate(train, bench, k=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the grading order: the driver grades the
     first 50 entries per round, so the dict is maintained as a
@@ -3337,7 +3356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- red or green-on-stale-code (4) ---------------------------
         "ts_moving_avg_24h": q_ts_moving_avg_24h,
         "mm_features": q_mm_features,
-        "mm_frame_sample": q_mm_frame_sample,
+        "doc_decontaminate": q_doc_decontaminate,
         "mm_resize": q_mm_resize,
         # -- changed-code-path regrades filling the window (7) --------
         "ts_interval_join": q_ts_interval_join,
@@ -3350,6 +3369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_bigram": q_doc_lm_bigram,
         # -- 51+: green driver row on byte-equivalent code; rotated
         # -- out this round, still run by tools/compare_oracle.py -----
+        "mm_frame_sample": q_mm_frame_sample,
         "ts_value_filtered_read": q_ts_value_filtered_read,
         "ts_rollup_1h_codec": q_ts_rollup_1h_codec,
         "ts_read_range_codec": q_ts_read_range_codec,
@@ -3444,6 +3464,58 @@ _EXACT_TOPK_SQL = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # full cross-corpus replay: window keys, benchmark distinct
+        # set, semi-join, interval sweep (see q_doc_decontaminate)
+        "doc_decontaminate": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(text)),
+                           '\s+'), x -> x <> '') AS t
+                FROM documents
+            ), base AS (
+                SELECT doc_id, t, len(t) AS n FROM toks
+                WHERE doc_id % 10 <> 7
+            ), wins AS (
+                SELECT doc_id, unnest(range(1, n - 6)) AS s, t
+                FROM base WHERE n >= 8
+            ), keyed AS (
+                SELECT doc_id, s,
+                       md5(array_to_string(t[s:s+7], ' ')) AS w
+                FROM wins
+            ), bkeys AS (
+                SELECT DISTINCT md5(array_to_string(t[s:s+7], ' ')) AS w
+                FROM (
+                    SELECT t, unnest(range(1, len(t) - 6)) AS s
+                    FROM toks WHERE doc_id % 10 = 7 AND len(t) >= 8
+                )
+            ), hit AS (
+                SELECT k.doc_id, k.s FROM keyed k
+                WHERE EXISTS (SELECT 1 FROM bkeys b WHERE b.w = k.w)
+            ), sweep AS (
+                SELECT doc_id, s,
+                       max(s + 7) OVER (PARTITION BY doc_id ORDER BY s
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS pe
+                FROM hit
+            ), per AS (
+                SELECT doc_id, count(*) AS n_hit_windows,
+                       sum(greatest(0, s + 7
+                           - greatest(s - 1, coalesce(pe, 0))))
+                           AS contam_tokens
+                FROM sweep GROUP BY doc_id
+            )
+            SELECT b.doc_id,
+                   CAST(b.n AS BIGINT) AS n_tokens,
+                   CAST(coalesce(p.n_hit_windows, 0) AS BIGINT)
+                       AS n_hit_windows,
+                   CAST(coalesce(p.contam_tokens, 0) AS BIGINT)
+                       AS contam_tokens,
+                   CASE WHEN b.n > 0 THEN
+                       CAST(coalesce(p.contam_tokens, 0) AS DOUBLE) / b.n
+                   ELSE 0.0 END AS contam_frac,
+                   coalesce(p.n_hit_windows, 0) > 0 AS is_contaminated
+            FROM base b LEFT JOIN per p USING (doc_id)
+        """,
         # independent check by ENGINE-NATIVE range join (DuckDB
         # IEJoin) over the same fixture (see q_ts_interval_join)
         "ts_interval_join": f"""

@@ -725,6 +725,37 @@ def ngram_jaccard(
     )
 
 
+def _window_keys(docs, text_col: str, id_col: str, k: int):
+    """(base, windows) for k-word md5 window keys — the shared core of
+    substring_duplication and decontaminate. base = (_id, _n tokens);
+    windows = (_id, _n, _s start, _w 16-byte md5 key). Documents
+    shorter than k produce no windows (guarded: Spark's sequence runs
+    DESCENDING, not empty, when n < k)."""
+    toks = F.filter(_tokens(text_col), lambda x: x != "")
+    base = docs.select(
+        F.col(id_col).alias("_id"), toks.alias("_t")
+    ).select("_id", "_t", F.size("_t").alias("_n"))
+    wins = base.select(
+        "_id",
+        "_n",
+        F.explode(
+            F.when(
+                F.col("_n") >= k,
+                F.sequence(F.lit(1), F.col("_n") - (k - 1)),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("_s"),
+        F.col("_t").alias("_tt"),
+    ).select(
+        "_id",
+        "_n",
+        "_s",
+        F.unhex(
+            F.md5(F.concat_ws(" ", F.slice("_tt", F.col("_s"), F.lit(k))))
+        ).alias("_w"),
+    )
+    return base, wins
+
+
 def substring_duplication(
     docs: DataFrame,
     text_col: str = "text",
@@ -766,28 +797,7 @@ def substring_duplication(
     operator deliberately avoids). The sweep + final rollup share one
     per-document exchange.
     """
-    toks = F.filter(_tokens(text_col), lambda x: x != "")
-    base = docs.select(
-        F.col(id_col).alias("_id"), toks.alias("_t")
-    ).select("_id", "_t", F.size("_t").alias("_n"))
-    wins = base.select(
-        "_id",
-        "_n",
-        F.explode(
-            F.when(
-                F.col("_n") >= k,
-                F.sequence(F.lit(1), F.col("_n") - (k - 1)),
-            ).otherwise(F.array().cast("array<int>"))
-        ).alias("_s"),
-        F.col("_t").alias("_tt"),
-    ).select(
-        "_id",
-        "_n",
-        "_s",
-        F.unhex(
-            F.md5(F.concat_ws(" ", F.slice("_tt", F.col("_s"), F.lit(k))))
-        ).alias("_w"),
-    )
+    base, wins = _window_keys(docs, text_col, id_col, k)
     dup_keys = (
         wins.groupBy("_w")
         .agg(F.count("*").alias("_c"))
@@ -824,8 +834,94 @@ def substring_duplication(
             .alias("dup_tokens"),
             F.when(
                 F.col("_n") > 0,
-                F.coalesce("dup_tokens", F.lit(0)).cast("double")
-                / F.col("_n"),
+                # coalesce AFTER try_divide: a zero-token doc reads
+                # dup_frac 0.0 (the oracle's CASE n > 0 rule), never
+                # NULL, and ANSI-on cannot hard-fail the divide
+                F.coalesce(
+                    F.try_divide(
+                        F.coalesce("dup_tokens", F.lit(0)).cast("double"),
+                        F.col("_n"),
+                    ),
+                    F.lit(0.0),
+                ),
             ).otherwise(F.lit(0.0)).alias("dup_frac"),
+        )
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination — the training-data hygiene pass
+    (GPT-3, Brown et al. 2020 appendix C; the cross-corpus sibling of
+    substring_duplication's within-corpus ExactSubstr): flag any
+    training document sharing a ``k``-word window with a held-out
+    benchmark/eval set, because a single memorizable overlap inflates
+    downstream eval scores.
+
+    Same md5-keyed window machinery (_window_keys — 128-bit keys for
+    the same birthday-bound reason), but the reference side is the
+    BENCHMARK's distinct window-key set and matching is a LEFT SEMI
+    join of training windows against it. Per document the overlapping
+    windows merge by the interval-union sweep into
+    ``(n_tokens, n_hit_windows, contam_tokens, contam_frac,
+    is_contaminated)``; clean documents keep zero rows, documents
+    shorter than ``k`` words cannot be flagged (no window — the
+    paper's minimum-match-length rule).
+
+    Scale shape: the benchmark side reduces to DISTINCT 16-byte keys —
+    typically millions of rows against the corpus's trillions, so the
+    semi-join broadcasts under AQE; the training side's explode is the
+    same narrow O(total_tokens) shuffle as substring_duplication, and
+    presence-only semi-join semantics keep AQE's skew split legal for
+    boilerplate-hot windows.
+    """
+    base, wins = _window_keys(docs, text_col, id_col, k)
+    _, bwins = _window_keys(benchmark, text_col, id_col, k)
+    bench_keys = bwins.select("_w").distinct()
+    hits = wins.join(bench_keys, "_w", "left_semi")
+    sweep = W.partitionBy("_id").orderBy("_s")
+    prev_end = F.max(F.col("_s") + (k - 1)).over(
+        sweep.rowsBetween(W.unboundedPreceding, -1)
+    )
+    contrib = F.greatest(
+        F.lit(0),
+        F.col("_s") + (k - 1)
+        - F.greatest(F.col("_s") - 1, F.coalesce(prev_end, F.lit(0))),
+    )
+    per_doc = (
+        hits.withColumn("_cov", contrib)
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("n_hit_windows"),
+            F.sum("_cov").cast("long").alias("contam_tokens"),
+        )
+    )
+    return (
+        base.select("_id", "_n")
+        .join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_n").cast("long").alias("n_tokens"),
+            F.coalesce("n_hit_windows", F.lit(0)).cast("long")
+            .alias("n_hit_windows"),
+            F.coalesce("contam_tokens", F.lit(0)).cast("long")
+            .alias("contam_tokens"),
+            F.coalesce(
+                F.coalesce(
+                    F.try_divide(
+                        F.col("contam_tokens").cast("double"),
+                        F.col("_n").cast("double"),
+                    ),
+                    F.lit(0.0),
+                ),
+                F.lit(0.0),
+            ).alias("contam_frac"),
+            (F.coalesce("n_hit_windows", F.lit(0)) > 0)
+            .alias("is_contaminated"),
         )
     )

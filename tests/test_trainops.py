@@ -1309,3 +1309,45 @@ def test_inverted_index_hand_case_and_sharding(spark):
         ds = [p["doc_id"] for p in r["postings"]]
         assert ds == sorted(ds)
         assert all(d % 4 == r["shard"] for d in ds)
+
+
+def test_decontaminate_hand_case_and_ansi(spark):
+    """Cross-corpus window overlap: a training doc sharing one 8-word
+    run with the benchmark flags with exact interval-union coverage;
+    disjoint and sub-k docs stay clean; empty text reads frac 0.0
+    (not NULL / not an ANSI divide error)."""
+    from pyspark.sql import functions as F
+
+    from mtslake.dedup import decontaminate
+
+    leak = "alpha beta gamma delta epsilon zeta eta theta"   # 8 words
+    train = spark.createDataFrame(
+        [
+            (1, f"intro words {leak} trailing tail"),   # 1 hit window
+            (2, f"{leak} {leak}"),                       # overlapping hits
+            (3, "totally different content with plenty of words here"),
+            (4, "short text"),                           # < k tokens
+            (5, "   "),                                  # empty after trim
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, f"benchmark prompt {leak} answer")],
+        "doc_id long, text string",
+    )
+    prior = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        got = {r["doc_id"]: r for r in
+               decontaminate(train, bench, k=8).collect()}
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prior)
+    assert got[1]["is_contaminated"] and got[1]["n_hit_windows"] == 1
+    assert got[1]["contam_tokens"] == 8
+    # doc 2: 16 tokens, windows at s=1 and s=9 both == leak -> the
+    # window at s=2..8 spanning the seam differs; union covers 16
+    assert got[2]["n_hit_windows"] == 2 and got[2]["contam_tokens"] == 16
+    assert got[2]["contam_frac"] == 1.0
+    assert not got[3]["is_contaminated"] and got[3]["contam_tokens"] == 0
+    assert not got[4]["is_contaminated"] and got[4]["n_tokens"] == 2
+    assert got[5]["n_tokens"] == 0 and got[5]["contam_frac"] == 0.0
