@@ -3295,6 +3295,40 @@ def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(train, bench, k=8)
 
 
+def q_ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (sessions.funnel): earliest strictly-increasing
+    view → click → purchase chain per user within a 24h horizon —
+    greedy min at each step, ties at the same μs never self-convert.
+    All graded columns are exact longs + an int depth. The SQL oracle
+    replays the identical chained min-after-previous construction.
+    Reference analogue: none (product-analytics addition)."""
+    from mtslake.sessions import funnel
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    return funnel(ev, ["view", "click", "purchase"],
+                  within_us=86_400_000_000)
+
+
+def q_ts_cohort_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention (sessions.cohort_retention): users
+    grouped by first-seen day, counted per day-offset they stay
+    active. Exact longs; ret_frac divides identical integers in both
+    engines (bit-stable IEEE — 1.0 at offset 0 by construction). The
+    SQL oracle replays distinct-activity → window-min cohort →
+    integer offset div → counts. Reference analogue: none
+    (product-analytics addition)."""
+    from mtslake.sessions import cohort_retention
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    return cohort_retention(ev, 86_400_000_000)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the grading order: the driver grades the
     first 50 entries per round, so the dict is maintained as a
@@ -3369,6 +3403,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_bigram": q_doc_lm_bigram,
         # -- 51+: green driver row on byte-equivalent code; rotated
         # -- out this round, still run by tools/compare_oracle.py -----
+        "ts_funnel": q_ts_funnel,
+        "ts_cohort_1d": q_ts_cohort_1d,
         "mm_frame_sample": q_mm_frame_sample,
         "ts_value_filtered_read": q_ts_value_filtered_read,
         "ts_rollup_1h_codec": q_ts_rollup_1h_codec,
@@ -3464,6 +3500,57 @@ _EXACT_TOPK_SQL = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # identical chained min-after-previous replay (see q_ts_funnel)
+        "ts_funnel": """
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+            ), s1 AS (
+                SELECT user_id, min(t) AS t_1 FROM e
+                WHERE event_type = 'view' GROUP BY 1
+            ), s2 AS (
+                SELECT e.user_id, min(t) AS t_2
+                FROM e JOIN s1 USING (user_id)
+                WHERE event_type = 'click' AND t > t_1
+                  AND t <= t_1 + 86400000000
+                GROUP BY 1
+            ), s3 AS (
+                SELECT e.user_id, min(t) AS t_3
+                FROM e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+                WHERE event_type = 'purchase' AND t > t_2
+                  AND t <= t_1 + 86400000000
+                GROUP BY 1
+            )
+            SELECT s1.user_id, t_1, t_2, t_3,
+                   CAST(1 + CAST(t_2 IS NOT NULL AS INT)
+                          + CAST(t_3 IS NOT NULL AS INT) AS INT) AS depth
+            FROM s1 LEFT JOIN s2 USING (user_id)
+                    LEFT JOIN s3 USING (user_id)
+        """,
+        # distinct activity -> window-min cohort -> integer offset
+        # (see q_ts_cohort_1d)
+        "ts_cohort_1d": """
+            WITH a AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) - epoch_us(ts) % 86400000000 AS b
+                FROM events
+            ), k AS (
+                SELECT user_id, b,
+                       min(b) OVER (PARTITION BY user_id) AS c
+                FROM a
+            ), p AS (
+                SELECT c AS cohort_us, (b - c) // 86400000000 AS off,
+                       count(*) AS n_active
+                FROM k GROUP BY 1, 2
+            ), t AS (
+                SELECT cohort_us, n_active AS n_cohort
+                FROM p WHERE off = 0
+            )
+            SELECT p.cohort_us, CAST(p.off AS BIGINT) AS offset,
+                   CAST(p.n_active AS BIGINT) AS n_active,
+                   CAST(t.n_cohort AS BIGINT) AS n_cohort,
+                   CAST(p.n_active AS DOUBLE) / t.n_cohort AS ret_frac
+            FROM p JOIN t USING (cohort_us)
+        """,
         # full cross-corpus replay: window keys, benchmark distinct
         # set, semi-join, interval sweep (see q_doc_decontaminate)
         "doc_decontaminate": r"""

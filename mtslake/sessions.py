@@ -347,3 +347,112 @@ def weighted_sample(
         F.lit(SAMPLE_RESOLUTION),
     ) / F.lit(float(SAMPLE_RESOLUTION))
     return df.where(u < F.col(weight_col))
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    key: str = "user_id",
+    ts_col: str = "ts_us",
+    type_col: str = "event_type",
+    within_us: int | None = None,
+) -> DataFrame:
+    """Ordered-funnel analysis — per key, the earliest strictly-
+    increasing completion chain through ``steps`` (view → click →
+    purchase): t₁ = first step-1 event; tᵢ = first step-i event AFTER
+    tᵢ₋₁ (earliest-chain semantics: greedy min at each step, the
+    standard product-analytics definition). ``within_us`` bounds the
+    whole chain to a conversion horizon from t₁. Output: one row per
+    key that entered the funnel — t_1..t_n (null from the first
+    uncompleted step on) and ``depth`` (steps completed).
+
+    Steps must be distinct event types; ties at the same μs do NOT
+    advance the chain (strict >), so duplicate-timestamp streams
+    can't self-convert.
+
+    Scale shape: n−1 chained [filtered single-type events ⋈ key
+    aggregate] rounds — each a partial-aggregated groupBy(key) plus
+    an equi-join on key against an aggregate that has ONE row per
+    key (AQE broadcasts it when small); the funnel length is a small
+    constant, the data passes are each O(step's events). No windows
+    over the full stream, no per-key sort.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel steps must be distinct: {steps}")
+    t = F.col(ts_col)
+    cur = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(key)
+        .agg(F.min(t).cast("long").alias("t_1"))
+    )
+    for i, s in enumerate(steps[1:], start=2):
+        prev = f"t_{i - 1}"
+        cond = t > F.col(prev)
+        if within_us is not None:
+            cond = cond & (t <= F.col("t_1") + int(within_us))
+        step_ev = events.where(F.col(type_col) == s)
+        nxt = (
+            step_ev.join(cur.select(key, "t_1", prev), key)
+            .where(cond)
+            .groupBy(key)
+            .agg(F.min(t).cast("long").alias(f"t_{i}"))
+        )
+        cur = cur.join(nxt.select(key, f"t_{i}"), key, "left")
+    depth = F.lit(1)
+    for i in range(2, len(steps) + 1):
+        depth = depth + F.col(f"t_{i}").isNotNull().cast("int")
+    return cur.select(
+        key, *[f"t_{i}" for i in range(1, len(steps) + 1)],
+        depth.cast("int").alias("depth"),
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    tier_us: int,
+    key: str = "user_id",
+    ts_col: str = "ts_us",
+) -> DataFrame:
+    """Cohort retention curves — keys grouped by FIRST-SEEN bucket
+    (the cohort), counted per later bucket-offset they remain active
+    in: the "day-N retention" read behind every growth dashboard.
+
+    Output: (cohort_us, offset, n_active, n_cohort, ret_frac) — one
+    row per (cohort, offset) with any activity; offset 0 is the
+    cohort size by construction (every key is active in its first
+    bucket), so n_cohort joins from the offset-0 row and
+    ret_frac = n_active/n_cohort divides identical integers in any
+    engine (bit-stable IEEE; = 1.0 at offset 0).
+
+    Scale shape: activity dedups to DISTINCT (key, bucket) FIRST —
+    the explode-proof aggregate — then one window min per key (hash
+    on key), one groupBy (cohort, offset) over rows already reduced
+    to key-bucket grain, and a broadcast-sized cohort-total join.
+    """
+    from pyspark.sql import Window as W
+
+    us = int(tier_us)
+    b = (F.col(ts_col) - F.pmod(F.col(ts_col), F.lit(us))).cast("long")
+    act = events.select(F.col(key), b.alias("_b")).distinct()
+    first = F.min("_b").over(W.partitionBy(key))
+    keyed = act.select(
+        key, "_b", first.alias("_c"),
+    )
+    per = (
+        keyed.groupBy(
+            F.col("_c").alias("cohort_us"),
+            # integer `div` (house rule): `/` would be IEEE double
+            F.expr(f"(_b - _c) div {us}").alias("offset"),
+        )
+        .agg(F.count("*").cast("long").alias("n_active"))
+    )
+    totals = per.where(F.col("offset") == 0).select(
+        "cohort_us", F.col("n_active").alias("n_cohort")
+    )
+    return per.join(totals, "cohort_us").select(
+        "cohort_us", "offset", "n_active", "n_cohort",
+        (F.col("n_active").cast("double")
+         / F.col("n_cohort").cast("double")).alias("ret_frac"),
+    )

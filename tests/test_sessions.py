@@ -325,3 +325,63 @@ def test_weighted_sample_properties(spark):
     # NULL weight drops the row
     nw = df.withColumn("w", F.lit(None).cast("double"))
     assert weighted_sample(nw, "w").count() == 0
+
+
+def test_funnel_hand_case(spark):
+    """Strict ordering (a same-μs pair never converts), horizon
+    cutoff, greedy-earliest chain, depth accounting, and the
+    guards."""
+    import pytest as _pytest
+    from mtslake.sessions import funnel
+
+    rows = [
+        # u1: full chain 10 -> 20 -> 30
+        (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+        # u2: click at the SAME us as view -> strict > blocks it;
+        #     later click converts, purchase BEFORE click ignored
+        (2, "view", 10), (2, "click", 10), (2, "purchase", 15),
+        (2, "click", 40),
+        # u3: purchase outside the horizon from t1
+        (3, "view", 0), (3, "click", 50), (3, "purchase", 2_000),
+        # u4: never entered (no view)
+        (4, "click", 5), (4, "purchase", 6),
+        # u1 extra later events must not move the greedy chain
+        (1, "click", 25), (1, "purchase", 29),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts_us long")
+    got = {r["user_id"]: r for r in funnel(
+        ev, ["view", "click", "purchase"], within_us=1_000
+    ).collect()}
+    # greedy: first click after 10 is 20; first purchase after 20 is 29
+    assert got[1]["t_1"] == 10
+    assert (got[1]["t_2"], got[1]["t_3"], got[1]["depth"]) == (20, 29, 3)
+    assert (got[2]["t_2"], got[2]["t_3"], got[2]["depth"]) == (40, None, 2)
+    assert (got[3]["t_2"], got[3]["t_3"], got[3]["depth"]) == (50, None, 2)
+    assert 4 not in got
+    with _pytest.raises(ValueError):
+        funnel(ev, ["view"])
+    with _pytest.raises(ValueError):
+        funnel(ev, ["view", "view"])
+
+
+def test_cohort_retention_hand_case(spark):
+    from mtslake.sessions import cohort_retention
+
+    D = 100
+    rows = [
+        (1, 0), (1, 5), (1, 2 * D + 1),     # cohort 0: active d0, d2
+        (2, 10), (2, D + 3),                # cohort 0: active d0, d1
+        (3, D + 1), (3, 3 * D),             # cohort 1: active d0, d2
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts_us long")
+    got = {(r["cohort_us"], r["offset"]):
+           (r["n_active"], r["n_cohort"], r["ret_frac"])
+           for r in cohort_retention(ev, D).collect()}
+    assert got == {
+        (0, 0): (2, 2, 1.0),
+        (0, 1): (1, 2, 0.5),
+        (0, 2): (1, 2, 0.5),
+        (D, 0): (1, 1, 1.0),
+        (D, 2): (1, 1, 1.0),
+    }
