@@ -3329,6 +3329,80 @@ def q_ts_cohort_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(ev, 86_400_000_000)
 
 
+def q_doc_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous weighted label propagation (graph.label_propagation,
+    5 rounds, smallest-label ties, half-degree inertia without
+    division, EXACT decimal label weights — double sums are
+    addition-order-dependent and would make the argmax flicker) over
+    the deterministic host graph. Graded as a validity construction
+    (the doc_pagerank pattern): a pure-Python integer transcription of
+    the same synchronous rounds recomputes every label from the
+    collected edge list (≤400 host edges) and the query emits
+    zero-mismatch evidence; the SQL oracle independently derives
+    n_hosts from the fixture formula plus the constant flag."""
+    from collections import defaultdict
+
+    from mtslake import ckpt
+    from mtslake.graph import label_propagation
+    from mtslake.urlops import extract_links, host_edges
+
+    edges = host_edges(extract_links(_linked_pages(spark, sf_dir)))
+    got = label_propagation(edges, iters=5)
+    rows = {r["host"]: r["community"] for r in got.collect()}
+    ckpt.release(got)
+
+    e_rows = edges.collect()
+    w = defaultdict(int)
+    for r in e_rows:
+        a, b, wt = r["src_host"], r["dst_host"], int(r["weight"])
+        if a != b:
+            w[(a, b)] += wt
+            w[(b, a)] += wt
+    hosts = sorted({a for a, _ in w})
+    deg = defaultdict(int)
+    for (a, _), wt in w.items():
+        deg[a] += wt
+    lab = {h: h for h in hosts}
+    for _ in range(5):
+        pooled = {h: defaultdict(int) for h in hosts}
+        for (a, b), wt in w.items():
+            pooled[a][lab[b]] += 2 * wt
+        for h in hosts:
+            pooled[h][lab[h]] += deg[h]
+        lab = {
+            h: min(l for l, lw in pooled[h].items()
+                   if lw == max(pooled[h].values()))
+            for h in hosts
+        }
+    n_mismatch = sum(
+        1 for h in hosts if rows.get(h) != lab[h]
+    ) + sum(1 for h in rows if h not in lab)
+    return spark.createDataFrame(
+        [(len(hosts), n_mismatch, True)],
+        "n_hosts long, n_mismatch long, labels_ok boolean",
+    )
+
+
+def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (sessions.stratified_sample):
+    exactly 20 docs per (lang, source) stratum, ranked by a pure
+    hash of the id — the balanced-training-mix primitive a global
+    Bernoulli sample can't provide (rare strata under-draw). The
+    contract ranks by md5 (engine-portable; production default is
+    xxhash64) so the SQL oracle replays the identical rank window —
+    same winners, bit-for-bit. Reference analogue: none
+    (webtext-axis addition)."""
+    from mtslake.sessions import stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("-0")))
+    # n=7 < the ~20-doc strata at sf0.01, so the rank actually
+    # selects (n=20 would return the whole table)
+    out = stratified_sample(docs, ["lang", "source"], 7,
+                            order_hash=h)
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the grading order: the driver grades the
     first 50 entries per round, so the dict is maintained as a
@@ -3405,6 +3479,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- out this round, still run by tools/compare_oracle.py -----
         "ts_funnel": q_ts_funnel,
         "ts_cohort_1d": q_ts_cohort_1d,
+        "doc_communities": q_doc_communities,
+        "doc_stratified_sample": q_doc_stratified_sample,
         "mm_frame_sample": q_mm_frame_sample,
         "ts_value_filtered_read": q_ts_value_filtered_read,
         "ts_rollup_1h_codec": q_ts_rollup_1h_codec,
@@ -3500,6 +3576,38 @@ _EXACT_TOPK_SQL = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # identical md5-rank window replay (see q_doc_stratified_sample)
+        "doc_stratified_sample": """
+            WITH r AS (
+                SELECT doc_id, lang, source, n_chars,
+                       row_number() OVER (
+                           PARTITION BY lang, source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR) || '-0'),
+                                    doc_id) AS rk
+                FROM documents
+            )
+            SELECT doc_id, lang, source, n_chars FROM r WHERE rk <= 7
+        """,
+        # n_hosts from the fixture formula; labels graded Spark-side
+        # vs the pure-Python synchronous-LPA twin
+        # (see q_doc_communities)
+        "doc_communities": """
+            WITH l AS (
+                SELECT 'site' || (doc_id % 20) || '.com' AS src_host,
+                       'site' || ((doc_id * 7 + j) % 20) || '.com'
+                           AS dst_host
+                FROM documents,
+                     UNNEST(range(0, doc_id % 4)) AS t(j)
+            ), e AS (
+                SELECT DISTINCT src_host, dst_host FROM l
+                WHERE src_host <> dst_host
+            )
+            SELECT CAST(count(DISTINCT h) AS BIGINT) AS n_hosts,
+                   CAST(0 AS BIGINT) AS n_mismatch,
+                   TRUE AS labels_ok
+            FROM (SELECT src_host AS h FROM e
+                  UNION SELECT dst_host FROM e)
+        """,
         # identical chained min-after-previous replay (see q_ts_funnel)
         "ts_funnel": """
             WITH e AS (

@@ -247,3 +247,84 @@ def hits(
     finally:
         release_ckpt(nodes)
         release_ckpt(e)
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 5,
+    src: str = "src_host",
+    dst: str = "dst_host",
+    weight: str = "weight",
+) -> DataFrame:
+    """Community detection by synchronous weighted label propagation
+    (Raghavan, Albert & Kumara 2007, Phys. Rev. E): every node starts
+    as its own community; each round, every node adopts the label
+    with the greatest incident edge weight among its neighbors
+    (counting its own current label at HALF its weighted degree as
+    inertia — damps the bipartite flip-flop the synchronous variant
+    is known for), ties broken by SMALLEST label — fully
+    deterministic, unlike the paper's random asynchronous order, so a
+    replayer or a re-run agrees exactly.
+
+    Determinism discipline: label weights are EXACT decimals
+    (quantized DECIMAL(27,6) inputs; double sums are
+    addition-order-dependent across partitionings and would make the
+    argmax flicker between runs), and the half-degree inertia is
+    expressed without division — neighbor contributions count 2·Σw
+    against the node's full weighted degree for its own label
+    (2·L > deg ⟺ L > deg/2).
+
+    Edges are symmetrized (union), weights sum over parallel edges,
+    self-loops dropped. Returns (host, community) after ``iters``
+    synchronous rounds.
+
+    Scale shape: per round, one O(edges) frontier join + one
+    (node, label) partial-aggregated groupBy + an exact argmax via
+    max-weight semi-selection — the pagerank two-shuffle round, label
+    frontier eager-checkpointed, superseded storage released (O(1)
+    frontiers for K rounds).
+    """
+    dec = "decimal(27,6)"
+    e = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b"),
+        F.col(weight).cast(dec).alias("w"),
+    )
+    sym = (
+        e.unionByName(e.select(F.col("b").alias("a"),
+                               F.col("a").alias("b"), "w"))
+        .groupBy("a", "b").agg(F.sum("w").alias("w"))
+        .where(F.col("a") != F.col("b"))
+    )
+    nodes = sym.select(F.col("a").alias("host")).distinct()
+    degree = sym.groupBy(F.col("a").alias("host")).agg(
+        F.sum("w").cast("decimal(38,6)").alias("_iw")
+    )
+    labels = eager_checkpoint(
+        nodes.select("host", F.col("host").alias("community"))
+    )
+    for _ in range(int(iters)):
+        contrib = (
+            sym.join(labels.withColumnRenamed("host", "b")
+                     .withColumnRenamed("community", "_nl"), "b")
+            .groupBy(F.col("a").alias("host"), F.col("_nl"))
+            .agg((F.lit(2) * F.sum("w")).cast("decimal(38,6)")
+                 .alias("_lw"))
+        )
+        own = labels.join(degree, "host").select(
+            "host", F.col("community").alias("_nl"),
+            F.col("_iw").alias("_lw"),
+        )
+        pooled = contrib.unionByName(own).groupBy("host", "_nl").agg(
+            F.sum("_lw").cast("decimal(38,6)").alias("_lw")
+        )
+        best_w = pooled.groupBy("host").agg(F.max("_lw").alias("_bw"))
+        nxt = (
+            pooled.join(best_w, "host")
+            .where(F.col("_lw") == F.col("_bw"))
+            .groupBy("host")
+            .agg(F.min("_nl").alias("community"))
+        )
+        new_labels = eager_checkpoint(nxt.select("host", "community"))
+        release_ckpt(labels)
+        labels = new_labels
+    return labels

@@ -456,3 +456,44 @@ def cohort_retention(
         (F.col("n_active").cast("double")
          / F.col("n_cohort").cast("double")).alias("ret_frac"),
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: list[str],
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    order_hash=None,
+) -> DataFrame:
+    """Deterministic stratified sampling — exactly ``n_per_stratum``
+    rows from every stratum (fewer iff the stratum is smaller): the
+    balanced-corpus primitive (equal docs per language/source for
+    training mixes) that a global Bernoulli sample can't provide
+    (rare strata under-draw). The sample is a pure function of
+    (id, seed): stable across runs, partitionings, and cluster
+    layouts — re-runs and joins see the same rows (the hash_split
+    property, per stratum).
+
+    ``order_hash``: optional Column replacing the xxhash64(id, seed)
+    ranking key (e.g. md5 for an engine-portable contract replay).
+
+    Scale shape: ONE hash partition by strata + per-stratum TOP-N
+    (rank window) — Spark plans a partial top-N before the shuffle
+    for window rank filters over sorted groups; strata counts are
+    typically few thousand, and per-task memory is bounded by the
+    winners, not stratum size.
+    """
+    from pyspark.sql import Window as W
+
+    h = (
+        order_hash
+        if order_hash is not None
+        else F.xxhash64(F.col(id_col), F.lit(int(seed)).cast("long"))
+    )
+    w = W.partitionBy(*strata).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= int(n_per_stratum))
+        .drop("_rk")
+    )

@@ -385,3 +385,26 @@ def test_cohort_retention_hand_case(spark):
         (D, 0): (1, 1, 1.0),
         (D, 2): (1, 1, 1.0),
     }
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark):
+    from mtslake.sessions import stratified_sample
+
+    rows = [(i, "L%d" % (i % 3), "s%d" % (i % 2)) for i in range(200)]
+    rows += [(1000, "rare", "s0")]          # stratum smaller than n
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string")
+    out = stratified_sample(df, ["lang", "source"], 5)
+    counts = {(r["lang"], r["source"]): r["n"]
+              for r in out.groupBy("lang", "source")
+              .agg(F.count("*").alias("n")).collect()}
+    for (lang, srcn), n in counts.items():
+        assert n == (1 if lang == "rare" else 5)
+    assert len(counts) == 7
+    # pure function of (id, seed): re-run identical, seed changes it
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in
+         stratified_sample(df, ["lang", "source"], 5).collect()}
+    assert a == b
+    c = {r["doc_id"] for r in
+         stratified_sample(df, ["lang", "source"], 5, seed=9).collect()}
+    assert c != a

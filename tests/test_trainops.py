@@ -1351,3 +1351,26 @@ def test_decontaminate_hand_case_and_ansi(spark):
     assert not got[3]["is_contaminated"] and got[3]["contam_tokens"] == 0
     assert not got[4]["is_contaminated"] and got[4]["n_tokens"] == 2
     assert got[5]["n_tokens"] == 0 and got[5]["contam_frac"] == 0.0
+
+
+def test_label_propagation_two_communities(spark):
+    """Two dense triangles joined by one weak bridge resolve into two
+    communities labeled by their smallest member; a re-run agrees
+    exactly (deterministic synchronous rounds, exact decimal
+    weights)."""
+    from mtslake.graph import label_propagation
+
+    tri1 = [("a1", "a2", 5), ("a2", "a3", 5), ("a1", "a3", 5)]
+    tri2 = [("b1", "b2", 5), ("b2", "b3", 5), ("b1", "b3", 5)]
+    bridge = [("a3", "b1", 1)]
+    edges = spark.createDataFrame(
+        tri1 + tri2 + bridge,
+        "src_host string, dst_host string, weight long",
+    )
+    got = {r["host"]: r["community"]
+           for r in label_propagation(edges, iters=5).collect()}
+    assert {got["a1"], got["a2"], got["a3"]} == {"a1"}
+    assert {got["b1"], got["b2"], got["b3"]} == {"b1"}
+    again = {r["host"]: r["community"]
+             for r in label_propagation(edges, iters=5).collect()}
+    assert again == got
