@@ -3421,7 +3421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # since-changed code (mm_* predate the resize/JPEG refactor),
         # or a changed-code-path regrade (Arrow decode rewrite /
         # NaN-stat pruning / try_divide / dedup lifecycle).
-        # -- never driver-graded (39) ---------------------------------
+        # -- never driver-graded --------------------------------------
         "rel_set_ops": q_rel_set_ops,
         "emb_pq_topk": q_emb_pq_topk,
         "emb_ivfpq_topk": q_emb_ivfpq_topk,
@@ -3461,12 +3461,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_holt_hourly": q_ts_holt_hourly,
         "ts_regr_daily": q_ts_regr_daily,
         "ts_stream_uptime_1h": q_ts_stream_uptime_1h,
-        # -- red or green-on-stale-code (4) ---------------------------
+        # -- the one red r4 row (regraded on exact sums) + this
+        # -- session's new never-graded operators ----------------------
         "ts_moving_avg_24h": q_ts_moving_avg_24h,
-        "mm_features": q_mm_features,
         "doc_decontaminate": q_doc_decontaminate,
-        "mm_resize": q_mm_resize,
-        # -- changed-code-path regrades filling the window (7) --------
+        # -- (continued: new this session, never driver-graded) -------
         "ts_interval_join": q_ts_interval_join,
         "ts_sax_1h": q_ts_sax_1h,
         "ts_stream_sliding_1h": q_ts_stream_sliding_1h,
@@ -3475,12 +3474,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_acf_24h": q_ts_acf_24h,
         "ts_mad_1h": q_ts_mad_1h,
         "doc_lm_bigram": q_doc_lm_bigram,
-        # -- 51+: green driver row on byte-equivalent code; rotated
-        # -- out this round, still run by tools/compare_oracle.py -----
+        # -- green driver row on byte-equivalent code; rotated out
+        # -- this round, still run by tools/compare_oracle.py ---------
         "ts_funnel": q_ts_funnel,
         "ts_cohort_1d": q_ts_cohort_1d,
+        # -- 51+: next round's priority block — never driver-graded
+        # -- (landed after the 50 window slots filled) or r3-green on
+        # -- since-changed code (mm_*: resize/JPEG refactor) ----------
         "doc_communities": q_doc_communities,
         "doc_stratified_sample": q_doc_stratified_sample,
+        "mm_features": q_mm_features,
+        "mm_resize": q_mm_resize,
         "mm_frame_sample": q_mm_frame_sample,
         "ts_value_filtered_read": q_ts_value_filtered_read,
         "ts_rollup_1h_codec": q_ts_rollup_1h_codec,
