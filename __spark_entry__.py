@@ -3403,6 +3403,56 @@ def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "source", "n_chars")
 
 
+def q_ts_json_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read over the semi-structured ``props`` JSON column
+    (series.json_field_rollup): typed ``from_json`` extraction —
+    a Catalyst expression inside whole-stage codegen, one parse per
+    row, malformed rows NULL-counted instead of ANSI-failing — then
+    one partial-aggregated rollup per event_type. Exact longs only.
+    The SQL oracle extracts the same field with DuckDB's JSON
+    functions. Reference analogue: none (event-payload mining)."""
+    from mtslake.series import json_field_rollup
+
+    return json_field_rollup(_events(spark, sf_dir), "k")
+
+
+def q_doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup (textops.paragraph_dedup) — the C4
+    sub-document cleaning rule: repeated paragraphs (boilerplate)
+    removed corpus-wide except the canonical smallest-(doc, pos)
+    occurrence, documents reassembled in order. The corpus has no
+    paragraph structure, so BOTH engines first derive deterministic
+    2-word paragraphs from the token stream (small vocabulary ⇒ heavy
+    cross-doc repetition — a real dedup workload); graded columns are
+    exact longs + md5 of the reassembled text (row-size-bounded,
+    string-equal ⇒ hash-equal). Reference analogue: none
+    (webtext-axis addition)."""
+    from mtslake.textops import paragraph_dedup
+
+    docs = _docs(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda x: x != "",
+    )
+    derived = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)),
+                           F.lit(2)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+            ),
+            "\n\n",
+        ).alias("text"),
+    )
+    out = paragraph_dedup(derived, sep="\n\n", min_count=2)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("text_md5"),
+        "n_paragraphs", "n_dropped",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the grading order: the driver grades the
     first 50 entries per round, so the dict is maintained as a
@@ -3483,6 +3533,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- since-changed code (mm_*: resize/JPEG refactor) ----------
         "doc_communities": q_doc_communities,
         "doc_stratified_sample": q_doc_stratified_sample,
+        "ts_json_rollup": q_ts_json_rollup,
+        "doc_paragraph_dedup": q_doc_paragraph_dedup,
         "mm_features": q_mm_features,
         "mm_resize": q_mm_resize,
         "mm_frame_sample": q_mm_frame_sample,
@@ -3580,6 +3632,65 @@ _EXACT_TOPK_SQL = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # DuckDB-native JSON extraction replay (see q_ts_json_rollup)
+        "ts_json_rollup": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(CAST(json_extract_string(props, '$.k')
+                       AS BIGINT)) AS BIGINT) AS n_parsed,
+                   CAST(sum(CAST(json_extract_string(props, '$.k')
+                       AS BIGINT)) AS BIGINT) AS vsum,
+                   CAST(min(CAST(json_extract_string(props, '$.k')
+                       AS BIGINT)) AS BIGINT) AS vmin,
+                   CAST(max(CAST(json_extract_string(props, '$.k')
+                       AS BIGINT)) AS BIGINT) AS vmax
+            FROM events GROUP BY event_type
+        """,
+        # identical derived-paragraph construction + canonical-keep
+        # dedup + ordered reassembly (see q_doc_paragraph_dedup)
+        "doc_paragraph_dedup": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(text)),
+                           '\s+'), x -> x <> '') AS t
+                FROM documents
+            ), paras AS (
+                SELECT doc_id, (i - 1) // 2 AS pos,
+                       array_to_string(t[i:i+1], ' ') AS p
+                FROM (
+                    SELECT doc_id, t,
+                           unnest(range(1, greatest(len(t), 1) + 1, 2))
+                               AS i
+                    FROM toks
+                )
+            ), stats AS (
+                SELECT p, count(*) AS c,
+                       min(struct_pack(d := doc_id, po := pos)) AS canon
+                FROM paras GROUP BY p
+            ), surv AS (
+                SELECT k.doc_id, k.pos, k.p
+                FROM paras k JOIN stats s USING (p)
+                WHERE s.c < 2 OR (s.canon.d = k.doc_id
+                                  AND s.canon.po = k.pos)
+            ), rebuilt AS (
+                SELECT doc_id,
+                       string_agg(p, chr(10) || chr(10) ORDER BY pos)
+                           AS text,
+                       count(*) AS kept
+                FROM surv GROUP BY doc_id
+            ), totals AS (
+                SELECT doc_id,
+                       CAST((greatest(len(t), 1) + 1) // 2 AS BIGINT)
+                           AS n_paragraphs
+                FROM toks
+            )
+            SELECT t.doc_id,
+                   md5(coalesce(r.text, '')) AS text_md5,
+                   t.n_paragraphs,
+                   CAST(t.n_paragraphs - coalesce(r.kept, 0) AS BIGINT)
+                       AS n_dropped
+            FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+        """,
         # identical md5-rank window replay (see q_doc_stratified_sample)
         "doc_stratified_sample": """
             WITH r AS (

@@ -860,3 +860,38 @@ def mad_flags(
                               .cast("double")).cast("int"))
         .otherwise(F.lit(0)).alias("direction"),
     )
+
+
+def json_field_rollup(
+    events: DataFrame,
+    field: str,
+    group_col: str = "event_type",
+    props_col: str = "props",
+) -> DataFrame:
+    """Schema-on-read over a semi-structured JSON column — the
+    payload-mining query every event pipeline runs before anyone
+    agrees on a schema: extract one numeric field from ``props_col``
+    and aggregate it per group.
+
+    Extraction uses ``from_json`` with an explicit single-field
+    schema, NOT get_json_object: the typed parse is a Catalyst
+    expression (whole-stage codegen, one parse per row even when
+    multiple fields are later projected), and malformed rows yield
+    NULL (counted out via n_parsed vs n) instead of failing the job
+    under ANSI. All aggregates are exact longs.
+
+    Scale shape: one partial-aggregated groupBy — parsing happens
+    map-side inside codegen; nothing but (group, 4 longs) shuffles.
+    """
+    parsed = F.from_json(
+        F.col(props_col), f"{field} BIGINT"
+    )[field]
+    return events.select(
+        F.col(group_col), parsed.alias("_v")
+    ).groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n"),
+        F.count("_v").cast("long").alias("n_parsed"),
+        F.sum("_v").cast("long").alias("vsum"),
+        F.min("_v").cast("long").alias("vmin"),
+        F.max("_v").cast("long").alias("vmax"),
+    )

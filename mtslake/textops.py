@@ -587,3 +587,82 @@ def lm_coverage_score(
             - F.log(F.col("c_head").cast("double"))
         ).alias("ll_score"),
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+    min_count: int = 2,
+) -> DataFrame:
+    """Paragraph-level exact dedup — the C4 cleaning rule (Raffel et
+    al. 2020 §2.2 dedups at sub-document granularity; boilerplate
+    paragraphs — cookie banners, nav footers — repeat across MANY
+    documents that are nowhere near whole-doc duplicates): split each
+    document on ``sep``, md5-key each paragraph, and REMOVE every
+    occurrence except the corpus-wide canonical one (smallest
+    (doc_id, position)) of any paragraph repeating ``min_count``+
+    times. Documents reassemble from their surviving paragraphs in
+    original order; a document can come back empty (fully
+    boilerplate).
+
+    Returns (id, text, n_paragraphs, n_dropped) with the cleaned
+    text. Deterministic: canonical selection is a min over
+    (doc_id, pos), no hash order involved.
+
+    Scale shape: posexplode → (key → canonical) from ONE partial-
+    aggregated groupBy over (md5, min struct), a left join back on
+    the 16-byte key (narrow — paragraphs ride the shuffle once for
+    grouping, once for reassembly), and a per-doc sort_array over
+    POSITIONS (bounded by paragraphs-per-doc, not corpus size).
+    """
+    import re as _re
+
+    # F.split takes a REGEX: escape the literal separator (an
+    # unescaped ". " would split on any-char-plus-space), while
+    # array_join below reassembles with the literal form
+    parts = F.split(F.col(text_col), _re.escape(sep))
+    ex = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(parts).alias("_pos", "_p"),
+    )
+    keyed = ex.select(
+        "_id", "_pos", "_p", F.unhex(F.md5("_p")).alias("_w")
+    )
+    stats = keyed.groupBy("_w").agg(
+        F.count("*").alias("_c"),
+        F.min(F.struct("_id", "_pos")).alias("_canon"),
+    )
+    survivors = (
+        keyed.join(stats, "_w")
+        .where(
+            (F.col("_c") < int(min_count))
+            | ((F.col("_canon._id") == F.col("_id"))
+               & (F.col("_canon._pos") == F.col("_pos")))
+        )
+    )
+    rebuilt = survivors.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_p"))),
+                lambda s: s["_p"],
+            ),
+            sep,
+        ).alias("text"),
+        F.count("*").alias("_kept"),
+    )
+    totals = docs.select(
+        F.col(id_col).alias("_id"),
+        F.size(parts).cast("long").alias("n_paragraphs"),
+    )
+    return (
+        totals.join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("text", F.lit("")).alias("text"),
+            "n_paragraphs",
+            (F.col("n_paragraphs") - F.coalesce("_kept", F.lit(0)))
+            .cast("long").alias("n_dropped"),
+        )
+    )

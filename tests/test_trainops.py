@@ -1374,3 +1374,43 @@ def test_label_propagation_two_communities(spark):
     again = {r["host"]: r["community"]
              for r in label_propagation(edges, iters=5).collect()}
     assert again == got
+
+
+def test_paragraph_dedup_canonical_keep_and_reassembly(spark):
+    """C4-style sub-document dedup: every occurrence of a repeated
+    paragraph drops EXCEPT the corpus-wide smallest-(doc,pos) one;
+    documents reassemble in original order; a fully-boilerplate doc
+    comes back empty; regex-special separators are literal."""
+    from mtslake.textops import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "A\n\nB\n\nC"), (2, "B\n\nD"), (3, "B\n\nA\n\nB")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["n_paragraphs"], r["n_dropped"])
+           for r in paragraph_dedup(docs).collect()}
+    assert got == {
+        1: ("A\n\nB\n\nC", 3, 0),       # holds both canonicals
+        2: ("D", 2, 1),                  # non-canonical B dropped
+        3: ("", 3, 3),                   # pure boilerplate -> empty
+    }
+    # ". " separator must be treated literally (it's a regex dot
+    # otherwise, splitting on every character+space)
+    d2 = spark.createDataFrame(
+        [(1, "ab. cd"), (2, "ab. ef")], "doc_id long, text string")
+    out = {r["doc_id"]: r["text"]
+           for r in paragraph_dedup(d2, sep=". ").collect()}
+    assert out == {1: "ab. cd", 2: "ef"}
+
+
+def test_json_field_rollup_malformed_and_missing(spark):
+    from mtslake.series import json_field_rollup
+
+    ev = spark.createDataFrame(
+        [("a", '{"k": 3}'), ("a", '{"k": 4}'), ("a", "not json"),
+         ("a", '{"other": 9}'), ("b", None)],
+        "event_type string, props string")
+    got = {r["event_type"]: (r["n"], r["n_parsed"], r["vsum"],
+                             r["vmin"], r["vmax"])
+           for r in json_field_rollup(ev, "k").collect()}
+    assert got["a"] == (4, 2, 7, 3, 4)
+    assert got["b"] == (1, 0, None, None, None)
