@@ -512,3 +512,42 @@ def test_stream_job(spark, tmp_path, capsys):
                      "--tier", "1m", "--available-now"])
     assert spark.read.parquet(f"{out}/rollup").count() == n_ro
     assert spark.read.parquet(f"{out}/uptime").count() == n_up
+
+
+def test_hygiene_job(spark, tmp_path, capsys):
+    from mtslake.jobs import hygiene as job_hygiene
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} " + ("alpha beta gamma delta epsilon zeta eta "
+                            "theta " * 3 if i % 4 == 0 else
+                            f"unique words number {i} spread over tokens "
+                            f"row {i} value {i}"),
+          "en" if i % 2 else "de", "web")
+         for i in range(40)],
+        "doc_id long, text string, lang string, source string",
+    )
+    d = str(tmp_path / "docs")
+    docs.write.parquet(d)
+    bench = str(tmp_path / "bench")
+    docs.where("doc_id % 4 = 0").select("doc_id", "text") \
+        .write.parquet(bench)
+    out = str(tmp_path / "clean")
+    job_hygiene.main([
+        "--store", str(tmp_path / "lake"), "--docs", d,
+        "--benchmark", bench, "--out", out,
+        "--max-contam-frac", "0.3", "--sample-per-stratum", "3",
+    ])
+    cleaned = spark.read.parquet(f"{out}/clean")
+    scores = spark.read.parquet(f"{out}/scores")
+    sample = spark.read.parquet(f"{out}/sample")
+    # the benchmark-identical docs are contaminated -> filtered out
+    assert cleaned.where("doc_id % 4 = 0").count() == 0
+    assert cleaned.count() == 30
+    assert {"n_paragraphs", "n_dropped", "contam_frac", "n_pairs",
+            "ll_score"} <= set(scores.columns)
+    assert scores.count() == 40
+    # balanced sample: <= 3 per (lang, source)
+    mx = sample.groupBy("lang", "source").count() \
+        .agg(F.max("count")).first()[0]
+    assert mx <= 3
+    assert "clean" in capsys.readouterr().out
