@@ -3453,6 +3453,43 @@ def q_doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_rollup_sets_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional aggregation via GROUPING SETS over the 1d
+    tier: per-(url_prefix, lang) detail, per-lang subtotals, and the
+    grand total in ONE pass (Spark expands the sets map-side — one
+    shuffle, not three queries). Exact counts + decimal sums graded
+    as strings; grouping_id disambiguates the NULL-key rows exactly
+    as in ANSI SQL. Reference analogue: mtscomp's describe is a
+    single grand total (mtscomp.py:1131-1150); this is its
+    n-dimensional generalization."""
+    from mtslake.series import url_prefix
+
+    series = events_to_series(_events(spark, sf_dir))
+    day = 86_400_000_000
+    base = series.select(
+        url_prefix(), "lang",
+        (F.col(TS_COL) - F.pmod(F.col(TS_COL), F.lit(day)))
+        .alias("bucket_us"),
+        "value",
+    )
+    g = (
+        base.groupingSets(
+            [["url_prefix", "lang", "bucket_us"], ["lang", "bucket_us"],
+             ["bucket_us"]],
+            "url_prefix", "lang", "bucket_us",
+        )
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(_rollup.vsum_cast("value")).alias("vsum"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+    return g.select(
+        "url_prefix", "lang", "bucket_us", "cnt",
+        F.col("vsum").cast("string").alias("vsum"), "gid",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the grading order: the driver grades the
     first 50 entries per round, so the dict is maintained as a
@@ -3535,6 +3572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stratified_sample": q_doc_stratified_sample,
         "ts_json_rollup": q_ts_json_rollup,
         "doc_paragraph_dedup": q_doc_paragraph_dedup,
+        "ts_rollup_sets_1d": q_ts_rollup_sets_1d,
         "mm_features": q_mm_features,
         "mm_resize": q_mm_resize,
         "mm_frame_sample": q_mm_frame_sample,
@@ -3632,6 +3670,21 @@ _EXACT_TOPK_SQL = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # identical GROUPING SETS expansion + grouping-id algebra
+        # (see q_ts_rollup_sets_1d)
+        "ts_rollup_sets_1d": f"""
+            SELECT {_PREFIX} AS url_prefix, 'en' AS lang,
+                   epoch_us(ts) - epoch_us(ts) % 86400000000
+                       AS bucket_us,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(SUM(CAST(value AS DECIMAL(18,9))) AS VARCHAR)
+                       AS vsum,
+                   CAST(GROUPING(url_prefix) * 4 + GROUPING(lang) * 2
+                        + GROUPING(bucket_us) AS BIGINT) AS gid
+            FROM events
+            GROUP BY GROUPING SETS ((url_prefix, lang, bucket_us),
+                                    (lang, bucket_us), (bucket_us))
+        """,
         # DuckDB-native JSON extraction replay (see q_ts_json_rollup)
         "ts_json_rollup": """
             SELECT event_type,

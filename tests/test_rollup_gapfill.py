@@ -972,3 +972,31 @@ def test_sax_equi_depth_and_determinism(spark):
         assert r["sym"] == ((rn - 1) * a) // n
     with _pytest.raises(ValueError):
         sax_symbolize(tier, alphabet=1)
+
+
+def test_grouping_sets_subtotals_consistent(spark):
+    """The driver-contract GROUPING SETS query's invariant: every
+    lang subtotal equals the sum of its detail rows, and the grand
+    total equals the sum of subtotals — one pass, exact decimals."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "entry_gs", "__spark_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    rows = m.queries()["ts_rollup_sets_1d"](
+        spark, "/root/testdata/sf0.001").collect()
+    detail = [r for r in rows if r["gid"] == 0]
+    sub = [r for r in rows if r["gid"] == 4]      # url_prefix rolled up
+    grand = [r for r in rows if r["gid"] == 6]    # only bucket kept
+    assert detail and sub and grand
+    from collections import defaultdict
+    agg = defaultdict(int)
+    for r in detail:
+        agg[(r["lang"], r["bucket_us"])] += r["cnt"]
+    for r in sub:
+        assert agg[(r["lang"], r["bucket_us"])] == r["cnt"]
+    agg2 = defaultdict(int)
+    for r in sub:
+        agg2[r["bucket_us"]] += r["cnt"]
+    for r in grand:
+        assert agg2[r["bucket_us"]] == r["cnt"]
