@@ -3490,6 +3490,24 @@ def q_ts_rollup_sets_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_changes_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus ``changes()`` parity (series.value_changes): per
+    (url, 1h bucket), consecutive-value changes — the flap counter a
+    rate() can't see. Change attributed to the LATER observation's
+    bucket (the counter_resets rule); exact longs; event_id tiebreak
+    pins duplicate timestamps. The SQL oracle replays the identical
+    lag window + attribution."""
+    from mtslake.series import value_changes
+
+    ev = _events(spark, sf_dir).select(
+        F.concat(F.lit("https://user-"), F.col("user_id").cast("string"),
+                 F.lit(".example.com/events")).alias("url"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "value", "event_id",
+    )
+    return value_changes(ev, 3_600_000_000, tiebreak="event_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the grading order: the driver grades the
     first 50 entries per round, so the dict is maintained as a
@@ -3573,6 +3591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_json_rollup": q_ts_json_rollup,
         "doc_paragraph_dedup": q_doc_paragraph_dedup,
         "ts_rollup_sets_1d": q_ts_rollup_sets_1d,
+        "ts_changes_1h": q_ts_changes_1h,
         "mm_features": q_mm_features,
         "mm_resize": q_mm_resize,
         "mm_frame_sample": q_mm_frame_sample,
@@ -3670,6 +3689,25 @@ _EXACT_TOPK_SQL = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # identical lag + later-bucket attribution replay
+        # (see q_ts_changes_1h)
+        "ts_changes_1h": f"""
+            WITH s AS (
+                SELECT {_URL} AS url, epoch_us(ts) AS t, value, event_id
+                FROM events WHERE value IS NOT NULL
+            ), l AS (
+                SELECT url, t - t % 3600000000 AS bucket_us,
+                       CASE WHEN lag(value) OVER w IS NOT NULL
+                                 AND value <> lag(value) OVER w
+                            THEN 1 ELSE 0 END AS chg
+                FROM s WINDOW w AS (PARTITION BY url
+                                    ORDER BY t, event_id)
+            )
+            SELECT url, bucket_us,
+                   CAST(count(*) AS BIGINT) AS n_obs,
+                   CAST(sum(chg) AS BIGINT) AS n_changes
+            FROM l GROUP BY 1, 2
+        """,
         # identical GROUPING SETS expansion + grouping-id algebra
         # (see q_ts_rollup_sets_1d)
         "ts_rollup_sets_1d": f"""

@@ -895,3 +895,47 @@ def json_field_rollup(
         F.min("_v").cast("long").alias("vmin"),
         F.max("_v").cast("long").alias("vmax"),
     )
+
+
+def value_changes(
+    series: DataFrame,
+    tier_us: int,
+    key: str = "url",
+    ts_col: str = TS_COL,
+    value_col: str = "value",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Prometheus ``changes()`` parity: per (key, bucket), how many
+    times the series' value CHANGED between consecutive observations
+    — the flap/instability counter (a gauge oscillating between two
+    values has high changes() and near-zero rate()). A change is
+    attributed to the bucket of the LATER observation (the moment the
+    new value was seen — the counter_resets attribution rule); each
+    key's first observation has no predecessor and counts 0. Exact
+    longs; NULL-value rows are excluded up front (engines disagree on
+    NULL equality semantics in lag comparisons).
+
+    Scale shape: one key-partitioned lag window + one (key, bucket)
+    aggregation on the SAME hash — Catalyst reuses the exchange
+    (the sessionize single-shuffle shape).
+    """
+    from pyspark.sql import Window as W
+
+    order = [ts_col, tiebreak] if tiebreak else [ts_col]
+    w = W.partitionBy(key).orderBy(*order)
+    d = series.where(F.col(value_col).isNotNull())
+    prev = F.lag(value_col).over(w)
+    changed = (
+        prev.isNotNull() & (F.col(value_col) != prev)
+    ).cast("long")
+    b = (F.col(ts_col) - F.pmod(F.col(ts_col), F.lit(int(tier_us)))) \
+        .cast("long")
+    return (
+        d.select(F.col(key), b.alias("bucket_us"),
+                 changed.alias("_chg"))
+        .groupBy(key, "bucket_us")
+        .agg(
+            F.count("*").cast("long").alias("n_obs"),
+            F.sum("_chg").cast("long").alias("n_changes"),
+        )
+    )

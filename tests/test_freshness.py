@@ -815,3 +815,28 @@ def test_lm_bigram_hand_case(spark):
     import math
     want = math.log(2 / 3) + math.log(1 / 2)
     assert abs(sc[4]["ll_score"] - want) < 1e-12
+
+
+def test_value_changes_hand_case(spark):
+    """changes() attribution: a flap counts at the LATER observation's
+    bucket; first observation counts 0; nulls excluded; cross-bucket
+    changes attribute to the new bucket."""
+    from mtslake.series import value_changes
+
+    H = 100
+    rows = [
+        ("a", 10, 1.0), ("a", 20, 1.0),    # no change
+        ("a", 30, 2.0),                     # change in bucket 0
+        ("a", 110, 1.0),                    # change in bucket 1 (later obs)
+        ("a", 120, None),                   # excluded
+        ("a", 130, 1.0),                    # vs 110 -> no change
+        ("b", 50, 9.9),                     # single obs: 0 changes
+    ]
+    df = spark.createDataFrame(rows, "url string, ts_us long, value double")
+    got = {(r["url"], r["bucket_us"]): (r["n_obs"], r["n_changes"])
+           for r in value_changes(df, H).collect()}
+    assert got == {
+        ("a", 0): (3, 1),
+        ("a", 100): (2, 1),
+        ("b", 0): (1, 0),
+    }
