@@ -2157,13 +2157,14 @@ def q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _snapshot_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic page-history fixture: one url per user, one
-    snapshot per distinct event timestamp, and text that bumps to a
-    new version whenever the CHANGE FORMULA fires — the first hex char
-    of md5(epoch_us || '-' || user_id) is ≤ '7' (P≈1/2). Both engines
-    can derive the change sequence from the formula alone, so the
-    oracle never runs the detector."""
+def _snapshot_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared version-history core of the _snapshot_pages/_drift_pages
+    fixtures: one row per (user_id, distinct event ts) with the
+    running version number ``ver`` that bumps whenever the CHANGE
+    FORMULA fires — the first hex char of
+    md5(epoch_us || '-' || user_id) is ≤ '7' (P≈1/2). Both engines can
+    derive the change sequence from the formula alone, so the oracles
+    never run a detector."""
     ev = (
         _events(spark, sf_dir)
         .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
@@ -2183,12 +2184,20 @@ def _snapshot_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         _W.partitionBy("user_id").orderBy("ts")
         .rowsBetween(_W.unboundedPreceding, _W.currentRow)
     )
-    return ev.select(
+    return ev.select("user_id", "ts", ver.alias("ver"))
+
+
+def _snapshot_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic page-history fixture: one url per user, one
+    snapshot per distinct event timestamp, and text that bumps to a
+    new version whenever _snapshot_versions' change formula fires."""
+    return _snapshot_versions(spark, sf_dir).select(
         F.format_string(
             "https://user-%d.example.com/events", F.col("user_id")
         ).alias("url"),
         F.col("ts").alias("warc_ts"),
-        F.format_string("doc %d v%d", F.col("user_id"), ver).alias("text"),
+        F.format_string("doc %d v%d", F.col("user_id"), F.col("ver"))
+        .alias("text"),
     )
 
 
@@ -2219,25 +2228,7 @@ def _drift_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise intersection/union size from the change formula alone
     while the engine genuinely splits, shingles, and intersects the
     text."""
-    ev = (
-        _events(spark, sf_dir)
-        .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
-        .distinct()
-    )
-    ts_us = F.unix_micros(F.col("ts"))
-    ind = (
-        F.substring(
-            F.md5(F.concat(ts_us.cast("string"), F.lit("-"),
-                           F.col("user_id").cast("string"))), 1, 1
-        )
-        <= F.lit("7")
-    ).cast("long")
-    from pyspark.sql import Window as _W
-
-    ver = F.sum(ind).over(
-        _W.partitionBy("user_id").orderBy("ts")
-        .rowsBetween(_W.unboundedPreceding, _W.currentRow)
-    )
+    ver = F.col("ver")
     stable = F.concat_ws(
         " ",
         F.transform(
@@ -2253,7 +2244,7 @@ def _drift_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda j: F.format_string("c%d_%dv%d", F.col("user_id"), j, ver),
         ),
     )
-    return ev.select(
+    return _snapshot_versions(spark, sf_dir).select(
         F.format_string(
             "https://user-%d.example.com/events", F.col("user_id")
         ).alias("url"),
@@ -2619,18 +2610,15 @@ def q_ts_anomaly_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_ts_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reset-aware monotonic-counter rate (series.counter_rate — the
-    Prometheus reset rule: negative delta ⇒ restart ⇒ increase =
-    current value). Fixture: a deterministic per-user counter that
-    accumulates ``ts_us mod 97`` and restarts whenever the md5 formula
-    fires (P=1/16) — both engines derive it from the formula, then the
-    oracle replays the operator's reset arithmetic over the identical
-    window; everything is exact integers until the one rounded rate
-    division. Reference analogue: none (TSDB counter semantics)."""
+def _counter_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-user monotonic counter shared by
+    ts_counter_rate and ts_counter_resets_1h: accumulates
+    ``ts_us mod 97`` per distinct event instant and RESTARTS whenever
+    the md5 formula fires (first hex char == 'f', P=1/16). Both
+    engines derive the counter from the formula alone, so the oracles
+    replay the arithmetic instead of trusting the operator. Returns
+    (url, ts_us, counter)."""
     from pyspark.sql import Window as _W
-
-    from mtslake.series import counter_rate
 
     ev = (
         _events(spark, sf_dir)
@@ -2656,7 +2644,7 @@ def q_ts_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .rowsBetween(_W.unboundedPreceding, _W.currentRow)
         ),
     )
-    ctr = base.withColumn(
+    return base.withColumn(
         "counter",
         F.sum("_inc").over(
             _W.partitionBy("user_id", "_seg").orderBy("ts_us")
@@ -2668,8 +2656,19 @@ def q_ts_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("url"),
         "ts_us", "counter",
     )
-    return counter_rate(ctr, key="url", ts_col="ts_us",
-                        value_col="counter")
+
+
+def q_ts_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reset-aware monotonic-counter rate (series.counter_rate — the
+    Prometheus reset rule: negative delta ⇒ restart ⇒ increase =
+    current value) over the shared _counter_fixture; the oracle
+    replays the operator's reset arithmetic over the identical
+    window — everything is exact integers until the one rounded rate
+    division. Reference analogue: none (TSDB counter semantics)."""
+    from mtslake.series import counter_rate
+
+    return counter_rate(_counter_fixture(spark, sf_dir), key="url",
+                        ts_col="ts_us", value_col="counter")
 
 
 def q_ts_counter_resets_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2680,47 +2679,10 @@ def q_ts_counter_resets_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample's bucket. Exact longs only (n_resets, n_deltas). The SQL
     oracle rebuilds the counter from the formula and replays the
     detection + bucket attribution identically."""
-    from pyspark.sql import Window as _W
-
     from mtslake.series import counter_resets
 
-    ev = (
-        _events(spark, sf_dir)
-        .select("user_id", F.unix_micros(F.col("ts").cast("timestamp"))
-                .alias("ts_us"))
-        .distinct()
-    )
-    ind = (
-        F.substring(
-            F.md5(F.concat(F.col("ts_us").cast("string"), F.lit("-"),
-                           F.col("user_id").cast("string"))), 1, 1
-        )
-        == F.lit("f")
-    ).cast("long")
-    base = ev.select(
-        "user_id", "ts_us",
-        F.pmod(F.col("ts_us"), F.lit(97)).alias("_inc"),
-        ind.alias("_ind"),
-    ).withColumn(
-        "_seg",
-        F.sum("_ind").over(
-            _W.partitionBy("user_id").orderBy("ts_us")
-            .rowsBetween(_W.unboundedPreceding, _W.currentRow)
-        ),
-    )
-    ctr = base.withColumn(
-        "counter",
-        F.sum("_inc").over(
-            _W.partitionBy("user_id", "_seg").orderBy("ts_us")
-            .rowsBetween(_W.unboundedPreceding, _W.currentRow)
-        ),
-    ).select(
-        F.format_string(
-            "https://user-%d.example.com/events", F.col("user_id")
-        ).alias("url"),
-        "ts_us", "counter",
-    )
-    return counter_resets(ctr, 3_600_000_000, key="url",
+    return counter_resets(_counter_fixture(spark, sf_dir),
+                          3_600_000_000, key="url",
                           ts_col="ts_us", value_col="counter")
 
 
@@ -3535,7 +3497,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_extract_text": q_doc_extract_text,
         "ts_time_travel": q_ts_time_travel,
         "ts_distinct_1d": q_ts_distinct_1d,
-        "ts_distinct_overlap": q_ts_distinct_overlap,
         "ts_stream_interval_join": q_ts_stream_interval_join,
         "doc_link_graph": q_doc_link_graph,
         "doc_pagerank": q_doc_pagerank,
@@ -3544,21 +3505,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_quantiles_1d": q_ts_quantiles_1d,
         "ts_time_weighted_1h": q_ts_time_weighted_1h,
         "ts_uptime_1d": q_ts_uptime_1d,
-        "doc_anchor_terms": q_doc_anchor_terms,
         "doc_hits": q_doc_hits,
         "ts_anomaly_24h": q_ts_anomaly_24h,
-        "ts_seasonal_hourly": q_ts_seasonal_hourly,
-        "ts_counter_rate": q_ts_counter_rate,
         "doc_substring_dup": q_doc_substring_dup,
         "doc_trustrank": q_doc_trustrank,
         "doc_inverted_index": q_doc_inverted_index,
         "ts_ewma_hourly": q_ts_ewma_hourly,
         "ts_corr_weekly": q_ts_corr_weekly,
-        "ts_gap_topk": q_ts_gap_topk,
         "ts_ohlc_1h": q_ts_ohlc_1h,
         "ts_cms_daily": q_ts_cms_daily,
         "ts_stream_ohlc_1h": q_ts_stream_ohlc_1h,
-        "ts_asof_nearest": q_ts_asof_nearest,
         "doc_weighted_sample": q_doc_weighted_sample,
         "ts_state_durations_1d": q_ts_state_durations_1d,
         "ts_topk_other_daily": q_ts_topk_other_daily,
@@ -3579,19 +3535,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_acf_24h": q_ts_acf_24h,
         "ts_mad_1h": q_ts_mad_1h,
         "doc_lm_bigram": q_doc_lm_bigram,
-        # -- green driver row on byte-equivalent code; rotated out
-        # -- this round, still run by tools/compare_oracle.py ---------
         "ts_funnel": q_ts_funnel,
         "ts_cohort_1d": q_ts_cohort_1d,
-        # -- 51+: next round's priority block — never driver-graded
-        # -- (landed after the 50 window slots filled) or r3-green on
-        # -- since-changed code (mm_*: resize/JPEG refactor) ----------
         "doc_communities": q_doc_communities,
         "doc_stratified_sample": q_doc_stratified_sample,
         "ts_json_rollup": q_ts_json_rollup,
         "doc_paragraph_dedup": q_doc_paragraph_dedup,
         "ts_rollup_sets_1d": q_ts_rollup_sets_1d,
         "ts_changes_1h": q_ts_changes_1h,
+        # -- 51+: outside the 50-slot graded window. First block:
+        # -- never driver-graded, rotated out deliberately — each is
+        # -- the simplest variant of a family whose harder member IS
+        # -- graded (ts_distinct_overlap ~ ts_distinct_1d sketch tiers;
+        # -- ts_asof_nearest ~ ts_asof_join r4-green; ts_counter_rate ~
+        # -- ts_rate r4-green + ts_counter_resets_1h; ts_seasonal_hourly
+        # -- ~ ewma/holt; ts_gap_topk ~ ts_topk_daily r4-green +
+        # -- ts_topk_other_daily; doc_anchor_terms ~ the four graded
+        # -- webgraph queries). All six stay green in
+        # -- tools/compare_oracle.py — see COVERAGE.md.
+        "ts_distinct_overlap": q_ts_distinct_overlap,
+        "ts_asof_nearest": q_ts_asof_nearest,
+        "ts_counter_rate": q_ts_counter_rate,
+        "ts_seasonal_hourly": q_ts_seasonal_hourly,
+        "ts_gap_topk": q_ts_gap_topk,
+        "doc_anchor_terms": q_doc_anchor_terms,
+        # -- r3-green on since-changed code (mm_*: resize/JPEG
+        # -- refactor — the refactored codec itself grades via
+        # -- mm_jpeg_pipeline/mm_ppm/mm_png in-window) ----------------
         "mm_features": q_mm_features,
         "mm_resize": q_mm_resize,
         "mm_frame_sample": q_mm_frame_sample,

@@ -756,6 +756,33 @@ def _window_keys(docs, text_col: str, id_col: str, k: int):
     return base, wins
 
 
+def _coverage_per_doc(marked, k: int, n_col: str, tok_col: str):
+    """Interval-union sweep shared by substring_duplication and
+    decontaminate: ``marked`` is a (_id, _s, ...) frame of flagged
+    k-token windows; returns one row per _id with the window count
+    (``n_col``) and the number of tokens covered by the UNION of the
+    [_s, _s+k) intervals (``tok_col``) — a running-max over window
+    ends so overlapping windows never double-count a token. The sweep
+    window and the rollup share one per-document exchange."""
+    sweep = W.partitionBy("_id").orderBy("_s")
+    prev_end = F.max(F.col("_s") + (k - 1)).over(
+        sweep.rowsBetween(W.unboundedPreceding, -1)
+    )
+    contrib = F.greatest(
+        F.lit(0),
+        F.col("_s") + (k - 1)
+        - F.greatest(F.col("_s") - 1, F.coalesce(prev_end, F.lit(0))),
+    )
+    return (
+        marked.withColumn("_cov", contrib)
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias(n_col),
+            F.sum("_cov").cast("long").alias(tok_col),
+        )
+    )
+
+
 def substring_duplication(
     docs: DataFrame,
     text_col: str = "text",
@@ -805,23 +832,8 @@ def substring_duplication(
         .select("_w")
     )
     dup_wins = wins.join(dup_keys, "_w", "left_semi")
-    sweep = W.partitionBy("_id").orderBy("_s")
-    prev_end = F.max(F.col("_s") + (k - 1)).over(
-        sweep.rowsBetween(W.unboundedPreceding, -1)
-    )
-    contrib = F.greatest(
-        F.lit(0),
-        F.col("_s") + (k - 1)
-        - F.greatest(F.col("_s") - 1, F.coalesce(prev_end, F.lit(0))),
-    )
-    per_doc = (
-        dup_wins.withColumn("_cov", contrib)
-        .groupBy("_id")
-        .agg(
-            F.count("*").alias("n_dup_windows"),
-            F.sum("_cov").cast("long").alias("dup_tokens"),
-        )
-    )
+    per_doc = _coverage_per_doc(dup_wins, k, "n_dup_windows",
+                                "dup_tokens")
     return (
         base.select("_id", "_n")
         .join(per_doc, "_id", "left")
@@ -884,23 +896,8 @@ def decontaminate(
     _, bwins = _window_keys(benchmark, text_col, id_col, k)
     bench_keys = bwins.select("_w").distinct()
     hits = wins.join(bench_keys, "_w", "left_semi")
-    sweep = W.partitionBy("_id").orderBy("_s")
-    prev_end = F.max(F.col("_s") + (k - 1)).over(
-        sweep.rowsBetween(W.unboundedPreceding, -1)
-    )
-    contrib = F.greatest(
-        F.lit(0),
-        F.col("_s") + (k - 1)
-        - F.greatest(F.col("_s") - 1, F.coalesce(prev_end, F.lit(0))),
-    )
-    per_doc = (
-        hits.withColumn("_cov", contrib)
-        .groupBy("_id")
-        .agg(
-            F.count("*").alias("n_hit_windows"),
-            F.sum("_cov").cast("long").alias("contam_tokens"),
-        )
-    )
+    per_doc = _coverage_per_doc(hits, k, "n_hit_windows",
+                                "contam_tokens")
     return (
         base.select("_id", "_n")
         .join(per_doc, "_id", "left")
@@ -912,12 +909,9 @@ def decontaminate(
             F.coalesce("contam_tokens", F.lit(0)).cast("long")
             .alias("contam_tokens"),
             F.coalesce(
-                F.coalesce(
-                    F.try_divide(
-                        F.col("contam_tokens").cast("double"),
-                        F.col("_n").cast("double"),
-                    ),
-                    F.lit(0.0),
+                F.try_divide(
+                    F.col("contam_tokens").cast("double"),
+                    F.col("_n").cast("double"),
                 ),
                 F.lit(0.0),
             ).alias("contam_frac"),

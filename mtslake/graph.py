@@ -82,6 +82,15 @@ def pagerank(
             # the raw list would silently leak its teleport share
             # (Σpr < 1) every round
             present = nodes.join(sw, "host")
+            if present.limit(1).count() == 0:
+                # a stale/typo'd trust list would otherwise make _tot
+                # NULL → every _r coalesces to 0 → pr ≡ 0 silently,
+                # breaking the Σpr = 1 invariant downstream joins
+                # assume. Fail loudly instead.
+                raise ValueError(
+                    "personalized pagerank: no seed host appears in "
+                    "the graph (seeds must intersect edge endpoints)"
+                )
             tot = F.broadcast(present.agg(F.sum("_sw").alias("_tot")))
             # constant across rounds — checkpointed once, like `share`
             resetv = eager_checkpoint(

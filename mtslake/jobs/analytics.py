@@ -58,26 +58,31 @@ def main(argv=None) -> None:
     )
     keys = ["url_prefix", "lang", "bucket_us"]
 
+    def _write_count(df, path: str) -> int:
+        # count the PARQUET just written, not the source DataFrame —
+        # df.count() after df.write would re-execute the whole
+        # decode/window/join plan a second time
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path).count()
+
     if "ohlc" in surfaces:
         out = ohlc(keyed, keys, ts_col=TS_COL, value_col="value")
-        out.write.mode("overwrite").parquet(f"{args.out}/ohlc")
-        print(f"ohlc buckets           {out.count()}")
+        print(f"ohlc buckets           {_write_count(out, f'{args.out}/ohlc')}")
     if "quantiles" in surfaces:
-        qs = {f"p{int(float(q) * 100)}": float(q)
+        # label from the %g decimal form so sub-percent quantiles
+        # don't collide (0.999 -> p99_9, not the same p99 as 0.99)
+        qs = {"p" + ("%g" % (float(q) * 100)).replace(".", "_"): float(q)
               for q in args.quantiles.split(",") if q.strip()}
         out = exact_quantiles(keyed, keys, "value", qs)
-        out.write.mode("overwrite").parquet(f"{args.out}/quantiles")
-        print(f"quantile buckets       {out.count()}")
+        print(f"quantile buckets       {_write_count(out, f'{args.out}/quantiles')}")
     if "twa" in surfaces:
         out = time_weighted(series, args.tier, keys=["url"])
-        out.write.mode("overwrite").parquet(f"{args.out}/twa")
-        print(f"twa buckets            {out.count()}")
+        print(f"twa buckets            {_write_count(out, f'{args.out}/twa')}")
     if "corr" in surfaces:
         from mtslake.series import corr_stats
 
         out = corr_stats(keyed, keys, "n_chars", "value")
-        out.write.mode("overwrite").parquet(f"{args.out}/corr")
-        print(f"corr groups            {out.count()}")
+        print(f"corr groups            {_write_count(out, f'{args.out}/corr')}")
     if "m4" in surfaces:
         from mtslake.downsample import m4_downsample
 
@@ -86,8 +91,7 @@ def main(argv=None) -> None:
         ).first()
         px_us = max(1, (int(span["b"]) - int(span["a"])) // args.m4_width)
         out = m4_downsample(series, px_us, key_cols=("url",))
-        out.write.mode("overwrite").parquet(f"{args.out}/m4")
-        print(f"m4 rows                {out.count()}")
+        print(f"m4 rows                {_write_count(out, f'{args.out}/m4')}")
 
 
 if __name__ == "__main__":

@@ -42,20 +42,25 @@ def main(argv=None) -> None:
     spark = build_session("mtslake-freshness", args)
 
     pages = spark.read.parquet(args.pages)
+
+    def _write_count(df, path: str) -> int:
+        # count the written parquet — df.count() after the write would
+        # re-execute the full plan a second time
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path).count()
+
     cs = change_stats(pages)
-    cs.write.mode("overwrite").parquet(f"{args.out}/change_stats")
-    print(f"change_stats urls      {cs.count()}")
+    print(f"change_stats urls      "
+          f"{_write_count(cs, f'{args.out}/change_stats')}")
 
     dr = drift_stats(pages, k=args.shingle_k)
-    dr.write.mode("overwrite").parquet(f"{args.out}/drift")
-    print(f"drift urls             {dr.count()}")
+    print(f"drift urls             {_write_count(dr, f'{args.out}/drift')}")
 
     pings = pages.select(
         "url", F.unix_micros(F.col("warc_ts")).alias("ts_us"))
     up = uptime(pings, lease_us=args.lease_minutes * 60 * 1_000_000,
                 tier=args.uptime_tier)
-    up.write.mode("overwrite").parquet(f"{args.out}/uptime")
-    print(f"uptime buckets         {up.count()}")
+    print(f"uptime buckets         {_write_count(up, f'{args.out}/uptime')}")
 
 
 if __name__ == "__main__":

@@ -73,6 +73,10 @@ def main(argv=None) -> None:
 
     cleaned.write.mode("overwrite").parquet(f"{args.out}/clean")
     scores.write.mode("overwrite").parquet(f"{args.out}/scores")
+    # re-read the materialized output: counting (and sampling from)
+    # the unmaterialized `cleaned` would re-execute the whole
+    # dedup/decontaminate pipeline once per downstream use
+    cleaned = spark.read.parquet(f"{args.out}/clean")
     n_in = docs.count()
     n_out = cleaned.count()
     print(f"hygiene: {n_in} docs in -> {n_out} clean "
@@ -84,7 +88,8 @@ def main(argv=None) -> None:
             sample = stratified_sample(
                 cleaned, strata, args.sample_per_stratum)
             sample.write.mode("overwrite").parquet(f"{args.out}/sample")
-            print(f"hygiene: sample {sample.count()} rows "
+            n_sample = spark.read.parquet(f"{args.out}/sample").count()
+            print(f"hygiene: sample {n_sample} rows "
                   f"({'x'.join(strata)} strata)")
 
 

@@ -403,7 +403,14 @@ def corr_stats(
     |v| < 1e9 overflow guard); products are (18,9)×(18,9) →
     DECIMAL(37,18) — exact, no precision-38 scale reduction. Rows
     where either channel is NULL are excluded (pairwise-complete).
-    ``r`` is NULL for degenerate (zero-variance) keys via try_divide.
+    ``r`` is NULL for degenerate (zero-variance) keys — detected
+    EXACTLY as min(x)==max(x) on the quantized decimals, never from
+    the double variance term: n·Σx²−(Σx)² evaluated in doubles can
+    round to a small NEGATIVE for a constant channel (observed:
+    −65536.0 at n=28, x≈8.6e8), and sqrt(negative) would leak r=NaN
+    past isNull() filters. The double terms are additionally clamped
+    at 0 so near-degenerate keys can't NaN either — they fall to
+    sqrt(0) → try_divide → NULL.
 
     One partial-aggregated groupBy — a single narrow shuffle of six
     numbers per key.
@@ -421,18 +428,24 @@ def corr_stats(
         F.sum(x * x).alias("sxx"),
         F.sum(y * y).alias("syy"),
         F.sum(x * y).alias("sxy"),
+        F.min(x).alias("_xmin"), F.max(x).alias("_xmax"),
+        F.min(y).alias("_ymin"), F.max(y).alias("_ymax"),
     )
     n = F.col("n").cast("double")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
     sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
     sxy = F.col("sxy").cast("double")
+    degenerate = (F.col("_xmin") == F.col("_xmax")) | (
+        F.col("_ymin") == F.col("_ymax")
+    )
+    vx = F.greatest(F.lit(0.0), n * sxx - sx * sx)
+    vy = F.greatest(F.lit(0.0), n * syy - sy * sy)
     return agg.withColumn(
         "r",
-        F.try_divide(
-            n * sxy - sx * sy,
-            F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+        F.when(degenerate, F.lit(None).cast("double")).otherwise(
+            F.try_divide(n * sxy - sx * sy, F.sqrt(vx * vy))
         ),
-    )
+    ).drop("_xmin", "_xmax", "_ymin", "_ymax")
 
 
 def ohlc(
@@ -660,7 +673,12 @@ def regr_components(
     t² at (25,0) and t·y at (31,9) — all exact, no precision-38 scale
     loss. y is quantized via rollup.vsum_cast (|y| < 1e9 domain).
     NULL y rows are excluded. Degenerate keys (all observations at
-    one instant) yield NULL slope via try_divide.
+    one instant) yield NULL slope AND intercept — detected EXACTLY as
+    min(t)==max(t) on the decimal offsets, never from the double
+    denominator: n·Σt²−(Σt)² evaluated in doubles can round to a
+    small NONZERO for a constant t (observed: 2³¹ at n=41,
+    t≈8.4e10), so try_divide alone would emit a bogus slope up to
+    ~1.5e-5 (or IEEE −0.0, the hash hazard) instead of NULL.
 
     One partial-aggregated groupBy — a narrow shuffle of five numbers
     per key.
@@ -679,14 +697,17 @@ def regr_components(
         F.sum(y).alias("sy"),
         F.sum(t * t).alias("stt"),
         F.sum(t * y).alias("sty"),
+        F.min(t).alias("_tmin"), F.max(t).alias("_tmax"),
     )
     n = F.col("n").cast("double")
     st, sy = F.col("st").cast("double"), F.col("sy").cast("double")
     stt, sty = F.col("stt").cast("double"), F.col("sty").cast("double")
-    slope = F.try_divide(n * sty - st * sy, n * stt - st * st)
+    slope = F.when(
+        F.col("_tmin") == F.col("_tmax"), F.lit(None).cast("double")
+    ).otherwise(F.try_divide(n * sty - st * sy, n * stt - st * st))
     return agg.withColumn("slope", slope).withColumn(
         "intercept", (sy - slope * st) / n
-    )
+    ).drop("_tmin", "_tmax")
 
 
 def cusum_flags(

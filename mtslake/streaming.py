@@ -591,11 +591,19 @@ def streaming_uptime(
         seal_to = (wm_us // us) * us if wm_us > 0 else 0
         for p in pdfs:
             if len(p):
-                # NEW pings behind the seal frontier are late: their
-                # bucket rows are already emitted — drop (sealer's
-                # 'drop' policy; sealed rows stay final)
+                # NEW pings are kept by the SAME rule as retained
+                # state: the lease crosses the seal frontier. A ping
+                # wholly behind the frontier is late (its buckets are
+                # emitted — sealer's 'drop' policy; sealed rows stay
+                # final), but one straddling it still owes coverage to
+                # UNSEALED buckets — emission clips at sealed_until,
+                # so keeping it can never revise a sealed row. (In
+                # practice the engine's event-time filter already
+                # drops ts < watermark ≥ sealed_until before the
+                # handler; this keeps the handler correct on its own
+                # terms rather than leaning on that.)
                 pings.extend(int(t) for t in p["ts_us"]
-                             if int(t) >= sealed_until)
+                             if int(t) + lease > sealed_until)
         pings = sorted(set(pings))
         out_rows = []
         if seal_to > sealed_until and pings:

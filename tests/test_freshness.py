@@ -436,6 +436,25 @@ def test_corr_stats_null_pairs_and_degenerate(spark):
     assert got["b"]["r"] is None       # x variance 0 -> sqrt(0) divisor
 
 
+def test_corr_stats_large_constant_channel_is_null_not_nan(spark):
+    """Regression: for a LARGE constant channel the double-evaluated
+    variance term n*sxx - sx^2 rounds slightly NEGATIVE (observed
+    -65536.0 at n=28, x~8.6e8), so sqrt() leaked r = NaN — which
+    passes isNotNull() and poisons downstream sorts. Degeneracy is
+    now detected exactly (min==max on the quantized decimals)."""
+    import math
+    from mtslake.series import corr_stats
+
+    x0 = 855225580.1932975
+    rows = [("k", x0, float((i * 7) % 13)) for i in range(28)]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    [row] = corr_stats(df, ["k"], "x", "y").collect()
+    assert row["r"] is None
+    # and never NaN on the near-degenerate flipped orientation either
+    [row2] = corr_stats(df, ["k"], "y", "x").collect()
+    assert row2["r"] is None or not math.isnan(row2["r"])
+
+
 def test_ohlc_selection_and_duplicate_ts(spark):
     """open/close pick first/last by ts with the (ts, value) struct
     tiebreak: at a duplicated opening instant the SMALLER value opens;
@@ -650,6 +669,23 @@ def test_regr_components_merge_across_halves(spark):
     [y] = regr_components(h2, ["k"], "ts_us", "value").collect()
     for c in ("st", "sy", "stt", "sty"):
         assert Decimal(str(x[c])) + Decimal(str(y[c])) == Decimal(str(w[c]))
+
+
+def test_regr_components_large_single_instant_is_null(spark):
+    """Regression: with every observation at one LARGE t offset the
+    double-evaluated denominator n*stt - st^2 rounds to a small
+    NONZERO (observed 2^31 at n=41, t~8.4e10), so try_divide emitted
+    a bogus slope (up to ~1.5e-5, or IEEE -0.0 — the oracle-hash
+    hazard) instead of the documented NULL. Degeneracy is now
+    detected exactly (min==max on the decimal offsets)."""
+    from mtslake.series import regr_components
+
+    t0 = 83_924_131_519
+    rows = [("k", t0, float((i * 5) % 9)) for i in range(41)]
+    df = spark.createDataFrame(rows, "k string, ts_us long, value double")
+    [row] = regr_components(df, ["k"], "ts_us", "value").collect()
+    assert row["slope"] is None
+    assert row["intercept"] is None
 
 
 def test_divide_sensitive_ops_survive_ansi_mode(spark):

@@ -1270,6 +1270,22 @@ def test_personalized_pagerank_trustrank(spark):
     assert got2["a"] > got2["x"]
 
 
+def test_personalized_pagerank_rejects_absent_seeds(spark):
+    """Regression: a seed list disjoint from the graph (stale/typo'd
+    trust list) made _tot NULL, every reset weight coalesce to 0, and
+    pr identically 0 for all hosts — silently breaking sum(pr)=1.
+    It must raise instead."""
+    import pytest
+    from mtslake.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0)],
+        "src_host string, dst_host string, weight double")
+    ghosts = spark.createDataFrame([("zzz",)], "host string")
+    with pytest.raises(ValueError, match="no seed host"):
+        pagerank(edges, iters=2, seeds=ghosts)
+
+
 def test_inverted_index_hand_case_and_sharding(spark):
     """Postings are (doc_id, tf) sorted per shard; df counts docs not
     occurrences; min_df/max_df cuts apply; a term hotter than
