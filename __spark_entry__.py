@@ -2211,10 +2211,17 @@ def q_doc_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     FORMULA (see _snapshot_pages) — it never runs the hash
     comparison, so any defect in ordering, hashing, lag framing, or
     the gap arithmetic mismatches. Reference analogue: none
-    (webtext-axis addition over the input_hint page-history shape)."""
+    (webtext-axis addition over the input_hint page-history shape).
+
+    Graded projection carries the EXACT longs (n_snapshots, n_changes,
+    span_us — span ≡ Σ consecutive gaps, so the gap sum IS graded);
+    the operator's rounded ratio doubles stay user-facing but out of
+    the hash (round-after-divide is the r4 hazard class)."""
     from mtslake.freshness import change_stats
 
-    return change_stats(_snapshot_pages(spark, sf_dir))
+    return change_stats(_snapshot_pages(spark, sf_dir)).select(
+        "url", "n_snapshots", "n_changes", "span_us"
+    )
 
 
 def _drift_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2259,8 +2266,10 @@ def q_doc_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     much* each page changes, where doc_crawl_delta answers *how
     often*. The engine splits/shingles/intersects the text with JVM
     built-ins under one url-partitioned window; the graded columns are
-    the EXACT long sums of pairwise intersection/union sizes plus the
-    pooled drift rounded once from those sums. The TRUE SQL oracle
+    the EXACT long sums of pairwise intersection/union sizes (which
+    fully determine the pooled drift — the rounded double itself stays
+    user-facing but out of the hash, the r4 hazard class). The TRUE
+    SQL oracle
     never touches the text: it derives every set size from the
     fixture's change formula (changed pair → inter 10 / union 10+2m,
     unchanged pair → both 10+m; see _drift_pages), so any defect in
@@ -2269,7 +2278,9 @@ def q_doc_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (webtext-axis addition over the input_hint page-history shape)."""
     from mtslake.freshness import drift_stats
 
-    return drift_stats(_drift_pages(spark, sf_dir), k=1)
+    return drift_stats(_drift_pages(spark, sf_dir), k=1).drop(
+        "pooled_drift"
+    )
 
 
 def q_ts_quantiles_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2599,7 +2610,13 @@ def q_ts_anomaly_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed in DECIMAL(38,0) — so the SQL oracle replays it exactly:
     no sqrt, no division, no rounding ties (the ts_moving_avg_24h r4
     lesson applied at design time). Reference analogue: none (TSDB
-    monitoring primitive; timeseries-tier addition)."""
+    monitoring primitive; timeseries-tier addition).
+
+    Graded projection drops the operator's dashboard-only
+    ``base_mean`` (a round-after-divide double — the construct whose
+    ROUND tie behavior cost ts_moving_avg_24h its r4 row); the flag,
+    direction, and exact base_n fully exercise the window + decimal
+    algebra."""
     from mtslake.config import TIER_US
     from mtslake.series import anomaly_flags
 
@@ -2607,7 +2624,7 @@ def q_ts_anomaly_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolled = _rollup.rollup_from_series(series, "1h")
     return anomaly_flags(
         rolled, TIER_US["1h"], n_buckets=24, k=3, min_points=12
-    )
+    ).drop("base_mean")
 
 
 def _counter_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4322,8 +4339,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT url_prefix, lang, bucket_us,
                    CAST(cnt AS BIGINT) AS cnt,
                    CAST(n AS BIGINT) AS base_n,
-                   ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6)
-                       AS base_mean,
                    flag AS is_anomaly,
                    CASE WHEN flag
                         THEN CAST(SIGN(n * cnt - s) AS INT)
@@ -4356,17 +4371,7 @@ def oracle_sql() -> dict[str, str]:
                        || '.example.com/events' AS url,
                    CAST(n AS BIGINT) AS n_snapshots,
                    CAST(ch AS BIGINT) AS n_changes,
-                   CASE WHEN n > 1 THEN ROUND(
-                       CAST(ch AS DOUBLE) / CAST(n - 1 AS DOUBLE), 6)
-                   END AS change_ratio,
-                   CASE WHEN n > 1 THEN ROUND(
-                       CAST(gaps AS DOUBLE) / CAST(n - 1 AS DOUBLE)
-                       / 1000000, 6)
-                   END AS mean_gap_s,
-                   CASE WHEN ch > 0 THEN ROUND(
-                       CAST(span AS DOUBLE) / CAST(ch AS DOUBLE)
-                       / 1000000, 6)
-                   END AS est_change_interval_s
+                   CAST(span AS BIGINT) AS span_us
             FROM s
         """,
         # identical quantization + decimal algebra replay
@@ -4784,12 +4789,7 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN pairs > 0 THEN CAST(
                        ch * (full_sz + (user_id % 5) + 1)
                        + (pairs - ch) * full_sz AS BIGINT)
-                   END AS sum_union,
-                   CASE WHEN pairs > 0 THEN ROUND(
-                       1.0 - CAST(ch * 10 + (pairs - ch) * full_sz AS DOUBLE)
-                           / CAST(ch * (full_sz + (user_id % 5) + 1)
-                                  + (pairs - ch) * full_sz AS DOUBLE), 6)
-                   END AS pooled_drift
+                   END AS sum_union
             FROM s
         """,
         # exact consecutive-day set sizes replayed; theta estimates

