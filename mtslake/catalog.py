@@ -29,9 +29,27 @@ CATALOG_COLS = [
     "n_points", "raw_nbytes", "comp_nbytes",
     "raw_signal_nbytes", "comp_signal_nbytes", "sha1",
     # per-channel value stats (Iceberg-manifest-style column stats):
-    # value predicates prune chunks from the catalog alone
+    # value predicates prune chunks from the catalog alone. These four
+    # are the DEFAULT ChannelSpec's stats; the write path derives the
+    # actual stat set from the chunk frame (``_catalog_cols``) so a
+    # custom channel spec persists without editing the engine.
     "n_chars_min", "n_chars_max", "value_min", "value_max",
 ]
+
+
+def _catalog_cols(chunks: DataFrame) -> list:
+    """Catalog projection for a chunk frame: the fixed metadata columns
+    plus every per-channel ``*_min``/``*_max`` stat column the frame
+    actually carries — chunk rows from a CUSTOM ChannelSpec (the
+    declared-channel contract, chunk.py module docstring) catalog their
+    own stats instead of failing on the default spec's column names."""
+    base = CATALOG_COLS[:11]  # the spec-independent metadata columns
+    stats = sorted(
+        c for c in chunks.columns
+        if (c.endswith("_min") or c.endswith("_max"))
+        and c not in ("ts_min", "ts_max")
+    )
+    return base + stats
 
 
 class ChunkStore:
@@ -155,7 +173,7 @@ class ChunkStore:
             # catalog rows are tiny (one per chunk): coalesce per write so
             # each batch adds O(1) files per touched partition, not one
             # sliver per shuffle task
-            cat = clustered.select(*CATALOG_COLS).coalesce(1)
+            cat = clustered.select(*_catalog_cols(clustered)).coalesce(1)
             cat.write.mode(mode).partitionBy("chunk_id").parquet(
                 self.path("catalog")
             )
@@ -165,7 +183,8 @@ class ChunkStore:
     def rebuild_catalog(self) -> None:
         """Repair tool: re-derive the whole catalog from the chunks
         table (O(table) — not part of the ingest path)."""
-        cat = self.chunks().select(*CATALOG_COLS)
+        chunks = self.chunks()
+        cat = chunks.select(*_catalog_cols(chunks))
         cat.write.mode("overwrite").partitionBy("chunk_id").parquet(
             self.path("catalog")
         )

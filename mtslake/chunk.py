@@ -647,13 +647,26 @@ def _pa_series_schema(want: tuple[ChannelSpec, ...]) -> pa.Schema:
     return pa.schema(fields)
 
 
-def _decode_batch_arrow(
+# decoded points per emitted output batch before a flush: bounds BOTH
+# the kernel's peak memory AND Arrow's 32-bit var-size limits — a
+# binary/utf8 array carries int32 offsets, so one output batch must
+# keep n_points × widest-channel-bytes < 2^31 (4M × 40-char hex sha1
+# = 160 MB of values, offsets at 16 MB — an order of magnitude of
+# headroom). Without the cap, one input batch of many large chunks
+# (e.g. 10k rows × 250k-point hot chunks) would concatenate into a
+# single array whose int32 offsets silently WRAP — corrupt strings,
+# no error (np.arange(n+1, dtype=int32) * w overflows quietly).
+_DECODE_FLUSH_POINTS = 4_000_000
+
+
+def _decode_batches_arrow(
     t: pa.Table,
     verify: bool,
     want: tuple[ChannelSpec, ...],
     spec: tuple[ChannelSpec, ...],
-) -> pa.RecordBatch | None:
-    """Arrow-native decode twin of the mapInArrow encoder. Staying in
+):
+    """Arrow-native decode twin of the mapInArrow encoder, yielding
+    output batches of at most ~_DECODE_FLUSH_POINTS points. Staying in
     Arrow end-to-end matters for CORRECTNESS, not just speed: the
     pandas→Arrow boundary (pa.Array.from_pandas) converts float NaN to
     NULL, so a pandas kernel silently corrupts NaN observations on
@@ -663,6 +676,31 @@ def _decode_batch_arrow(
     cols = {name: t.column(name).chunk(0) for name in t.column_names}
     urls, langs, tss, counts = [], [], [], []
     ch_parts: dict[str, list] = {c.name: [] for c in want}
+
+    def _flush() -> pa.RecordBatch:
+        nonlocal urls, langs, tss, counts, ch_parts
+        cnts = np.asarray(counts)
+        n_total = int(cnts.sum())
+        arrays = [
+            _repeat_take(urls, cnts),
+            _repeat_take(langs, cnts),
+            pa.array(np.concatenate(tss), type=pa.int64()),
+        ]
+        for c in want:
+            if c.is_binary:
+                concat = np.concatenate(ch_parts[c.name]).tobytes()
+                arrays.append(
+                    _fixed_width_array(concat, n_total, c.width, c.hex)
+                )
+            else:
+                arrays.append(pa.array(np.concatenate(ch_parts[c.name])))
+        urls, langs, tss, counts = [], [], [], []
+        ch_parts = {c.name: [] for c in want}
+        return pa.RecordBatch.from_arrays(
+            arrays, schema=_pa_series_schema(want)
+        )
+
+    acc = 0
     for i in range(t.num_rows):  # per-CHUNK, not per-point
         ts = codec.decode_column(cols["p_ts"][i].as_py())
         decoded: dict[str, np.ndarray] = {}
@@ -689,25 +727,12 @@ def _decode_batch_arrow(
             if a is None:
                 a = codec.decode_column(cols[c.pcol][i].as_py())
             ch_parts[c.name].append(a)
-    if not tss:
-        return None
-    counts = np.asarray(counts)
-    n_total = int(counts.sum())
-
-    arrays = [
-        _repeat_take(urls, counts),
-        _repeat_take(langs, counts),
-        pa.array(np.concatenate(tss), type=pa.int64()),
-    ]
-    for c in want:
-        if c.is_binary:
-            concat = np.concatenate(ch_parts[c.name]).tobytes()
-            arrays.append(
-                _fixed_width_array(concat, n_total, c.width, c.hex)
-            )
-        else:
-            arrays.append(pa.array(np.concatenate(ch_parts[c.name])))
-    return pa.RecordBatch.from_arrays(arrays, schema=_pa_series_schema(want))
+        acc += len(ts)
+        if acc >= _DECODE_FLUSH_POINTS:
+            yield _flush()
+            acc = 0
+    if tss:
+        yield _flush()
 
 
 def decompress_chunks(
@@ -754,10 +779,8 @@ def decompress_chunks(
 
     def gen(batches, _verify=verify, _want=want, _spec=spec):
         for rb in batches:
-            out = _decode_batch_arrow(
+            yield from _decode_batches_arrow(
                 pa.Table.from_batches([rb]), _verify, _want, _spec
             )
-            if out is not None:
-                yield out
 
     return src.mapInArrow(gen, schema=schema)

@@ -221,7 +221,10 @@ def encode_column(
         # with a 512B probe, compress only the planes that pay, and
         # store a plane bitmap — typically 3-6× faster than compressing
         # everything, at equal or better ratio.
-        if codec == CODEC_XOR and n >= 1024:
+        # entropy=False short-circuits the per-plane probes too: the
+        # caller declared the channel incompressible, so the XOR family
+        # takes its stored form (XOR_RAW) — the documented contract
+        if codec == CODEC_XOR and n >= 1024 and entropy:
             bitmap = 0
             streams = []
             for i in range(width):

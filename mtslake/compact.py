@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .catalog import ChunkStore, CATALOG_COLS
+from .catalog import ChunkStore, _catalog_cols
 from .chunk import compress_series, decompress_chunks
 from .ckpt import eager_checkpoint, release as release_ckpt
 from .config import EngineConfig, DEFAULT
@@ -125,7 +125,7 @@ def compact(
     rewritten.write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("chunk_id").parquet(store.path("chunks"))
-    rewritten.select(*CATALOG_COLS).coalesce(1).write.mode(
+    rewritten.select(*_catalog_cols(rewritten)).coalesce(1).write.mode(
         "overwrite"
     ).option("partitionOverwriteMode", "dynamic").partitionBy(
         "chunk_id"

@@ -147,9 +147,9 @@ class ResumableCompressJob:
             # incremental catalog: dynamic partition overwrite replaces
             # exactly this batch's catalog partitions (idempotent on
             # re-run, like the chunk write itself)
-            from .catalog import CATALOG_COLS
+            from .catalog import _catalog_cols
 
-            written.select(*CATALOG_COLS).coalesce(1).write.mode(
+            written.select(*_catalog_cols(written)).coalesce(1).write.mode(
                 "overwrite"
             ).option("partitionOverwriteMode", "dynamic").partitionBy(
                 "chunk_id"

@@ -37,9 +37,17 @@ def read_range(
     ``channel_range``: {channel: (lower, upper)} value predicates —
     chunk rows are first pruned on the per-chunk stat columns (chunks
     whose [min, max] can't match are never read nor decoded), then the
-    exact row filter applies after decode. Either bound may be None."""
+    exact row filter applies after decode. Either bound may be None.
+
+    ``cfg`` is a BASE config: the store's pinned layout fields
+    (chunk_duration_us, …) are forced over it via ``cfg_for_store``
+    before pruning — chunk_id partition pruning computed from a
+    caller-supplied duration that differs from the store's layout
+    would silently drop in-range partitions (the ts_min/ts_max overlap
+    filters are layout-independent, but the chunk_id filter is not)."""
     from .chunk import ALL_CHANNELS
 
+    cfg = store.cfg_for_store(cfg)
     pruned = prune_chunks(
         store.chunks(), t0_us, t1_us, url=url, url_prefix=url_prefix, cfg=cfg
     )
@@ -49,6 +57,15 @@ def read_range(
     # channel projection (≙ r[:, cols], mtscomp.py:835-842) is pushed
     # INTO the decode: unrequested payload columns are never read from
     # Parquet nor decoded (the reference decodes whole chunks first)
+    if columns is not None:
+        unknown = sorted(set(columns) - set(ALL_CHANNELS))
+        if unknown:
+            # a typo'd channel name must fail HERE, not surface as a
+            # mysteriously absent column (or never) far downstream
+            raise ValueError(
+                f"unknown channel(s) {unknown}; available: "
+                f"{list(ALL_CHANNELS)}"
+            )
     requested = ALL_CHANNELS if columns is None else tuple(
         c for c in ALL_CHANNELS if c in columns
     )

@@ -93,6 +93,11 @@ def apply_retention(
     """
     from .rollup import ROLLUP_PART_US
 
+    # pin the store's layout fields over the caller's base config: the
+    # cutoff CHUNK ID divides by chunk_duration_us, and a duration that
+    # differs from the store's layout would expire the wrong partitions
+    # — on a DELETE path (the read-side twin of read_range's pinning)
+    cfg = store.cfg_for_store(cfg)
     stats: dict = {"dry_run": dry_run}
     cutoff_chunk = (now_us - cfg.retention_us["raw"]) // cfg.chunk_duration_us
     # union of chunk AND catalog partitions: a crash between the two

@@ -51,7 +51,25 @@ VSUM_LIMIT = 1e9
 
 def vsum_cast(col) -> F.Column:
     c = F.col(col) if isinstance(col, str) else col
-    return F.when(F.abs(c) < F.lit(VSUM_LIMIT), c.cast(VSUM_IN)).otherwise(
+    # NULL passes through as NULL (SUM skips it — a NULL observation
+    # was never an error) and NaN gets its own loud, accurate error:
+    # both fail |v| < 1e9 (NULL propagates, NaN compares greater), so
+    # without these arms each would die in the overflow branch with a
+    # misleading 'value=null'/'value=NaN overflow' message. Decimal
+    # algebra cannot represent NaN; callers that tolerate NaN
+    # observations must filter them first (rollup_from_series does,
+    # with documented semantics).
+    return F.when(
+        c.isNull(), F.lit(None).cast(VSUM_IN)
+    ).when(
+        F.isnan(c.cast("double")),
+        F.raise_error(
+            F.lit("vsum: NaN value reached the decimal-sum "
+                  "quantization; filter NaN observations before "
+                  "aggregating (rollup_from_series drops them — "
+                  "NaN is 'stored but not a sample')")
+        ).cast(VSUM_IN),
+    ).when(F.abs(c) < F.lit(VSUM_LIMIT), c.cast(VSUM_IN)).otherwise(
         F.raise_error(
             F.format_string(
                 "vsum overflow: |value| >= 1e9 exceeds the long-backed "
@@ -82,12 +100,26 @@ def rollup_from_series(series: DataFrame, tier: str,
     partials merge. EXACT under decimal sums (order-independent), so
     salted ≡ unsalted bit-for-bit. Leave None to rely on map-side
     partial aggregation + AQE skew handling alone.
+
+    NaN observations are DROPPED before aggregating (the Prometheus
+    stale-marker convention: stored losslessly, but not a sample).
+    The decimal sum cannot represent NaN, and Spark's min/max order
+    NaN above every real number — one NaN would otherwise either
+    abort the job (vsum_cast raises loudly) or poison vmax for its
+    bucket. cnt counts only real samples, so mean = vsum/cnt stays
+    consistent.
     """
     base = series.select(
         url_prefix(),
         F.col("lang"),
         bucket_expr(TS_COL, tier).alias("bucket_us"),
         F.col("value"),
+    ).where(
+        # NULL-safe: isnan(NULL) is NULL and WHERE drops NULL — but a
+        # NULL value row was always counted by cnt (min/max/sum skip
+        # NULLs natively), so only true NaN rows may be excluded
+        F.col("value").isNull()
+        | ~F.isnan(F.col("value").cast("double"))
     )
     if salt is None:
         return (

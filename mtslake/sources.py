@@ -128,8 +128,26 @@ def write_cbin(
     import hashlib
 
     np_dtype = np.dtype(dtype)
-    n_ch = df.agg(F.max("channel")).first()[0] + 1
-    n_samples = df.agg(F.max("sample")).first()[0] + 1
+    # one pre-pass scan for shape AND density validation: the .ch
+    # format records chunk_bounds assuming zero-based, gap-free
+    # samples — a non-zero-based or gapped input would write bounds
+    # that disagree with the payload row counts, i.e. a corrupt file
+    # that only fails at read time (reshape error in read_cbin).
+    shape = df.agg(
+        F.max("channel").alias("ch_max"),
+        F.max("sample").alias("s_max"),
+        F.min("sample").alias("s_min"),
+        F.count("*").alias("n_rows"),
+    ).first()
+    n_ch = shape["ch_max"] + 1
+    n_samples = shape["s_max"] + 1
+    if shape["s_min"] != 0 or shape["n_rows"] != n_samples * n_ch:
+        raise ValueError(
+            "write_cbin requires dense zero-based samples: expected "
+            f"samples 0..{n_samples - 1} x {n_ch} channels "
+            f"= {n_samples * n_ch} rows, got min sample "
+            f"{shape['s_min']} and {shape['n_rows']} rows"
+        )
     chunk_size = int(round(chunk_duration * sample_rate))
 
     keyed = df.withColumn("chunk_idx", (F.col("sample") / chunk_size).cast("int"))

@@ -133,3 +133,17 @@ def test_tamper_detection():
         assert not np.array_equal(out.view(np.uint64), arr.view(np.uint64))
     except Exception:
         pass  # zlib error is an acceptable detection
+
+
+def test_entropy_false_forces_stored_form_for_large_floats():
+    """Regression: entropy=False (the declared-incompressible channel
+    contract) was ignored by the XOR byte-plane branch (n >= 1024),
+    which still ran per-plane zlib probes. It must take the XOR
+    family's stored form — and round-trip."""
+    rng = np.random.default_rng(11)
+    arr = rng.normal(size=5000)          # n >= 1024 -> planes branch
+    enc = codec.encode_column(arr, entropy=False)
+    magic, ver, cod, dt, w, n = codec._HEADER.unpack(
+        enc[:codec._HEADER.size])
+    assert cod & ~codec._STORED_FLAG == codec.CODEC_XOR_RAW
+    assert np.array_equal(codec.decode_column(enc), arr)

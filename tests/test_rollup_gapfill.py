@@ -1000,3 +1000,36 @@ def test_grouping_sets_subtotals_consistent(spark):
         agg2[r["bucket_us"]] += r["cnt"]
     for r in grand:
         assert agg2[r["bucket_us"]] == r["cnt"]
+
+
+def test_rollup_drops_nan_keeps_null_and_never_aborts(spark):
+    """Regression: a single NaN observation aborted every rollup —
+    NaN fails |v| < 1e9 (NaN compares greater in Spark), so vsum_cast
+    raised its OVERFLOW error on data the storage layer round-trips
+    bit-exactly. Semantics now: NaN rows are dropped before the tier
+    aggregate (Prometheus stale-marker convention — stored, but not a
+    sample); NULL rows still count in cnt as before (min/max/sum skip
+    NULLs natively)."""
+    rows = [
+        ("https://a.example.com/x", "en", 1_000_000, 2.0),
+        ("https://a.example.com/x", "en", 2_000_000, float("nan")),
+        ("https://a.example.com/x", "en", 3_000_000, 4.0),
+        ("https://a.example.com/x", "en", 4_000_000, None),
+    ]
+    series = spark.createDataFrame(
+        rows, "url string, lang string, ts_us long, value double")
+    [r] = rollup.rollup_from_series(series, "1h").collect()
+    assert r["cnt"] == 3            # NaN dropped, NULL counted
+    assert r["vmin"] == 2.0 and r["vmax"] == 4.0
+    assert float(r["vsum"]) == 6.0
+
+
+def test_vsum_cast_nan_error_is_accurate(spark):
+    """When NaN reaches vsum_cast directly (operators that do not
+    pre-filter), the error must say NaN — not the misleading
+    'overflow' message."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(float("nan"),)], "v double")
+    with _pytest.raises(Exception, match="NaN value reached"):
+        df.select(rollup.vsum_cast("v").alias("q")).collect()

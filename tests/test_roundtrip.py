@@ -319,3 +319,102 @@ def test_generic_channel_spec_randomized_property(spark):
         want = {tuple(r) for r in series.select("url", TS_COL,
                                                 *names).collect()}
         assert got == want, (trial, spec)
+
+
+def test_read_range_pins_store_layout_for_pruning(spark, tmp_path):
+    """Regression: read_range pruned chunk_id with the CALLER's cfg
+    (default DEFAULT), so a store written with a non-default
+    chunk_duration_us silently dropped in-range partitions — e.g. an
+    hourly-chunked store read with the 1-day default computes
+    chunk_id <= t1 // 1d, a bound orders of magnitude below the
+    store's hourly chunk ids. read_range must pin the store's layout
+    via cfg_for_store."""
+    pages = generate_pages(spark, n_urls=6, snapshots_per_url=24,
+                           n_hot=1, hot_factor=4)
+    series = pages_to_series(pages)
+    cfg = DEFAULT.with_overrides(chunk_duration_us=3_600_000_000)
+    st = ChunkStore(spark, str(tmp_path / "hourly"))
+    st.write_chunks(chunk.compress_series(series, cfg), mode="overwrite",
+                    cfg=cfg)
+    t0 = series.agg(F.min(TS_COL)).first()[0]
+    lo, hi = t0 + 3_600_000_000, t0 + 10 * 3_600_000_000
+    # NO cfg passed — the store's pinned layout must still apply
+    got = read.read_range(st, lo, hi).count()
+    want = series.filter(
+        (F.col(TS_COL) >= lo) & (F.col(TS_COL) <= hi)
+    ).count()
+    assert want > 0 and got == want
+
+
+def test_apply_retention_pins_store_layout(spark, tmp_path):
+    """Regression twin on the DELETE path: apply_retention computed the
+    cutoff CHUNK ID from the caller's cfg; with a store chunked hourly
+    and the 1-day default the cutoff divides by the wrong duration and
+    expires the wrong partitions. The store's pinned duration must
+    win (retention horizons stay caller-controlled)."""
+    from mtslake.retention import apply_retention
+
+    pages = generate_pages(spark, n_urls=4, snapshots_per_url=24,
+                           n_hot=1, hot_factor=4)
+    series = pages_to_series(pages)
+    dur = 3_600_000_000
+    cfg = DEFAULT.with_overrides(chunk_duration_us=dur)
+    st = ChunkStore(spark, str(tmp_path / "hourly"))
+    st.write_chunks(chunk.compress_series(series, cfg), mode="overwrite",
+                    cfg=cfg)
+    cids = sorted(r[0] for r in st.chunks().select("chunk_id")
+                  .distinct().collect())
+    # choose now so the first two hourly partitions are past the raw
+    # horizon UNDER THE PINNED DURATION
+    now_us = (cids[2] * dur) + DEFAULT.retention_us["raw"]
+    plan = apply_retention(st, now_us, dry_run=True)
+    assert plan["raw_partitions"] == [c for c in cids if c < cids[2]]
+
+
+def test_decode_flush_bound_splits_batches_bit_exact(spark, store,
+                                                     monkeypatch):
+    """The decode kernel flushes an output batch every
+    _DECODE_FLUSH_POINTS decoded points (Arrow var-size arrays carry
+    int32 offsets — one unbounded concatenation would overflow them
+    silently on large inputs). Force a tiny flush bound and assert the
+    multi-batch output is bit-identical."""
+    _, series = store
+    monkeypatch.setattr(chunk, "_DECODE_FLUSH_POINTS", 97)
+    decoded = chunk.decompress_chunks(
+        chunk.compress_series(series, DEFAULT), verify=True
+    )
+    assert _canon(decoded) == _canon(series)
+
+
+def test_read_range_unknown_column_raises(store):
+    st, _ = store
+    with pytest.raises(ValueError, match="unknown channel"):
+        read.read_range(st, columns=["vlaue"])
+
+
+def test_write_chunks_custom_spec_catalogs_custom_stats(spark, tmp_path):
+    """Channel genericity must reach the CATALOG layer: a store written
+    from a custom ChannelSpec catalogs that spec's min/max stat
+    columns (write_chunks previously selected the default spec's
+    hardcoded stat names and failed on custom chunks)."""
+    import numpy as np
+
+    from mtslake.chunk import ChannelSpec, compress_series
+
+    spec = (ChannelSpec("temp", "float32"), ChannelSpec("hum", "int16"))
+    rng = np.random.default_rng(5)
+    rows = [(
+        f"https://s{i % 3}.example.com/x", "en",
+        int(rng.integers(0, 2)) * 86_400_000_000
+        + int(rng.integers(0, 86_400_000_000)),
+        float(np.float32(rng.normal() * 30)),
+        int(rng.integers(-300, 300)),
+    ) for i in range(500)]
+    series = spark.createDataFrame(
+        rows, "url string, lang string, ts_us long, temp float, hum short")
+    st = ChunkStore(spark, str(tmp_path / "custom"))
+    st.write_chunks(compress_series(series, DEFAULT, channels=spec),
+                    mode="overwrite")
+    cat_cols = set(st.catalog().columns)
+    assert {"temp_min", "temp_max", "hum_min", "hum_max"} <= cat_cols
+    assert "value_min" not in cat_cols

@@ -152,3 +152,18 @@ def test_full_pipeline_from_reference_file(spark, tmp_path):
     )
     mat = np.array([r["value"] for r in got]).reshape(arr.shape)
     assert np.array_equal(mat.astype(np.int16), arr)
+
+
+def test_write_cbin_rejects_non_dense_samples(spark, tmp_path):
+    """Regression: chunk_bounds assume zero-based gap-free samples; a
+    non-zero-based input used to write a CORRUPT .ch (bounds [0, max+1]
+    against a shorter payload) that only failed at read time. The
+    writer must reject it loudly instead."""
+    df = spark.createDataFrame(
+        [(int(s), 0, float(s)) for s in range(100, 200)],
+        "sample long, channel int, value double",
+    )
+    with pytest.raises(ValueError, match="dense zero-based"):
+        sources.write_cbin(df, str(tmp_path / "x.cbin"),
+                           str(tmp_path / "x.ch"),
+                           sample_rate=100.0, dtype="int16")
