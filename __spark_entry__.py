@@ -1495,24 +1495,30 @@ def q_mm_jpeg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (urlops.normalize_url) over deterministic
-    messy URLs synthesized from doc_id — four variants exercising
+    messy URLs synthesized from doc_id — six variants exercising
     scheme/host case, default-port stripping, query-param sorting,
-    fragment dropping, and empty-path normalization. Both engines build
-    the identical input expression; the oracle replays the
-    normalization in SQL."""
+    fragment dropping, empty-path normalization, userinfo stripping,
+    and bracketed-IPv6 host/port parsing. Both engines build the
+    identical input expression; the oracle replays the normalization
+    in SQL."""
     from mtslake.urlops import normalize_url
 
     d = F.col("doc_id")
     url = (
-        F.when(d % 4 == 0, F.format_string(
+        F.when(d % 6 == 0, F.format_string(
             "HTTP://WWW.Site%d.COM:80/Sec%d/Item%d?b=%d&a=%d#frag",
             d % 50, d % 7, d, d % 9, d % 3))
-        .when(d % 4 == 1, F.format_string(
+        .when(d % 6 == 1, F.format_string(
             "https://Site%d.org:443/?z=1&y=%d", d % 50, d % 5))
-        .when(d % 4 == 2, F.format_string(
+        .when(d % 6 == 2, F.format_string(
             "HtTpS://CDN.site%d.net/path/%d", d % 50, d))
-        .otherwise(F.format_string(
+        .when(d % 6 == 3, F.format_string(
             "http://site%d.io:8080?q=%d", d % 50, d))
+        .when(d % 6 == 4, F.format_string(
+            "http://user%d:pw@Host%d.COM/a?y=2&x=%d",
+            d % 7, d % 50, d % 5))
+        .otherwise(F.format_string(
+            "https://[2001:db8::%d]:8443/v6/%d", d % 9, d))
     )
     return (
         _docs(spark, sf_dir).select("doc_id")
@@ -5179,8 +5185,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_token_count": r"""
             SELECT doc_id,
-                   CAST(len(string_split_regex(trim(text), '\s+'))
-                       AS BIGINT) AS n_words,
+                   CAST(len(list_filter(
+                        string_split_regex(trim(text), '\s+'),
+                        x -> x <> '')) AS BIGINT) AS n_words,
                    CAST(len(regexp_extract_all(text,
                         '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT)
                        AS n_subtokens
@@ -5198,7 +5205,7 @@ def oracle_sql() -> dict[str, str]:
                     len(regexp_extract_all(lower(text),
                         '\b(el|la|los|es|de)\b')) AS s_es,
                     len(regexp_extract_all(lower(text),
-                        '\b(的|是|了|在|我)\b')) AS s_zh
+                        '(的|是|了|在|我)')) AS s_zh
                 FROM documents
             )
             SELECT doc_id,
@@ -5756,20 +5763,22 @@ def oracle_sql() -> dict[str, str]:
             ), totals AS (
                 SELECT doc_id, SUM(c) AS n2 FROM gcnt GROUP BY doc_id
             )
-            SELECT w.doc_id, w.n_words,
+            SELECT d.doc_id,
+                   COALESCE(w.n_words, 0) AS n_words,
                    CAST(w.n_distinct AS DOUBLE) / w.n_words
                        AS distinct_word_frac,
                    COALESCE(t.top_2gram, '') AS top_2gram,
                    COALESCE(CAST(t.topc AS DOUBLE) / tt.n2, 0.0)
                        AS top_2gram_frac
-            FROM words w
-            LEFT JOIN top t ON w.doc_id = t.doc_id
-            LEFT JOIN totals tt ON w.doc_id = tt.doc_id
+            FROM documents d
+            LEFT JOIN words w ON d.doc_id = w.doc_id
+            LEFT JOIN top t ON d.doc_id = t.doc_id
+            LEFT JOIN totals tt ON d.doc_id = tt.doc_id
         """,
         "doc_url_normalize": r"""
             WITH u AS (
                 SELECT doc_id,
-                    CASE CAST(doc_id % 4 AS INT)
+                    CASE CAST(doc_id % 6 AS INT)
                         WHEN 0 THEN printf(
                             'HTTP://WWW.Site%d.COM:80/Sec%d/Item%d?b=%d&a=%d#frag',
                             doc_id % 50, doc_id % 7, doc_id,
@@ -5780,8 +5789,13 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 2 THEN printf(
                             'HtTpS://CDN.site%d.net/path/%d',
                             doc_id % 50, doc_id)
-                        ELSE printf('http://site%d.io:8080?q=%d',
+                        WHEN 3 THEN printf('http://site%d.io:8080?q=%d',
                             doc_id % 50, doc_id)
+                        WHEN 4 THEN printf(
+                            'http://user%d:pw@Host%d.COM/a?y=2&x=%d',
+                            doc_id % 7, doc_id % 50, doc_id % 5)
+                        ELSE printf('https://[2001:db8::%d]:8443/v6/%d',
+                            doc_id % 9, doc_id)
                     END AS url
                 FROM documents
             ), p AS (
@@ -5797,14 +5811,23 @@ def oracle_sql() -> dict[str, str]:
                     regexp_extract(url, '^[^#?]*\?([^#]*)', 1)
                         AS query
                 FROM u
+            ), a AS (
+                SELECT *, regexp_replace(hostport, '^.*@', '') AS auth
+                FROM p
             ), q AS (
                 SELECT doc_id, url, proto, path,
-                    lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
-                    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+                    lower(CASE WHEN starts_with(auth, '[')
+                          THEN regexp_extract(auth, '^(\[[^\]]*\])', 1)
+                          ELSE regexp_extract(auth, '^([^:]*)', 1)
+                          END) AS host,
+                    CASE WHEN starts_with(auth, '[')
+                         THEN regexp_extract(auth, '\]:([0-9]+)$', 1)
+                         ELSE regexp_extract(auth, ':([0-9]+)$', 1)
+                         END AS port,
                     COALESCE(array_to_string(list_sort(list_filter(
                         string_split(query, '&'), x -> x <> '')), '&'),
                         '') AS qsorted
-                FROM p
+                FROM a
             )
             SELECT doc_id, url,
                 proto || '://' || host
@@ -5828,7 +5851,7 @@ def oracle_sql() -> dict[str, str]:
                     len(regexp_extract_all(lower(text),
                         '\b(el|la|los|es|de)\b')) AS s_es,
                     len(regexp_extract_all(lower(text),
-                        '\b(的|是|了|在|我)\b')) AS s_zh,
+                        '(的|是|了|在|我)')) AS s_zh,
                     length(text) AS nc,
                     len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS nw,
                     len(regexp_extract_all(text, '[^\w\s]')) AS np,

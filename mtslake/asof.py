@@ -84,14 +84,22 @@ def asof_join(
     # equal-ts right row is inside [unboundedPreceding, current] —
     # "at or before". forward mirrors it: left sorts first, frame
     # [current, unboundedFollowing] — "at or after".
+    # DUPLICATE right rows at one (key, ts) need a total order or the
+    # fill is partition-layout-dependent (last() returns whichever row
+    # the sort happened to place last — a different value after a
+    # repartition). Tiebreak on the right payload columns themselves:
+    # the GREATEST payload row wins in every direction, deterministic
+    # across runs (left rows carry NULL payloads, so the extra keys
+    # never reorder the left side).
+    tiebreak = [F.col(f"{c}{suffix}") for c in right_cols]
     wb = (
         W.partitionBy(key)
-        .orderBy(ts, "_side")
+        .orderBy(ts, "_side", *tiebreak)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     wf = (
         W.partitionBy(key)
-        .orderBy(ts, F.desc("_side"))
+        .orderBy(ts, F.desc("_side"), *[t.desc() for t in tiebreak])
         .rowsBetween(W.currentRow, W.unboundedFollowing)
     )
     filled = union

@@ -449,6 +449,11 @@ def simhash_near_dupes(
     one exact band. Join per band, verify with bit_count(xor)."""
     n_bands = max_hamming + 1
     width = 64 // n_bands
+    # width=64 (max_hamming=0, the exact-match call): (1<<64)-1 does
+    # not fit a LongType literal — all-ones is -1 in two's complement,
+    # and shiftright(x, 0) & -1 == x, so the single band is the whole
+    # signature, exactly the pigeonhole semantics for k=0
+    mask = -1 if width == 64 else (1 << width) - 1
     banded = sims.select(
         F.col(id_col).alias("_id"), "simhash",
         F.explode(
@@ -457,7 +462,7 @@ def simhash_near_dupes(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.shiftright(F.col("simhash"), b * width)
-                        .bitwiseAND(F.lit((1 << width) - 1)).alias("key"),
+                        .bitwiseAND(F.lit(mask)).alias("key"),
                     )
                     for b in range(n_bands)
                 ]

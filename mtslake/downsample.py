@@ -123,9 +123,16 @@ def lttb_downsample(
 
     Input rows need ``key_cols + (ts_col, value_col)``; output keeps
     those columns plus ``pt_seq`` (0-based kept-point order)."""
-    out_fields = ", ".join(
-        [f"`{c}` string" for c in key_cols]
-        + [f"`{ts_col}` long", f"`{value_col}` double", "pt_seq int"]
+    from pyspark.sql import types as T
+
+    # key columns keep their INPUT types (the ewma/holt convention):
+    # hardcoding them as string broke long keys (user_id) with an
+    # Arrow schema mismatch at the applyInPandas boundary
+    out_schema = T.StructType(
+        [series.schema[c] for c in key_cols]
+        + [T.StructField(ts_col, T.LongType()),
+           T.StructField(value_col, T.DoubleType()),
+           T.StructField("pt_seq", T.IntegerType())]
     )
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -140,7 +147,7 @@ def lttb_downsample(
     return (
         series.select(*key_cols, ts_col, value_col)
         .groupBy(*key_cols)
-        .applyInPandas(fn, schema=out_fields)
+        .applyInPandas(fn, schema=out_schema)
     )
 
 

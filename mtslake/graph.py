@@ -298,42 +298,62 @@ def label_propagation(
         F.col(src).alias("a"), F.col(dst).alias("b"),
         F.col(weight).cast(dec).alias("w"),
     )
-    sym = (
+    # sym and degree are constant across rounds — checkpoint once so
+    # the symmetrize union + aggregate doesn't re-execute from raw
+    # edges every iteration (pagerank's `share` discipline)
+    sym = eager_checkpoint(
         e.unionByName(e.select(F.col("b").alias("a"),
                                F.col("a").alias("b"), "w"))
         .groupBy("a", "b").agg(F.sum("w").alias("w"))
         .where(F.col("a") != F.col("b"))
     )
-    nodes = sym.select(F.col("a").alias("host")).distinct()
-    degree = sym.groupBy(F.col("a").alias("host")).agg(
-        F.sum("w").cast("decimal(38,6)").alias("_iw")
-    )
-    labels = eager_checkpoint(
-        nodes.select("host", F.col("host").alias("community"))
-    )
-    for _ in range(int(iters)):
-        contrib = (
-            sym.join(labels.withColumnRenamed("host", "b")
-                     .withColumnRenamed("community", "_nl"), "b")
-            .groupBy(F.col("a").alias("host"), F.col("_nl"))
-            .agg((F.lit(2) * F.sum("w")).cast("decimal(38,6)")
-                 .alias("_lw"))
+    degree = None
+    labels = None
+    try:
+        nodes = sym.select(F.col("a").alias("host")).distinct()
+        degree = eager_checkpoint(
+            sym.groupBy(F.col("a").alias("host")).agg(
+                F.sum("w").cast("decimal(38,6)").alias("_iw")
+            )
         )
-        own = labels.join(degree, "host").select(
-            "host", F.col("community").alias("_nl"),
-            F.col("_iw").alias("_lw"),
+        labels = eager_checkpoint(
+            nodes.select("host", F.col("host").alias("community"))
         )
-        pooled = contrib.unionByName(own).groupBy("host", "_nl").agg(
-            F.sum("_lw").cast("decimal(38,6)").alias("_lw")
-        )
-        best_w = pooled.groupBy("host").agg(F.max("_lw").alias("_bw"))
-        nxt = (
-            pooled.join(best_w, "host")
-            .where(F.col("_lw") == F.col("_bw"))
-            .groupBy("host")
-            .agg(F.min("_nl").alias("community"))
-        )
-        new_labels = eager_checkpoint(nxt.select("host", "community"))
-        release_ckpt(labels)
-        labels = new_labels
-    return labels
+        for _ in range(int(iters)):
+            contrib = (
+                sym.join(labels.withColumnRenamed("host", "b")
+                         .withColumnRenamed("community", "_nl"), "b")
+                .groupBy(F.col("a").alias("host"), F.col("_nl"))
+                .agg((F.lit(2) * F.sum("w")).cast("decimal(38,6)")
+                     .alias("_lw"))
+            )
+            own = labels.join(degree, "host").select(
+                "host", F.col("community").alias("_nl"),
+                F.col("_iw").alias("_lw"),
+            )
+            pooled = contrib.unionByName(own).groupBy("host", "_nl").agg(
+                F.sum("_lw").cast("decimal(38,6)").alias("_lw")
+            )
+            best_w = pooled.groupBy("host").agg(F.max("_lw").alias("_bw"))
+            nxt = (
+                pooled.join(best_w, "host")
+                .where(F.col("_lw") == F.col("_bw"))
+                .groupBy("host")
+                .agg(F.min("_nl").alias("community"))
+            )
+            new_labels = eager_checkpoint(nxt.select("host", "community"))
+            release_ckpt(labels)
+            labels = new_labels
+        out = labels
+        labels = None  # ownership transfers to the caller
+        return out
+    except BaseException:
+        if labels is not None:
+            release_ckpt(labels)
+        raise
+    finally:
+        # constants are internal — always released (the returned
+        # frame's lineage is severed by its own checkpoint)
+        release_ckpt(sym)
+        if degree is not None:
+            release_ckpt(degree)

@@ -260,6 +260,10 @@ def _decode_image_bytes(payload: bytes, width: int, height: int) -> np.ndarray:
     if not _STUBBED:  # pragma: no cover
         raise NotImplementedError("audio/video decoding requires libav")
     arr = np.frombuffer(payload, dtype=np.uint8)
+    if arr.size == 0:
+        # empty payload (e.g. synthesized from an empty doc): a zero
+        # image, not a reshape crash inside the Spark task
+        arr = np.zeros(1, dtype=np.uint8)
     n = max(width * height, 1)
     reps = -(-n // max(arr.size, 1))
     return np.tile(arr, reps)[:n].reshape(max(height, 1), max(width, 1))
@@ -313,6 +317,12 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
                 w = int(meta["width"] or 8) if meta is not None else 8
                 h = int(meta["height"] or 8) if meta is not None else 8
                 img = _decode_image_bytes(payload, w, h)
+                # sample from the DECODED shape, not the meta struct:
+                # a real-format payload's header wins over a stale
+                # meta (w/h above only size the stub path), and
+                # indexing with meta dims would IndexError (meta
+                # bigger) or crop silently (meta smaller)
+                h, w = img.shape[0], img.shape[1]
                 yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
                 xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
                 small = img[np.ix_(yi, xi)]

@@ -147,6 +147,15 @@ def pq_encode(
     @pandas_udf("binary")
     def _enc(vs: pd.Series) -> pd.Series:
         X = _as_matrix(vs.to_numpy())
+        if X.shape[1] != m * sub:
+            # a codebook/vector dimension mismatch (e.g. a model
+            # upgrade widened the embedding column) must fail loudly —
+            # slicing would silently encode only the first m*sub dims
+            raise ValueError(
+                f"pq_encode: vector dim {X.shape[1]} != codebook dim "
+                f"{m * sub} (m={m} x sub={sub}); retrain pq_train on "
+                "the new embedding width"
+            )
         out = np.empty((X.shape[0], m), dtype=np.uint8)
         for j, C in enumerate(mats):
             Xj = X[:, j * sub:(j + 1) * sub]
@@ -188,10 +197,23 @@ def pq_search(
     prows = probes.select(
         "probe_id", F.col("probe_vec").cast("array<double>").alias("_p")
     ).collect()
+    if not prows:
+        # zero probes: return an empty result frame WITHOUT scanning
+        # the corpus (np.stack over zero per-probe tables would raise
+        # inside the kernel otherwise)
+        return encoded.sparkSession.createDataFrame(
+            [], "probe_id long, vec_id long, adc_d2 double, rank int"
+        )
     _guard_table_budget(len(prows), m, mats[0].shape[0])
     tables = {}
     for r in prows:
         p = np.asarray(r["_p"], dtype=np.float64)
+        if p.shape[0] != m * sub:
+            raise ValueError(
+                f"pq_search: probe dim {p.shape[0]} != codebook dim "
+                f"{m * sub} (m={m} x sub={sub}); the ADC tables would "
+                "silently score only the first m*sub dims"
+            )
         t = np.empty((m, mats[0].shape[0]))
         for j, C in enumerate(mats):
             pj = p[j * sub:(j + 1) * sub]

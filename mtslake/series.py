@@ -251,9 +251,14 @@ def counter_rate(
     rounded once). First observation per key is dropped (no
     predecessor); duplicate-timestamp rows keep ``rate_per_s`` null
     via ``try_divide`` (the :func:`rate` ANSI-mode rationale).
-    Same single-shuffle shape as :func:`rate`."""
+    NULL counter observations are excluded up front (the
+    :func:`value_changes` convention): a NULL riding the lag chain
+    would make ``x >= prev`` NULL and fire the OTHERWISE branch —
+    i.e. a phantom reset reporting the full counter value as
+    increase. Same single-shuffle shape as :func:`rate`."""
     from pyspark.sql import Window as W
 
+    series = series.where(F.col(value_col).isNotNull())
     order = [ts_col, tiebreak] if tiebreak else [ts_col]
     w = W.partitionBy(key).orderBy(*order)
     x = F.col(value_col)
@@ -474,7 +479,12 @@ def ohlc(
     split and the single narrow shuffle of four numbers + count per
     key are the same; plan-asserted in tests).
     """
-    pair = df.where(F.col(value_col).isNotNull())
+    # ts must be non-null too: struct comparison orders a NULL ts
+    # FIRST, so a timestamp-less row would hijack `open` — the exact
+    # poisoning the docstring promises to prevent
+    pair = df.where(
+        F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+    )
     o_struct = F.struct(F.col(ts_col).alias("t"),
                         F.col(value_col).alias("v"))
     return pair.groupBy(*keys).agg(

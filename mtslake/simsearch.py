@@ -34,7 +34,16 @@ def _norm(a) -> F.Column:
 
 
 def cosine(a, b) -> F.Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # try_divide: a zero-norm operand (failed/padded embedding) yields
+    # NULL, not 0/0 = NaN — Spark orders NaN ABOVE every real double,
+    # so a NaN cosine would rank #1 in every desc top-k and pass
+    # `cos >= threshold` filters (NaN >= t is true), turning one junk
+    # vector into a universal nearest neighbor / false near-duplicate.
+    # NULL instead sinks (NULLS LAST under desc) and fails thresholds.
+    # The isnan guard catches the same hazard from NaN vector
+    # COMPONENTS (NaN dot with a nonzero divisor survives try_divide).
+    d = F.try_divide(_dot(a, b), _norm(a) * _norm(b))
+    return F.when(F.isnan(d), F.lit(None).cast("double")).otherwise(d)
 
 
 def brute_force_topk(
@@ -329,7 +338,12 @@ def ivf_search(
     p = probes.select(
         "probe_id", F.col("probe_vec").cast("array<double>").alias("_p")
     )
-    p = _probe_cells(p, cents, n_probe, vectorized=vectorized)
+    from .ckpt import eager_checkpoint
+
+    # tiny probe frame, checkpointed once: the top-cells quantizer
+    # kernel would otherwise run twice (probed-cell collect + join side)
+    p = eager_checkpoint(_probe_cells(p, cents, n_probe,
+                                      vectorized=vectorized))
     cells = sorted({r["cell"] for r in p.select("cell").distinct().collect()})
     # cell ∈ probed-set is a PARTITION filter on the store layout
     store = spark.read.parquet(path).filter(F.col("cell").isin(cells))
@@ -415,7 +429,16 @@ def build_lsh_index(
     results). Partitioning uses table + an 8-way bucket prefix (full
     2^m bucket dirs per table would be a small-file storm; the prefix
     keeps pruning directory-level while buckets stay row-group
-    filterable)."""
+    filterable).
+
+    The banding parameters are PINNED in a ``_lsh_index.json`` sidecar
+    (the build_minhash_index convention): probing with a different
+    plane family would silently hash into disjoint buckets and return
+    near-empty results with no error — lsh_search validates against
+    the pin."""
+    import json
+    import os
+
     e = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
@@ -437,6 +460,10 @@ def build_lsh_index(
     e.repartition("table", "bprefix").write.mode("overwrite").partitionBy(
         "table", "bprefix"
     ).parquet(path)
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "_lsh_index.json"), "w") as f:
+        json.dump({"n_planes": n_planes, "n_tables": n_tables,
+                   "dim": dim}, f)
 
 
 def lsh_search(
@@ -444,12 +471,43 @@ def lsh_search(
     path: str,
     probes: DataFrame,
     k: int = 10,
-    n_planes: int = 8,
-    n_tables: int = 8,
-    dim: int = 64,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Search a ``build_lsh_index`` store; equals ``lsh_topk`` with the
-    same parameters over the same embeddings."""
+    same parameters over the same embeddings.
+
+    Banding parameters default to the store's ``_lsh_index.json`` pin;
+    passing a value that CONFLICTS with the pin raises (mismatched
+    plane families probe disjoint buckets — a silent empty-result
+    failure otherwise). Stores without a sidecar fall back to the
+    historical defaults (8, 8, 64)."""
+    import json
+    import os
+
+    pinned = {}
+    sc_path = os.path.join(path, "_lsh_index.json")
+    if os.path.exists(sc_path):
+        with open(sc_path) as f:
+            pinned = json.load(f)
+
+    def _resolve(name: str, given, default):
+        pin = pinned.get(name)
+        if pin is not None:
+            if given is not None and given != pin:
+                raise ValueError(
+                    f"lsh_search {name}={given} conflicts with the "
+                    f"store's pinned {name}={pin} ({sc_path}); probing "
+                    "with a different plane family would silently miss "
+                    "every bucket"
+                )
+            return pin
+        return default if given is None else given
+
+    n_planes = _resolve("n_planes", n_planes, 8)
+    n_tables = _resolve("n_tables", n_tables, 8)
+    dim = _resolve("dim", dim, 64)
     p = probes.select(
         "probe_id", F.col("probe_vec").cast("array<double>").alias("_p")
     ).select(
@@ -477,14 +535,25 @@ def lsh_search(
         ).alias("bucket"),
     ).withColumn("bprefix", F.pmod(F.col("bucket"), F.lit(8)).cast("int"))
 
+    from .ckpt import eager_checkpoint
+
+    # probe frame is tiny (probes × tables × (m+1) rows): checkpoint
+    # once so the signature aggregates don't run twice — once for the
+    # probed-partition collect below, once as the join side
+    p = eager_checkpoint(p)
     probed = p.select("table", "bprefix").distinct().collect()
     keys = {(r["table"], r["bprefix"]) for r in probed}
     store = spark.read.parquet(path)
-    cond = None
-    for t, bp in sorted(keys):
-        c = (F.col("table") == t) & (F.col("bprefix") == bp)
-        cond = c if cond is None else (cond | c)
-    store = store.filter(cond)
+    if not keys:
+        # empty probe batch (a nightly job with no new queries) must
+        # return an empty result, not crash in filter(None)
+        store = store.filter(F.lit(False))
+    else:
+        cond = None
+        for t, bp in sorted(keys):
+            c = (F.col("table") == t) & (F.col("bprefix") == bp)
+            cond = c if cond is None else (cond | c)
+        store = store.filter(cond)
     cand = store.join(F.broadcast(p), ["table", "bucket"]).filter(
         F.col("vec_id") != F.col("probe_id")
     )

@@ -371,13 +371,42 @@ def record_late_drops(store, query, job_id: str = "stream",
                       late_counter=None) -> dict:
     """Persist the late-data counts as lineage rows (``lineage_stream``
     table) so a scheduled job can alarm on loss — the streaming sibling
-    of the per-partition compress lineage."""
+    of the per-partition compress lineage.
+
+    IDEMPOTENT under repeated invocation (the intended use is a
+    scheduled call every few minutes): per-batch rows are appended only
+    for batch ids NOT yet recorded for this job — a naive re-append of
+    everything still in ``recentProgress`` would over-count severalfold
+    when summed — and the sealer accumulator is recorded as the DELTA
+    since the last call (batch_id = -1 rows add up to the counter's
+    current value). ``recentProgress`` keeps only the last
+    ``spark.sql.streaming.numRecentProgressUpdates`` (default 100)
+    batches, so call this at least once per ~100 batches or the
+    per-batch ledger silently misses the evicted ones."""
     counts = late_drop_counts(query, late_counter)
+    seen_batches: set = set()
+    acc_recorded = 0
+    if store.has("lineage_stream"):
+        prior = (
+            store.spark.read.parquet(store.path("lineage_stream"))
+            .filter(F.col("job_id") == job_id)
+            .groupBy("batch_id")
+            .agg(F.sum("rows_dropped_late").alias("n"))
+            .collect()
+        )
+        for r in prior:
+            if r["batch_id"] == -1:
+                acc_recorded = int(r["n"])
+            else:
+                seen_batches.add(int(r["batch_id"]))
     rows = [
-        (job_id, int(b), int(n)) for b, n in sorted(counts["per_batch"].items())
+        (job_id, int(b), int(n))
+        for b, n in sorted(counts["per_batch"].items())
+        if int(b) not in seen_batches
     ]
-    if counts.get("sealer_late_rows"):
-        rows.append((job_id, -1, int(counts["sealer_late_rows"])))
+    delta = int(counts.get("sealer_late_rows", 0)) - acc_recorded
+    if delta > 0:
+        rows.append((job_id, -1, delta))
     if rows:
         store.spark.createDataFrame(
             rows, "job_id string, batch_id long, rows_dropped_late long"
@@ -597,11 +626,11 @@ def streaming_uptime(
                 # emitted — sealer's 'drop' policy; sealed rows stay
                 # final), but one straddling it still owes coverage to
                 # UNSEALED buckets — emission clips at sealed_until,
-                # so keeping it can never revise a sealed row. (In
-                # practice the engine's event-time filter already
-                # drops ts < watermark ≥ sealed_until before the
-                # handler; this keeps the handler correct on its own
-                # terms rather than leaning on that.)
+                # so keeping it can never revise a sealed row. This
+                # filter is load-bearing: Spark does NOT pre-filter
+                # late input for arbitrary stateful ops (see
+                # streaming_compress, which counts its own late rows
+                # for exactly that reason).
                 pings.extend(int(t) for t in p["ts_us"]
                              if int(t) + lease > sealed_until)
         pings = sorted(set(pings))
@@ -639,6 +668,19 @@ def streaming_uptime(
             next_boundary = ((pings[0] // us) + 1) * us
             state.setTimeoutTimestamp(max(next_boundary, wm_us + 1) // 1000)
         elif state.exists:
+            # removing state (and with it sealed_until) is SAFE: it
+            # cannot let a late replay re-emit a sealed bucket, because
+            # the engine filters input rows with ts <= the previous
+            # batch's watermark before this handler (verified
+            # empirically on Spark 4.1.2 — a replayed ping behind an
+            # advanced watermark never arrives), and sealed_until is
+            # always <= that watermark, so every row that DOES arrive
+            # satisfies ts > sealed_until at the moment of removal. A
+            # tombstone (empty pings + sealed_until) would be the
+            # defensive alternative but costs O(#urls) state forever —
+            # the wrong trade at web scale.
+            # (tests/test_streaming.py::test_uptime_sealed_frontier_…
+            # asserts the no-duplicate property end-to-end.)
             state.remove()
         if out_rows:
             yield pd.DataFrame(

@@ -32,7 +32,16 @@ SUBTOKEN_RE = r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"
 
 
 def _marker_count(text_col: str, words: list[str]) -> F.Column:
-    pat = r"\b(" + "|".join(words) + r")\b"
+    # \b only for ASCII-word markers: Java's \b uses \w=[A-Za-z0-9_],
+    # so a boundary NEVER matches adjacent to CJK characters — with it,
+    # the zh markers scored 0 on every Chinese document and the argmax
+    # fell through to 'en'. Unsegmented scripts count plain substring
+    # occurrences (the standard heuristic — there are no word
+    # boundaries to anchor to).
+    if all(w.isascii() for w in words):
+        pat = r"\b(" + "|".join(words) + r")\b"
+    else:
+        pat = "(" + "|".join(words) + ")"
     return F.regexp_count(F.lower(F.col(text_col)), F.lit(pat))
 
 
@@ -104,9 +113,14 @@ def quality_features(docs: DataFrame, text_col: str = "text",
 def token_counts(docs: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     t = F.col(text_col)
+    # filter the empty token: split('', '\s+') returns [''] (size 1),
+    # so an empty/whitespace-only doc would report n_words=1 and slip
+    # past length gates keyed on n_words >= 1 — the same filter every
+    # other tokenizer in this module applies
+    words = F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != "")
     return docs.select(
         id_col,
-        F.size(F.split(F.trim(t), r"\s+")).cast("long").alias("n_words"),
+        F.size(words).cast("long").alias("n_words"),
         F.regexp_count(t, F.lit(SUBTOKEN_RE)).cast("long").alias("n_subtokens"),
     )
 
@@ -176,11 +190,18 @@ def repetition_features(docs: DataFrame, text_col: str = "text",
     )
     totals = gcnt.groupBy("_id").agg(F.sum("_c").alias("_n2"))
 
+    # join back FROM the doc base: a zero-token document must still
+    # emit a row (n_words=0, null frac) — every other per-doc feature
+    # operator here preserves all docs, and an inner-join consumer
+    # would silently lose the empties otherwise
     return (
-        words.join(top, "_id", "left").join(totals, "_id", "left")
+        base.select("_id")
+        .join(words, "_id", "left")
+        .join(top, "_id", "left").join(totals, "_id", "left")
         .select(
             F.col("_id").alias(id_col),
-            F.col("n_words").cast("long").alias("n_words"),
+            F.coalesce(F.col("n_words"), F.lit(0)).cast("long")
+            .alias("n_words"),
             (F.col("n_distinct_words").cast("double") / F.col("n_words"))
             .alias("distinct_word_frac"),
             F.coalesce(F.col("top_2gram"), F.lit("")).alias("top_2gram"),

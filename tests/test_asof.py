@@ -226,3 +226,30 @@ def test_interval_join_is_equi_join_on_bucket(spark):
     plan = interval_join(ev, iv, bucket_us=10)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_asof_join_duplicate_right_ts_is_deterministic(spark):
+    """Regression: duplicate right rows at one (key, ts) had no
+    tiebreak in the fill window, so the joined payload depended on the
+    physical partition layout (different value after a repartition).
+    Ties now break on the right payload columns — the GREATEST payload
+    row wins in every direction, stable across layouts."""
+    from mtslake.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("u", 150)], "url string, ts_us long")
+    right_rows = [("u", 100, 1.0), ("u", 100, 2.0)]
+    for nparts in (1, 3, 7):
+        right = spark.createDataFrame(
+            right_rows, "url string, ts_us long, value double"
+        ).repartition(nparts)
+        for direction in ("backward", "nearest"):
+            [row] = asof_join(left, right, key="url", ts="ts_us",
+                              direction=direction).collect()
+            assert row["value_r"] == 2.0, (nparts, direction)
+        fwd_right = spark.createDataFrame(
+            [("u", 200, 3.0), ("u", 200, 4.0)],
+            "url string, ts_us long, value double").repartition(nparts)
+        [row] = asof_join(left, fwd_right, key="url", ts="ts_us",
+                          direction="forward").collect()
+        assert row["value_r"] == 4.0, nparts

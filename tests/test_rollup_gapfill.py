@@ -1033,3 +1033,46 @@ def test_vsum_cast_nan_error_is_accurate(spark):
     df = spark.createDataFrame([(float("nan"),)], "v double")
     with _pytest.raises(Exception, match="NaN value reached"):
         df.select(rollup.vsum_cast("v").alias("q")).collect()
+
+
+def test_lttb_preserves_key_column_types(spark):
+    """Regression: the applyInPandas output schema hardcoded every key
+    column as string, so a LONG key (user_id) hit an Arrow schema
+    mismatch. Key columns now copy their input types."""
+    from mtslake.downsample import lttb_downsample
+
+    rows = [(7, i * 1000, float(i % 5)) for i in range(50)]
+    df = spark.createDataFrame(rows, "user_id long, ts_us long, value double")
+    out = lttb_downsample(df, n_out=10, key_cols=("user_id",))
+    assert dict(out.dtypes)["user_id"] == "bigint"
+    assert out.count() == 10
+    assert out.select("user_id").distinct().first()[0] == 7
+
+
+def test_ohlc_null_ts_rows_excluded(spark):
+    """Regression: only NULL values were filtered; a NULL timestamp
+    entered the ordering struct (NULL orders first) and hijacked
+    'open' from a timestamp-less row."""
+    from mtslake.series import ohlc
+
+    df = spark.createDataFrame(
+        [("k", None, 5.0), ("k", 1, 7.0), ("k", 9, 2.0)],
+        "k string, ts_us long, value double")
+    [row] = ohlc(df, ["k"]).collect()
+    assert (row["n"], row["open"], row["close"]) == (2, 7.0, 2.0)
+
+
+def test_counter_rate_null_prev_is_not_a_reset(spark):
+    """Regression: a NULL counter observation made x >= prev NULL at
+    the next row, firing the OTHERWISE (reset) branch — a phantom
+    reset reporting the full counter value as increase. NULL
+    observations are now excluded up front."""
+    from mtslake.series import counter_rate
+
+    df = spark.createDataFrame(
+        [("k", 1, 10.0), ("k", 2, None), ("k", 3, 1_000_000.0)],
+        "k string, ts_us long, counter double")
+    rows = counter_rate(df, key="k", ts_col="ts_us",
+                        value_col="counter").collect()
+    incs = {r["ts_us"]: r["increase"] for r in rows}
+    assert incs[3] == 1_000_000.0 - 10.0   # growth, not a reset

@@ -462,3 +462,95 @@ def test_streaming_sliding_equals_batch_windows(spark, series_parquet,
     run()  # checkpoint restart: no new data -> no duplicates
     again = {tuple(r) for r in spark.read.parquet(out).collect()}
     assert again == got
+
+
+def test_uptime_sealed_frontier_survives_state_removal(spark, tmp_path):
+    """Sealed-rows-final under late replay: after a url's state is
+    removed (pings drained past the frontier), a late re-delivered
+    ping must NOT re-emit an already-sealed bucket. This holds because
+    Spark filters input rows with ts <= the previous batch's watermark
+    before applyInPandasWithState (so a replayed ping behind the
+    frontier never reaches the handler) — this test pins that
+    engine-level assumption: if a Spark upgrade changes the late-input
+    filtering semantics, the duplicate shows up here."""
+    import pandas as pd
+
+    src = str(tmp_path / "src")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    hour = 3_600_000_000
+    lease = 30 * 60 * 1_000_000
+
+    def _write(name, rows):
+        spark.createDataFrame(rows, "url string, ts_us long")\
+            .coalesce(1).write.mode("append").parquet(src)
+
+    def _run():
+        stream = spark.readStream.schema("url string, ts_us long")\
+            .parquet(src)
+        q = (
+            streaming.streaming_uptime(stream, lease, tier="1h",
+                                       watermark="0 seconds")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: url a's pings end at 1h; url wm drives the watermark to
+    # 5h, sealing a's buckets and emptying a's retained pings
+    _write("r1", [("a", 0), ("a", hour), ("wm", 5 * hour)])
+    _run()
+    first = spark.read.parquet(out).collect()
+    a_buckets = [r for r in first if r["url"] == "a"]
+    assert a_buckets, "url a should have sealed buckets after run 1"
+
+    # run 2: a LATE re-delivered ping for a (behind the 5h frontier)
+    # plus fresh data advancing the watermark — must NOT re-emit any
+    # already-sealed (url, bucket)
+    _write("r2", [("a", hour // 2), ("wm", 6 * hour)])
+    _run()
+    rows = spark.read.parquet(out).collect()
+    keys = [(r["url"], r["bucket_us"]) for r in rows]
+    assert len(keys) == len(set(keys)), (
+        "duplicate sealed (url, bucket) rows after late replay: "
+        f"{sorted(k for k in keys if keys.count(k) > 1)}"
+    )
+
+
+def test_record_late_drops_is_idempotent(spark, tmp_path):
+    """Regression: each call re-appended every batch still in
+    recentProgress plus the cumulative accumulator, so a scheduled
+    caller over-counted severalfold. Re-recording the same finished
+    query must append nothing new."""
+    from mtslake.catalog import ChunkStore
+    from mtslake.streaming import record_late_drops
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [("https://u.example.com/x", "en", i * 60_000_000, float(i))
+         for i in range(50)],
+        "url string, lang string, ts_us long, value double"
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "url string, lang string, ts_us long, value double").parquet(src)
+    q = (
+        streaming.streaming_rollup(stream, "1m", watermark="0 seconds")
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    store = ChunkStore(spark, str(tmp_path / "store"))
+    record_late_drops(store, q, "j1")
+    once = (spark.read.parquet(store.path("lineage_stream"))
+            .agg(F.sum("rows_dropped_late"), F.count("*")).first()
+            if store.has("lineage_stream") else (0, 0))
+    record_late_drops(store, q, "j1")
+    if store.has("lineage_stream"):
+        twice = (spark.read.parquet(store.path("lineage_stream"))
+                 .agg(F.sum("rows_dropped_late"), F.count("*")).first())
+        assert tuple(twice) == tuple(once)
