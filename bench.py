@@ -125,10 +125,12 @@ def main() -> None:
         # holds the data layout constant while executor count varies —
         # scaling runs must not hand the low-parallelism level bigger,
         # better-amortized batches.
-        series = timed(
-            "gen_series", lambda: series.repartition(64, "url").persist()
-        )
-        n_points = series.count()
+        # the count MATERIALIZES the cache inside the timed region:
+        # repartition().persist() alone is lazy, so the old timing
+        # reported ~0 s while the real datagen+shuffle cost hid in the
+        # untimed count
+        series = series.repartition(64, "url").persist()
+        n_points = timed("gen_series", series.count)
 
         # series is persisted hash-partitioned by url -> encode can skip
         # its shuffle (bucketed-table co-location pattern).

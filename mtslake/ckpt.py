@@ -58,8 +58,14 @@ def eager_checkpoint(df: DataFrame) -> DataFrame:
 def transfer(src: DataFrame, dst: DataFrame) -> DataFrame:
     """Move checkpoint ownership onto a frame DERIVED from ``src`` (a
     final projection, say) so the caller can ``release`` what it was
-    actually handed. Returns ``dst``."""
-    dst.__dict__[_IDS_ATTR] = src.__dict__.pop(_IDS_ATTR, set())
+    actually handed. Returns ``dst``.
+
+    UNIONS with any ids ``dst`` already owns (a dst that was itself
+    eager-checkpointed): plain assignment would discard dst's recorded
+    ids, leaving its blocks unreleasable for the session lifetime."""
+    dst.__dict__[_IDS_ATTR] = src.__dict__.pop(_IDS_ATTR, set()) | (
+        dst.__dict__.get(_IDS_ATTR) or set()
+    )
     return dst
 
 

@@ -73,19 +73,29 @@ def id_range_predicate(col: str, ids: list[int]) -> F.Column:
 
 def fragmented_chunk_ids(store: ChunkStore,
                          max_points: int | None = None) -> list[int]:
-    """chunk_id partitions containing any (url, chunk_id) with more
-    than one payload row — unless the rows are full ``max_points``
-    segments (legitimately segmented hot chunks stay segmented).
+    """chunk_id partitions containing any non-canonical (url, chunk_id)
+    layout. Canonical (what the encoder emits) = full ``max_points``
+    segments plus AT MOST ONE remainder row — so a chunk is fragmented
+    when it has two or more partial rows (streaming flush fragments
+    that a rewrite would merge), or any row EXCEEDING ``max_points``
+    (sealed under an older, larger layout; a rewrite re-segments it).
+    The test is per-row, not ``max(n_points) < max_points``: that
+    older form exempted any chunk whose largest row happened to be a
+    full segment, leaving its flush fragments unmergeable forever.
     Catalog-only scan; never touches payloads."""
-    frag = (
-        store.catalog()
-        .groupBy("url", "chunk_id")
-        .agg(F.count("*").alias("_n"), F.max("n_points").alias("_mx"))
-        .filter(F.col("_n") > 1)
-    )
+    agg = store.catalog().groupBy("url", "chunk_id")
     if max_points:
-        # a chunk whose every row is a full segment is already canonical
-        frag = frag.filter(F.col("_mx") < max_points)
+        frag = agg.agg(
+            F.count("*").alias("_n"),
+            F.count(F.when(F.col("n_points") != max_points, 1))
+            .alias("_npart"),
+            F.max("n_points").alias("_mx"),
+        ).filter(
+            ((F.col("_n") > 1) & (F.col("_npart") > 1))
+            | (F.col("_mx") > max_points)
+        )
+    else:
+        frag = agg.agg(F.count("*").alias("_n")).filter(F.col("_n") > 1)
     return sorted(
         r[0] for r in frag.select("chunk_id").distinct().collect()
     )
@@ -119,22 +129,25 @@ def compact(
     # executor-local blocks with NO recompute path (the same pattern
     # cluster_pairs uses for its frontier).
     rewritten = eager_checkpoint(compress_series(series, cfg))
-    rows_after = rewritten.count()
-    # dynamic overwrite scoped to this write: replaces exactly the
-    # affected chunk_id partitions in BOTH tables
-    rewritten.write.mode("overwrite").option(
-        "partitionOverwriteMode", "dynamic"
-    ).partitionBy("chunk_id").parquet(store.path("chunks"))
-    rewritten.select(*_catalog_cols(rewritten)).coalesce(1).write.mode(
-        "overwrite"
-    ).option("partitionOverwriteMode", "dynamic").partitionBy(
-        "chunk_id"
-    ).parquet(store.path("catalog"))
-    store.spark.catalog.refreshByPath(store.path("chunks"))
-    store.spark.catalog.refreshByPath(store.path("catalog"))
-    # the rewrite frame is fully consumed (both writes committed):
-    # free its checkpoint blocks — PySpark never does (ckpt.py)
-    release_ckpt(rewritten)
+    try:
+        rows_after = rewritten.count()
+        # dynamic overwrite scoped to this write: replaces exactly the
+        # affected chunk_id partitions in BOTH tables
+        rewritten.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("chunk_id").parquet(store.path("chunks"))
+        rewritten.select(*_catalog_cols(rewritten)).coalesce(1).write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "dynamic").partitionBy(
+            "chunk_id"
+        ).parquet(store.path("catalog"))
+        store.spark.catalog.refreshByPath(store.path("chunks"))
+        store.spark.catalog.refreshByPath(store.path("catalog"))
+    finally:
+        # free the checkpoint blocks even when a write fails — a
+        # compaction daemon retrying transient failures would
+        # otherwise pin executor storage per attempt (ckpt.py)
+        release_ckpt(rewritten)
     return {
         "chunk_ids": ids,
         "rows_before": rows_before,

@@ -54,8 +54,18 @@ class EngineConfig:
 
     def with_overrides(self, **kwargs) -> "EngineConfig":
         """kwargs-over-defaults merge (≙ read_config + kwargs merge,
-        mtscomp.py:186-209 — non-None values win)."""
+        mtscomp.py:186-209 — non-None values win).
+
+        Dict-valued fields (``retention_us``) MERGE key-by-key instead
+        of being replaced wholesale: a persisted override shortening
+        only the raw horizon must not silently delete the tier
+        horizons (apply_retention would then skip — or worse, KeyError
+        mid-run after raw partitions were already dropped)."""
         clean = {k: v for k, v in kwargs.items() if v is not None}
+        if "retention_us" in clean:
+            clean["retention_us"] = {
+                **self.retention_us, **clean["retention_us"]
+            }
         return replace(self, **clean)
 
     @classmethod

@@ -22,7 +22,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-START_TS = "2024-01-01 00:00:00"
+# epoch seconds of 2024-01-01T00:00:00Z, as a NUMERIC literal: deriving
+# it via unix_timestamp(cast(string)) made the whole dataset depend on
+# spark.sql.session.timeZone — a non-UTC cluster shifted every
+# timestamp (and chunk_id) by its offset, breaking the "regenerates
+# identically on any cluster" determinism contract
+START_EPOCH_S = 1_704_067_200
 GRID_S = 900  # 15-minute base grid
 LANGS = ["en", "de", "fr", "zh", "es"]
 
@@ -80,20 +85,25 @@ def generate_pages(
     h = F.xxhash64(F.col("url_id"), F.col("snap_idx"))
     # 15-min grid + ±60 s seeded jitter (order-preserving: |jitter| < grid/2)
     jitter_s = F.pmod(h, F.lit(121)) - F.lit(60)
-    # duplicate-ts fixture: every ~50th snapshot of some urls repeats the
-    # previous grid point exactly
+    # duplicate-ts fixture: every ~50th snapshot of some urls repeats
+    # the previous snapshot's FULL offset — grid point INCLUDING its
+    # jitter. (Repeating only the bare grid point collided with the
+    # jittered neighbor only when that row's jitter happened to be 0,
+    # p≈1/121 — the documented tiebreak fixture was effectively inert.)
+    prev_jitter_s = F.pmod(
+        F.xxhash64(F.col("url_id"), F.col("snap_idx") - 1), F.lit(121)
+    ) - F.lit(60)
     is_dup = (F.pmod(F.col("url_id"), F.lit(17)) == 0) & (
         F.pmod(F.col("snap_idx"), F.lit(50)) == 1
     )
     offset_s = F.when(
-        is_dup, (F.col("snap_idx") - 1) * GRID_S
+        is_dup, (F.col("snap_idx") - 1) * GRID_S + prev_jitter_s
     ).otherwise(F.col("snap_idx") * GRID_S + jitter_s)
 
     snaps = snaps.withColumn(
         "warc_ts",
         F.timestamp_micros(
-            (F.unix_timestamp(F.lit(START_TS).cast("timestamp")) + offset_s)
-            * F.lit(1_000_000)
+            (F.lit(START_EPOCH_S) + offset_s) * F.lit(1_000_000)
         ),
     )
 

@@ -80,12 +80,20 @@ class ResumableCompressJob:
                 (
                     self.job_id, int(m["unit"]), int(m["n_chunks"]),
                     int(m["n_points"]), int(m["raw_nbytes"]),
-                    int(m["comp_nbytes"]), float(m["ratio"]), int(m["wall_ms"]),
+                    int(m["comp_nbytes"]), float(m["ratio"]),
+                    int(m["batch_wall_ms"]), int(m["units_in_batch"]),
                 )
                 for m in meta
             ],
             "job_id string, unit long, n_chunks long, n_points long, "
-            "raw_nbytes long, comp_nbytes long, ratio double, wall_ms long",
+            "raw_nbytes long, comp_nbytes long, ratio double, "
+            # wall time is measured ONCE per batch (the write is one
+            # Spark job); recording it per unit under a per-unit name
+            # overstated SUM(wall) by the batch factor. batch_wall_ms
+            # repeats per unit row with units_in_batch alongside, so
+            # job cost = SUM(batch_wall_ms / units_in_batch) and
+            # per-unit throughput uses the same division.
+            "batch_wall_ms long, units_in_batch long",
         )
         ln.write.mode("append").parquet(self.store.path("lineage"))
 
@@ -137,7 +145,11 @@ class ResumableCompressJob:
             chunks.write.mode("overwrite").option(
                 "partitionOverwriteMode", "dynamic"
             ).partitionBy("chunk_id").parquet(self.store.path("chunks"))
-            wall = int((time.monotonic() - t0) * 1000)
+            # the overwrite may DELETE files the session's shared
+            # FileStatusCache still lists; the re-read below (unit
+            # stats + integrity check) must see the committed state
+            # (same rule as retention.drop_chunk_partitions / compact)
+            spark.catalog.refreshByPath(self.store.path("chunks"))
             # this read prunes to the batch's partitions only — unit
             # stats, catalog maintenance, and the automatic post-write
             # check all do O(batch) work, never O(table)
@@ -154,6 +166,7 @@ class ResumableCompressJob:
             ).option("partitionOverwriteMode", "dynamic").partitionBy(
                 "chunk_id"
             ).parquet(self.store.path("catalog"))
+            spark.catalog.refreshByPath(self.store.path("catalog"))
             if self.cfg.check_after_compress:
                 # callback before the check, ≙ mtscomp.py:498-499
                 self.before_check(self)
@@ -170,6 +183,10 @@ class ResumableCompressJob:
                     F.col("chunk_id").isin([int(u) for u in batch])
                 )
                 decompress_chunks(check_df, verify=True).count()
+            # wall covers the chunk write, catalog mirror, and the
+            # post-write integrity check — the batch's full cost, not
+            # just the first write
+            wall = int((time.monotonic() - t0) * 1000)
             stats = (
                 written
                 .groupBy("chunk_id")
@@ -189,7 +206,8 @@ class ResumableCompressJob:
                     "raw_nbytes": r["raw_nbytes"],
                     "comp_nbytes": r["comp_nbytes"],
                     "ratio": r["comp_nbytes"] / max(r["raw_nbytes"], 1),
-                    "wall_ms": wall,
+                    "batch_wall_ms": wall,
+                    "units_in_batch": len(stats),
                 }
                 for r in stats
             ]

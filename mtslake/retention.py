@@ -127,7 +127,13 @@ def apply_retention(
         if not store.has(name):
             continue
         part_us = ROLLUP_PART_US[tier]
-        cutoff_ts = now_us - cfg.retention_us[tier]
+        horizon = cfg.retention_us.get(tier)
+        if horizon is None:
+            # defensive twin of with_overrides' retention_us merge: a
+            # missing tier horizon skips that tier — it must never
+            # KeyError mid-run with raw partitions already dropped
+            continue
+        cutoff_ts = now_us - horizon
         doomed = [
             p for p in _list_partitions(store.path(name), "part_id")
             if (p + 1) * part_us <= cutoff_ts

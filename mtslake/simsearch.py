@@ -338,13 +338,15 @@ def ivf_search(
     p = probes.select(
         "probe_id", F.col("probe_vec").cast("array<double>").alias("_p")
     )
-    from .ckpt import eager_checkpoint
-
-    # tiny probe frame, checkpointed once: the top-cells quantizer
-    # kernel would otherwise run twice (probed-cell collect + join side)
-    p = eager_checkpoint(_probe_cells(p, cents, n_probe,
-                                      vectorized=vectorized))
-    cells = sorted({r["cell"] for r in p.select("cell").distinct().collect()})
+    # the probe frame is metadata-scale (probes × n_probe rows):
+    # collect ONCE and rebuild the join side from the rows — the
+    # top-cells quantizer kernel would otherwise run twice (probed-cell
+    # collect + join side), and a persist/checkpoint would leave
+    # storage pinned past the call (the leak the lifecycle test hunts)
+    p = _probe_cells(p, cents, n_probe, vectorized=vectorized)
+    prows = p.collect()
+    p = spark.createDataFrame(prows, p.schema)
+    cells = sorted({r["cell"] for r in prows})
     # cell ∈ probed-set is a PARTITION filter on the store layout
     store = spark.read.parquet(path).filter(F.col("cell").isin(cells))
     cand = store.join(F.broadcast(p), "cell").filter(
@@ -535,14 +537,14 @@ def lsh_search(
         ).alias("bucket"),
     ).withColumn("bprefix", F.pmod(F.col("bucket"), F.lit(8)).cast("int"))
 
-    from .ckpt import eager_checkpoint
-
-    # probe frame is tiny (probes × tables × (m+1) rows): checkpoint
-    # once so the signature aggregates don't run twice — once for the
-    # probed-partition collect below, once as the join side
-    p = eager_checkpoint(p)
-    probed = p.select("table", "bprefix").distinct().collect()
-    keys = {(r["table"], r["bprefix"]) for r in probed}
+    # the probe frame is metadata-scale (probes × tables × (m+1)
+    # rows): collect ONCE and rebuild the join side from the rows — the
+    # n_tables × n_planes signature aggregates would otherwise run
+    # twice (probed-partition collect + join side), and a
+    # persist/checkpoint would leave storage pinned past the call
+    prows = p.collect()
+    p = spark.createDataFrame(prows, p.schema)
+    keys = {(r["table"], r["bprefix"]) for r in prows}
     store = spark.read.parquet(path)
     if not keys:
         # empty probe batch (a nightly job with no new queries) must

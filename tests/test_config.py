@@ -122,3 +122,45 @@ def test_engine_knobs_thread_into_encoder(spark):
     a = {tuple(r) for r in chunk.decompress_chunks(base).collect()}
     b = {tuple(r) for r in chunk.decompress_chunks(no_diff).collect()}
     assert a == b
+
+
+def test_retention_us_overrides_merge_not_replace(spark):
+    """Regression: with_overrides replaced the retention_us dict
+    wholesale, so persisting only a raw horizon silently deleted the
+    tier horizons — apply_retention then KeyError'd mid-run AFTER raw
+    partitions were already dropped. Dict fields now merge."""
+    from mtslake.config import DEFAULT, US_PER_DAY
+
+    cfg = DEFAULT.with_overrides(retention_us={"raw": 60 * US_PER_DAY})
+    assert cfg.retention_us["raw"] == 60 * US_PER_DAY
+    for tier in DEFAULT.tiers:
+        assert tier in cfg.retention_us   # horizons survive
+
+
+def test_ckpt_transfer_unions_existing_ids(spark):
+    """Regression: transfer() overwrote ids dst already owned, making
+    dst's own checkpoint blocks unreleasable."""
+    from mtslake import ckpt
+
+    a = ckpt.eager_checkpoint(spark.range(5))
+    b = ckpt.eager_checkpoint(spark.range(7))
+    ids_a = set(a.__dict__[ckpt._IDS_ATTR])
+    ids_b = set(b.__dict__[ckpt._IDS_ATTR])
+    out = ckpt.transfer(a, b)
+    assert out.__dict__[ckpt._IDS_ATTR] == ids_a | ids_b
+    ckpt.release(out)
+
+
+def test_datagen_duplicate_ts_fixture_actually_collides(spark):
+    """Regression: the dup row repeated the bare grid point while its
+    neighbor carried jitter — exact collisions only at jitter==0
+    (p~1/121), so the documented tiebreak fixture was inert. The dup
+    now copies the neighbor's FULL offset."""
+    from pyspark.sql import functions as F
+    from mtslake.datagen import generate_pages
+
+    pages = generate_pages(spark, n_urls=40, snapshots_per_url=64)
+    dup_urls = pages.groupBy("url").agg(
+        (F.count("*") - F.countDistinct("warc_ts")).alias("dups"))
+    n_dup_urls = dup_urls.filter(F.col("dups") > 0).count()
+    assert n_dup_urls >= 2   # url_id % 17 == 0 urls collide by design

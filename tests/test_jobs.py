@@ -551,3 +551,80 @@ def test_hygiene_job(spark, tmp_path, capsys):
         .agg(F.max("count")).first()[0]
     assert mx <= 3
     assert "clean" in capsys.readouterr().out
+
+
+def test_fragmented_detection_full_segment_plus_fragments(spark, tmp_path):
+    """Regression: the old test was max(n_points) < max_points, which
+    exempted any chunk whose LARGEST row was a full segment — streaming
+    flush fragments sitting beside a full segment were never compacted.
+    Canonical = full segments + at most ONE partial row; two partials
+    (or any oversized row) mean fragmented."""
+    from mtslake import chunk as chunk_mod, read as read_mod
+    from mtslake.catalog import ChunkStore
+    from mtslake.compact import compact, fragmented_chunk_ids
+    from mtslake.config import DEFAULT
+    from pyspark.sql import functions as F_
+
+    hot = 100
+    cfg = DEFAULT.with_overrides(hot_chunk_points=hot)
+
+    def _series(lo, n):
+        rows = [("https://a.example.com/x", "en", (lo + i) * 1_000_000,
+                 float(i % 7)) for i in range(n)]
+        return spark.createDataFrame(
+            rows, "url string, lang string, ts_us long, value double"
+        ).select(
+            "url", "lang", "ts_us",
+            F_.length(F_.lit("x")).cast("long").alias("n_chars"),
+            "value",
+            F_.sha1(F_.lit("t")).alias("text_sha1"),
+        )
+
+    st = ChunkStore(spark, str(tmp_path / "st"))
+    # batch 1: 250 points -> rows [100, 100, 50] (canonical: one partial)
+    st.write_chunks(chunk_mod.compress_series(_series(0, 250), cfg),
+                    mode="overwrite", cfg=cfg)
+    assert fragmented_chunk_ids(st, hot) == []
+    # batch 2 appends 30 more points into the SAME chunk -> a second
+    # partial row beside the full segments: now fragmented
+    st.write_chunks(chunk_mod.compress_series(_series(250, 30), cfg),
+                    mode="append", cfg=cfg)
+    assert fragmented_chunk_ids(st, hot) != []
+    res = compact(st, cfg)
+    assert res["rows_after"] < res["rows_before"]
+    assert fragmented_chunk_ids(st, hot) == []   # idempotent
+    # layout is canonical and no point was lost
+    pts = st.catalog().agg(F_.sum("n_points")).first()[0]
+    assert pts == 280
+    assert read_mod.read_range(st).count() == 280
+
+
+def test_fragmented_detection_oversized_row(spark, tmp_path):
+    """A single row sealed under an older, LARGER hot_chunk_points
+    exceeds the current bound: _n > 1 never fires for it, so the
+    oversized case needs (and has) its own max(n_points) > max_points
+    arm; compact re-segments it."""
+    from mtslake import chunk as chunk_mod
+    from mtslake.catalog import ChunkStore
+    from mtslake.compact import compact, fragmented_chunk_ids
+    from mtslake.config import DEFAULT
+    from pyspark.sql import functions as F_
+
+    big = DEFAULT.with_overrides(hot_chunk_points=10_000)
+    rows = [("https://a.example.com/x", "en", i * 1_000_000, float(i % 7))
+            for i in range(300)]
+    series = spark.createDataFrame(
+        rows, "url string, lang string, ts_us long, value double"
+    ).select(
+        "url", "lang", "ts_us",
+        F_.lit(1).cast("long").alias("n_chars"), "value",
+        F_.sha1(F_.lit("t")).alias("text_sha1"),
+    )
+    st = ChunkStore(spark, str(tmp_path / "st"))
+    st.write_chunks(chunk_mod.compress_series(series, big),
+                    mode="overwrite", cfg=big)
+    small = DEFAULT.with_overrides(hot_chunk_points=100)
+    assert fragmented_chunk_ids(st, 100) != []
+    compact(st, small)
+    assert fragmented_chunk_ids(st, 100) == []
+    assert st.catalog().agg(F_.max("n_points")).first()[0] <= 100

@@ -1076,3 +1076,27 @@ def test_counter_rate_null_prev_is_not_a_reset(spark):
                         value_col="counter").collect()
     incs = {r["ts_us"]: r["increase"] for r in rows}
     assert incs[3] == 1_000_000.0 - 10.0   # growth, not a reset
+
+
+def test_lineage_wall_time_is_batch_scoped(spark, tmp_path):
+    """Regression: the whole batch's wall time was recorded per UNIT
+    under a per-unit name, overstating SUM(wall) by the batch factor.
+    It is now batch_wall_ms alongside units_in_batch, so job cost =
+    SUM(batch_wall_ms / units_in_batch)."""
+    from mtslake.catalog import ChunkStore
+    from mtslake.datagen import generate_pages
+    from mtslake.series import pages_to_series
+
+    series = pages_to_series(
+        generate_pages(spark, n_urls=4, snapshots_per_url=32))
+    st = ChunkStore(spark, str(tmp_path / "st"))
+    job = ResumableCompressJob(st, job_id="w1", units_per_batch=3)
+    job.run(series)
+    rows = job.lineage().collect()
+    assert rows and "batch_wall_ms" in rows[0].asDict()
+    # one lineage row per unit, and units_in_batch consistent: summing
+    # 1/units_in_batch over rows recovers exactly the number of batches
+    assert len({r["unit"] for r in rows}) == len(rows)
+    n_batches = sum(1 / r["units_in_batch"] for r in rows)
+    assert abs(n_batches - round(n_batches)) < 1e-9
+    assert all(r["batch_wall_ms"] >= 0 for r in rows)

@@ -54,6 +54,18 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    unknown = sorted(only - set(qs))
+    if unknown:
+        # a typo'd name must not read as a green gate: with no match,
+        # the loop would run nothing, print nothing, and exit 0 —
+        # validated BEFORE the Spark session so the failure is instant
+        print(f"unknown query name(s): {unknown}", file=sys.stderr)
+        sys.exit(2)
+
     from pyspark.sql import SparkSession
 
     spark = (
@@ -74,10 +86,6 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
-    import __spark_entry__ as e
-
-    qs = e.queries()
-    oracles = e.oracle_sql()
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
