@@ -138,7 +138,21 @@ def main() -> None:
         # reported (standard min-of-N): this sandbox host has
         # intermittent co-tenant bursts that slow a single shot 2-6x;
         # the min is the engine's actual cost.
-        iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
+        # quiet-gate the timed region (bounded): this host sees
+        # co-tenant bursts that inflate a shot 2-6x; waiting up to
+        # ~3 min for 1-min loadavg to drop below half the cores costs
+        # little and saves a garbage measurement. Never blocks forever;
+        # the wait and the loadavg at start are RECORDED in the output
+        # so a degraded number is attributable.
+        waited = 0
+        try:
+            while os.getloadavg()[0] > cpus / 2 and waited < 180:
+                time.sleep(10)
+                waited += 10
+        except OSError:  # pragma: no cover
+            pass
+        load_at_start = round(os.getloadavg()[0], 2)
+        iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
         best: dict[str, float] | None = None
         for _ in range(iters):
             chunks = chunk.compress_series(
@@ -341,6 +355,8 @@ def main() -> None:
             "cpus": cpus,
             "pipeline_sec": round(pipeline_sec, 3),
             "decode_mb_s": decode_mb_s,
+            "loadavg_at_start": load_at_start,
+            "quiet_wait_s": waited,
             **result_extra,
         }
         print(json.dumps(result))
