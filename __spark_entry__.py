@@ -763,10 +763,21 @@ def q_doc_simhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: md5-hash groupBy, keep the lowest doc_id."""
+    """Exact dedup: md5-hash groupBy, keep the lowest doc_id.
+
+    The fixture PLANTS duplicates: every doc with doc_id % 29 == 0 is
+    re-keyed (+1,000,000) and unioned back, so multi-copy groups exist
+    at every SF and the canonical keep-lowest rule is actually graded
+    (the raw sf0.01 corpus has ZERO duplicate texts — without the
+    plant, n_copies was constant 1 and a broken survivor rule, e.g.
+    max instead of min, would have hashed green)."""
     docs = _docs(spark, sf_dir)
+    aug = docs.select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") % 29 == 0)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
     return (
-        docs.groupBy(F.md5(F.col("text")).alias("text_md5"))
+        aug.groupBy(F.md5(F.col("text")).alias("text_md5"))
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
     )
 
@@ -784,14 +795,14 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace words + a BPE-ish subword estimate
-    (alnum runs + non-space punctuation as single tokens)."""
-    docs = _docs(spark, sf_dir)
-    return docs.select(
-        "doc_id",
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_words"),
-        F.regexp_count(F.col("text"), F.lit(r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"))
-        .cast("long").alias("n_subtokens"),
-    )
+    (alnum runs + non-space punctuation as single tokens). Uses the
+    LIBRARY operator (textops.token_counts) rather than an inline
+    re-implementation — the library filters the empty token from
+    split('', '\\s+') so empty docs count 0 words, and the oracle
+    replays that filter; an inline copy drifted once already."""
+    from mtslake.textops import token_counts
+
+    return token_counts(_docs(spark, sf_dir))
 
 
 def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2629,7 +2640,7 @@ def q_ts_anomaly_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     series = events_to_series(_events(spark, sf_dir))
     rolled = _rollup.rollup_from_series(series, "1h")
     return anomaly_flags(
-        rolled, TIER_US["1h"], n_buckets=24, k=3, min_points=12
+        rolled, TIER_US["1h"], n_buckets=24, k=3, min_points=4
     ).drop("base_mean")
 
 
@@ -2715,14 +2726,22 @@ def q_ts_seasonal_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline behind seasonally-adjusted alerting and crawl scheduling.
     Counts fold exactly (integer `div` phase + integer sums); the
     value channel folds via the tier's exact decimal vsum (a seasonal
-    mean of RAW values, never a mean of means); each mean is one
-    rounded double division. The SQL oracle replays the identical
-    fold. Reference analogue: none (continuous-aggregate family)."""
+    mean of RAW values, never a mean of means).
+
+    Graded projection carries the EXACT quantities only — n_buckets,
+    total_cnt, and the decimal vsum rounded once from the exact sum
+    (the ts_rollup_1h_codec pattern); the operator's round-after-
+    divide means stay user-facing but out of the hash (the r4 hazard
+    class). Reference analogue: none (continuous-aggregate family)."""
     from mtslake.config import TIER_US
 
     series = events_to_series(_events(spark, sf_dir))
     rolled = _rollup.rollup_from_series(series, "1h")
-    return _rollup.seasonal_profile(rolled, TIER_US["1h"], 24)
+    prof = _rollup.seasonal_profile(rolled, TIER_US["1h"], 24)
+    return prof.select(
+        "url_prefix", "lang", "phase", "n_buckets", "total_cnt",
+        F.round(F.col("vsum").cast("double"), 6).alias("vsum"),
+    )
 
 
 def q_ts_distinct_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3078,7 +3097,7 @@ def q_ts_cusum_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     series = events_to_series(_events(spark, sf_dir))
     rolled = _rollup.rollup_from_series(series, "1h")
-    c = cusum_flags(rolled, h_mult=8, min_points=24)
+    c = cusum_flags(rolled, h_mult=3, min_points=24)
     return c.select(
         "url_prefix", "lang", "bucket_us", "cnt",
         F.col("cusum_pos").cast("string").alias("cusum_pos"),
@@ -3370,7 +3389,7 @@ def q_doc_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (sessions.stratified_sample):
-    exactly 20 docs per (lang, source) stratum, ranked by a pure
+    at most n=7 docs per (lang, source) stratum, ranked by a pure
     hash of the id — the balanced-training-mix primitive a global
     Bernoulli sample can't provide (rare strata under-draw). The
     contract ranks by md5 (engine-portable; production default is
@@ -3381,8 +3400,10 @@ def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("-0")))
-    # n=7 < the ~20-doc strata at sf0.01, so the rank actually
-    # selects (n=20 would return the whole table)
+    # sf0.01 strata hold 1-16 docs (avg ~5 over 5 langs x 20 sources):
+    # n=7 makes the rank genuinely SELECT in the ~18 strata above it
+    # while the rest exercise the small-stratum clamp — both branches
+    # of the operator grade (n=20 would return the whole table)
     out = stratified_sample(docs, ["lang", "source"], 7,
                             order_hash=h)
     return out.select("doc_id", "lang", "source", "n_chars")
@@ -3395,7 +3416,11 @@ def q_ts_json_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     row, malformed rows NULL-counted instead of ANSI-failing — then
     one partial-aggregated rollup per event_type. Exact longs only.
     The SQL oracle extracts the same field with DuckDB's JSON
-    functions. Reference analogue: none (event-payload mining)."""
+    functions over the (all-well-formed) fixture; the malformed-row
+    branch is graded by PYTEST, not the oracle — DuckDB's
+    json_extract hard-errors on malformed JSON, so a cross-engine
+    replay of that branch is impossible by construction. Reference
+    analogue: none (event-payload mining)."""
     from mtslake.series import json_field_rollup
 
     return json_field_rollup(_events(spark, sf_dir), "k")
@@ -3480,15 +3505,26 @@ def q_ts_changes_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     (url, 1h bucket), consecutive-value changes — the flap counter a
     rate() can't see. Change attributed to the LATER observation's
     bucket (the counter_resets rule); exact longs; event_id tiebreak
-    pins duplicate timestamps. The SQL oracle replays the identical
-    lag window + attribution."""
+    pins duplicate timestamps. The raw 2-decimal values almost never
+    repeat consecutively (~49k distinct values — the unchanged branch
+    would be inert), so the fixture quantizes to a THREE-LETTER
+    alphabet from the md5 formula: consecutive equals occur at P≈⅓,
+    grading BOTH branches of the flap detector. The SQL oracle
+    replays the identical quantization + lag window + attribution."""
     from mtslake.series import value_changes
 
+    vq = (
+        F.when(F.substring(F.md5(F.col("event_id").cast("string")), 1, 1)
+               <= F.lit("4"), F.lit(1.0))
+        .when(F.substring(F.md5(F.col("event_id").cast("string")), 1, 1)
+              <= F.lit("9"), F.lit(2.0))
+        .otherwise(F.lit(3.0))
+    )
     ev = _events(spark, sf_dir).select(
         F.concat(F.lit("https://user-"), F.col("user_id").cast("string"),
                  F.lit(".example.com/events")).alias("url"),
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
-        "value", "event_id",
+        vq.alias("value"), "event_id",
     )
     return value_changes(ev, 3_600_000_000, tiebreak="event_id")
 
@@ -3696,7 +3732,13 @@ def oracle_sql() -> dict[str, str]:
         # (see q_ts_changes_1h)
         "ts_changes_1h": f"""
             WITH s AS (
-                SELECT {_URL} AS url, epoch_us(ts) AS t, value, event_id
+                SELECT {_URL} AS url, epoch_us(ts) AS t,
+                       CASE WHEN substr(md5(CAST(event_id AS VARCHAR)),
+                                        1, 1) <= '4' THEN 1.0
+                            WHEN substr(md5(CAST(event_id AS VARCHAR)),
+                                        1, 1) <= '9' THEN 2.0
+                            ELSE 3.0 END AS value,
+                       event_id
                 FROM events WHERE value IS NOT NULL
             ), l AS (
                 SELECT url, t - t % 3600000000 AS bucket_us,
@@ -4008,9 +4050,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT url_prefix, lang, bucket_us, cnt,
                    CAST(gt - mn AS VARCHAR) AS cusum_pos,
                    CAST(mx - gt AS VARCHAR) AS cusum_neg,
-                   (n >= 24 AND (gt - mn) > 8 * CAST(s AS HUGEINT))
+                   (n >= 24 AND (gt - mn) > 3 * CAST(s AS HUGEINT))
                        AS shift_up,
-                   (n >= 24 AND (mx - gt) > 8 * CAST(s AS HUGEINT))
+                   (n >= 24 AND (mx - gt) > 3 * CAST(s AS HUGEINT))
                        AS shift_down
             FROM m
         """,
@@ -4291,10 +4333,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST((bucket_us // {_HOUR_US}) % 24 AS INT) AS phase,
                    CAST(count(*) AS BIGINT) AS n_buckets,
                    CAST(SUM(cnt) AS BIGINT) AS total_cnt,
-                   ROUND(CAST(SUM(cnt) AS DOUBLE)
-                         / CAST(count(*) AS DOUBLE), 6) AS mean_cnt,
-                   ROUND(CAST(SUM(vsum_dec) AS DOUBLE)
-                         / CAST(SUM(cnt) AS DOUBLE), 6) AS mean_value
+                   ROUND(CAST(SUM(vsum_dec) AS DOUBLE), 6) AS vsum
             FROM r GROUP BY 1, 2, 3
         """,
         # expected (host, term, cnt, rank) derived from the anchor
@@ -4342,7 +4381,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             f AS (
                 SELECT *,
-                       COALESCE(n >= 12 AND
+                       COALESCE(n >= 4 AND
                            CAST(n * cnt - s AS DECIMAL(19,0))
                            * CAST(n * cnt - s AS DECIMAL(19,0))
                            > CAST(9 * n AS DECIMAL(18,0))
@@ -5176,9 +5215,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "doc_dedup_exact": """
+            WITH aug AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, text
+                FROM documents WHERE doc_id % 29 = 0
+            )
             SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id,
                    count(*) AS n_copies
-            FROM documents GROUP BY 1
+            FROM aug GROUP BY 1
         """,
         "doc_cluster_chain": f"""
             SELECT doc_id + g * {_PLANT_OFF} AS doc_id,

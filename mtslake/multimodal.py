@@ -248,15 +248,25 @@ def _decode_image_bytes(payload: bytes, width: int, height: int) -> np.ndarray:
     (audio/video containers) fall back to the deterministic stub — a
     seeded byte-fold into (height, width) — because their codec
     libraries are not in this container; a libav call drops into this
-    seam."""
-    if payload[:2] == b"P6":
-        return decode_ppm(payload)
-    if payload[:8] == PNG_SIG:
-        return decode_png(payload)
-    if payload[:2] == b"\xff\xd8":
-        from .jpeg import decode_jpeg
+    seam.
 
-        return decode_jpeg(payload)
+    In stub mode a payload that merely LOOKS like a real format (the
+    synthesized corpus is raw UTF-8 text — a doc starting with 'P6 '
+    is plausible ASCII) but fails to parse falls THROUGH to the stub
+    instead of killing the task; in production (_STUBBED False) a
+    corrupt image stays a loud decode error."""
+    try:
+        if payload[:2] == b"P6":
+            return decode_ppm(payload)
+        if payload[:8] == PNG_SIG:
+            return decode_png(payload)
+        if payload[:2] == b"\xff\xd8":
+            from .jpeg import decode_jpeg
+
+            return decode_jpeg(payload)
+    except ValueError:
+        if not _STUBBED:
+            raise
     if not _STUBBED:  # pragma: no cover
         raise NotImplementedError("audio/video decoding requires libav")
     arr = np.frombuffer(payload, dtype=np.uint8)
