@@ -2437,12 +2437,28 @@ def q_ts_ohlc_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     high/low/count. Every emitted number is an existing parquet
     double (selection, not arithmetic), so the projection hashes
     bit-stable. The SQL oracle replays the same ordering via DuckDB's
-    lexicographic list min/max. Reference analogue: describe stats
-    (mtscomp.py:1131-1150) extended to first/last order semantics."""
+    lexicographic list min/max.
+
+    The raw events carry ZERO duplicate (user, ts) pairs at any SF, so
+    the tie semantics the docstring sells would otherwise never be
+    graded — the fixture PLANTS ties: every event of users with
+    user_id % 37 == 0 gains a same-instant twin carrying the negated
+    value, so whenever a duplicated instant opens or closes a bucket
+    the struct tiebreak decides the answer (a wrong tiebreak — bare
+    min_by, or ordering by value first — hash-mismatches). Reference
+    analogue: describe stats (mtscomp.py:1131-1150) extended to
+    first/last order semantics."""
     from mtslake.series import ohlc, url_prefix
 
     hour_us = 3_600_000_000
     series = events_to_series(_events(spark, sf_dir))
+    twins = series.filter(
+        F.regexp_extract(F.col("url"), r"user-(\d+)\.", 1).cast("long")
+        % 37 == 0
+    ).withColumn("value", -F.col("value") - F.lit(1.0))
+    # -v - 1: always distinct from v AND never IEEE -0.0 (a negated
+    # 0.00 would tie ambiguously and hash differently per engine)
+    series = series.unionByName(twins)
     keyed = series.select(
         url_prefix().alias("url_prefix"),
         "lang",
@@ -4524,6 +4540,12 @@ def oracle_sql() -> dict[str, str]:
         # (see q_ts_ohlc_1h; DuckDB lists compare lexicographically
         # and ts < 2^53 is double-exact)
         "ts_ohlc_1h": f"""
+            WITH aug AS (
+                SELECT user_id, ts, value FROM events
+                UNION ALL
+                SELECT user_id, ts, -value - 1.0 AS value FROM events
+                WHERE user_id % 37 = 0
+            )
             SELECT {_PREFIX} AS url_prefix, 'en' AS lang,
                    epoch_us(ts) - epoch_us(ts) % 3600000000 AS bucket_us,
                    CAST(count(*) AS BIGINT) AS n,
@@ -4531,7 +4553,7 @@ def oracle_sql() -> dict[str, str]:
                    MAX(value) AS high,
                    MIN(value) AS low,
                    MAX([CAST(epoch_us(ts) AS DOUBLE), value])[2] AS close
-            FROM events WHERE value IS NOT NULL
+            FROM aug WHERE value IS NOT NULL
             GROUP BY 1, 2, 3
         """,
         # identical session/island/lead/rank replay (see q_ts_gap_topk)

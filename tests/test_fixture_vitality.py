@@ -58,3 +58,17 @@ def test_counter_fixture_has_resets(spark, sf_dir, q):
 def test_minhash_fixture_has_near_dup_pairs(spark, sf_dir, q):
     assert q["doc_minhash_lsh"](spark, sf_dir).count() > 0, (
         "no Jaccard>=threshold pairs: the dedup family grades nothing")
+
+
+def test_ohlc_fixture_has_duplicate_instants(spark, sf_dir, q):
+    """The raw events have ZERO duplicate (user, ts) pairs at any SF,
+    so ohlc's struct tiebreak would grade nothing without the planted
+    same-instant twins; assert the plant is alive AND that some
+    bucket's open is actually decided by it (the twin value -v-1 wins
+    the open tie at a duplicated bucket-opening instant)."""
+    df = q["ts_ohlc_1h"](spark, sf_dir)
+    # twins exist: some bucket has n > the raw per-bucket count AND a
+    # planted (strictly smaller) open — open == -high-1 at a bucket
+    # whose opening instant is duplicated and whose high is the raw twin
+    tied_open = df.filter(F.col("open") == -F.col("high") - 1.0).count()
+    assert tied_open > 0, "no bucket's open decided by a planted tie"
