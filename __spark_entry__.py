@@ -3525,22 +3525,38 @@ def q_ts_changes_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeat consecutively (~49k distinct values — the unchanged branch
     would be inert), so the fixture quantizes to a THREE-LETTER
     alphabet from the md5 formula: consecutive equals occur at P≈⅓,
-    grading BOTH branches of the flap detector. The SQL oracle
-    replays the identical quantization + lag window + attribution."""
+    grading BOTH branches of the flap detector. And because the raw
+    events hold ZERO duplicate (user, ts) pairs, users with
+    user_id % 41 == 0 gain a same-instant TWIN (event_id + 10⁷, its
+    own alphabet letter) — the event_id tiebreak now actually decides
+    lag order somewhere, so a wrong tiebreak hash-mismatches instead
+    of being unexercised. The SQL oracle replays the identical
+    augmentation + quantization + lag window + attribution."""
     from mtslake.series import value_changes
 
-    vq = (
-        F.when(F.substring(F.md5(F.col("event_id").cast("string")), 1, 1)
-               <= F.lit("4"), F.lit(1.0))
-        .when(F.substring(F.md5(F.col("event_id").cast("string")), 1, 1)
-              <= F.lit("9"), F.lit(2.0))
-        .otherwise(F.lit(3.0))
+    def _vq(eid):
+        h = F.substring(F.md5(eid.cast("string")), 1, 1)
+        return (
+            F.when(h <= F.lit("4"), F.lit(1.0))
+            .when(h <= F.lit("9"), F.lit(2.0))
+            .otherwise(F.lit(3.0))
+        )
+
+    # mirror the oracle's raw-NULL exclusion BEFORE deriving the
+    # alphabet (the quantized value is never null, so the operator's
+    # own null filter wouldn't drop these rows)
+    base = (_events(spark, sf_dir)
+            .where(F.col("value").isNotNull())
+            .select("user_id", "ts", "event_id"))
+    twins = base.filter(F.col("user_id") % 41 == 0).withColumn(
+        "event_id", F.col("event_id") + F.lit(10_000_000)
     )
-    ev = _events(spark, sf_dir).select(
+    aug = base.unionByName(twins)
+    ev = aug.select(
         F.concat(F.lit("https://user-"), F.col("user_id").cast("string"),
                  F.lit(".example.com/events")).alias("url"),
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
-        vq.alias("value"), "event_id",
+        _vq(F.col("event_id")).alias("value"), "event_id",
     )
     return value_changes(ev, 3_600_000_000, tiebreak="event_id")
 
@@ -3747,7 +3763,13 @@ def oracle_sql() -> dict[str, str]:
         # identical lag + later-bucket attribution replay
         # (see q_ts_changes_1h)
         "ts_changes_1h": f"""
-            WITH s AS (
+            WITH aug AS (
+                SELECT user_id, ts, event_id, value FROM events
+                UNION ALL
+                SELECT user_id, ts, event_id + 10000000 AS event_id,
+                       value
+                FROM events WHERE user_id % 41 = 0
+            ), s AS (
                 SELECT {_URL} AS url, epoch_us(ts) AS t,
                        CASE WHEN substr(md5(CAST(event_id AS VARCHAR)),
                                         1, 1) <= '4' THEN 1.0
@@ -3755,7 +3777,7 @@ def oracle_sql() -> dict[str, str]:
                                         1, 1) <= '9' THEN 2.0
                             ELSE 3.0 END AS value,
                        event_id
-                FROM events WHERE value IS NOT NULL
+                FROM aug WHERE value IS NOT NULL
             ), l AS (
                 SELECT url, t - t % 3600000000 AS bucket_us,
                        CASE WHEN lag(value) OVER w IS NOT NULL

@@ -72,3 +72,12 @@ def test_ohlc_fixture_has_duplicate_instants(spark, sf_dir, q):
     # whose opening instant is duplicated and whose high is the raw twin
     tied_open = df.filter(F.col("open") == -F.col("high") - 1.0).count()
     assert tied_open > 0, "no bucket's open decided by a planted tie"
+
+
+def test_changes_fixture_has_duplicate_instants(spark, sf_dir):
+    """ts_changes_1h's event_id tiebreak is only graded if some
+    (url, ts) instant is actually duplicated — the raw events never
+    are, so the fixture plants same-instant twins (user_id % 41)."""
+    ev = entry._events(spark, sf_dir)
+    n = ev.filter(F.col("user_id") % 41 == 0).count()
+    assert n > 0, "no twin-eligible events: tiebreak ungraded"
