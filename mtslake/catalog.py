@@ -165,20 +165,41 @@ class ChunkStore:
         self._pin_or_validate_meta(cfg, mode)
         clustered = chunks.repartition(
             F.col("chunk_id"), F.pmod(F.xxhash64("url"), F.lit(16))
-        ).persist()
-        try:
+        )
+        if mode == "overwrite":
+            # overwrite replaces the whole table, so the catalog can be
+            # re-derived from the parquet just written: the encode
+            # lineage still runs exactly once (for the chunk write),
+            # and the catalog pass is a payload-pruned column scan of
+            # the finished files — Parquet never reads the p_* payload
+            # columns. This drops the persist() the append path needs:
+            # caching a batch of compressed payload rows costs a full
+            # extra memcpy of the payload bytes purely to keep the
+            # second (tiny) projection from re-encoding.
             clustered.write.mode(mode).partitionBy("chunk_id").parquet(
                 self.path("chunks")
             )
+            self.spark.catalog.refreshByPath(self.path("chunks"))
+            src = self.chunks()
+        else:
+            # append cannot re-derive from a read-back (it would see
+            # pre-existing rows too) — cache the batch so the encode
+            # lineage runs once across the two writes
+            src = clustered.persist()
+            src.write.mode(mode).partitionBy("chunk_id").parquet(
+                self.path("chunks")
+            )
+        try:
             # catalog rows are tiny (one per chunk): coalesce per write so
             # each batch adds O(1) files per touched partition, not one
             # sliver per shuffle task
-            cat = clustered.select(*_catalog_cols(clustered)).coalesce(1)
+            cat = src.select(*_catalog_cols(src)).coalesce(1)
             cat.write.mode(mode).partitionBy("chunk_id").parquet(
                 self.path("catalog")
             )
         finally:
-            clustered.unpersist()
+            if mode != "overwrite":
+                src.unpersist()
 
     def rebuild_catalog(self) -> None:
         """Repair tool: re-derive the whole catalog from the chunks

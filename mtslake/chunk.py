@@ -273,6 +273,26 @@ def _encode_groups(
     # ≙ do_time_diff=False (mtscomp.py:55): raw-codec timestamps; decode
     # is unaffected because payload headers carry the codec id
     ts_codec = codec.CODEC_DOD if do_time_diff else codec.CODEC_RAW
+    # per-channel invariants hoisted out of the group loop: resolved
+    # codec/entropy and the NaN-warning suppression cost real time at
+    # 10³-10⁴ groups per partition (profiled ~5% of the kernel)
+    ch_plan = [
+        (c, c.resolved_codec(), c.resolved_entropy()) for c in channels
+    ]
+    ctx = warnings.catch_warnings()
+    ctx.__enter__()
+    warnings.simplefilter("ignore", RuntimeWarning)
+    try:
+        _encode_groups_inner(out, data, ts_all, starts, ends, comp_level,
+                             ts_codec, ch_plan, emit_key)
+    finally:
+        ctx.__exit__(None, None, None)
+
+
+def _encode_groups_inner(
+    out, data, ts_all, starts, ends, comp_level, ts_codec, ch_plan,
+    emit_key,
+):
     for s, e in zip(starts, ends):
         ts = ts_all[s:e]
         p_ts = codec.encode_column(ts, ts_codec, comp_level)
@@ -281,12 +301,11 @@ def _encode_groups(
         raw_bin = 0
         comp_bin = 0
         sha_src: dict[str, np.ndarray] = {}
-        for c in channels:
+        for c, c_codec, c_entropy in ch_plan:
             a = data[c.name][s:e]
             flat = a.ravel() if c.is_binary else a
             p = codec.encode_column(
-                flat, c.resolved_codec(), comp_level,
-                entropy=c.resolved_entropy(),
+                flat, c_codec, comp_level, entropy=c_entropy,
             )
             out[c.pcol].append(p)
             if c.is_binary:
@@ -317,9 +336,9 @@ def _encode_groups(
                 # (its NaN rows match), pruned for <= upper (nothing
                 # in it can match) — both consistent.
                 if flat.dtype.kind == "f":
-                    with warnings.catch_warnings():
-                        warnings.simplefilter("ignore", RuntimeWarning)
-                        out[f"{c.name}_min"].append(float(np.nanmin(flat)))
+                    # RuntimeWarning (all-NaN) suppressed once by the
+                    # caller's hoisted warnings context
+                    out[f"{c.name}_min"].append(float(np.nanmin(flat)))
                     out[f"{c.name}_max"].append(float(flat.max()))
                 else:
                     out[f"{c.name}_min"].append(int(flat.min()))
@@ -563,7 +582,23 @@ def compress_series(
             # byte order)
             keyed = keyed.withColumn(c.name, F.unhex(c.name))
     if not pre_partitioned:
-        keyed = keyed.repartition("url", "chunk_id")
+        # EXPLICIT partition count: a bare repartition(cols) lets AQE
+        # size this exchange by its shuffle BYTES (advisory 16-64 MB),
+        # but the stage downstream of it is the Python encode kernel —
+        # per-row cost orders of magnitude above a JVM scan — so a
+        # byte-sized coalesce serializes the most expensive stage of
+        # the job (measured: a 100k-event roundtrip collapsed to ONE
+        # encode task, 5.7 s of a 6.7 s query). Pinning N to the
+        # session's configured shuffle width keeps the pre-AQE plan
+        # (what a cluster tunes shuffle.partitions for) and forbids
+        # the collapse; tiny inputs pay a few ms of empty-task
+        # overhead instead of a serial encode.
+        sess = series.sparkSession
+        try:
+            n_part = int(sess.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            n_part = sess.sparkContext.defaultParallelism
+        keyed = keyed.repartition(n_part, "url", "chunk_id")
     from functools import partial
 
     encode = partial(

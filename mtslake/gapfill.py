@@ -63,21 +63,53 @@ def gapfill_locf(
     value_cols: tuple[str, ...] = tuple(AGG_COLS),
     keys: list[str] = KEY_COLS,
 ) -> DataFrame:
-    """Left-join rollup onto its spine, then carry forward.
+    """LOCF gap fill by GENERATION instead of spine-join: each observed
+    bucket emits itself plus one carried row per missing bucket up to
+    (exclusive) the key's next observation — the carry IS the
+    generator, so the whole operator is one key-partitioned window
+    (lead + per-column last) and an answer-sized two-level explode.
+    The old shape (per-key span aggregate → spine explode → left JOIN
+    → LOCF window) paid two extra exchanges and a sort for the same
+    rows: the join shuffled spine and tier by (keys, bucket) and the
+    window then re-shuffled by (keys).
 
     Adds ``is_filled`` so consumers can tell observations from fill.
+    Row-identical to the join form for tier-shaped input — bucket
+    values unique per key and aligned to the tier grid (what
+    ``rollup.bucket_expr`` produces; the spine grid always started at
+    an observed ALIGNED bucket, so generation lands on the same grid).
+    NULL semantics are preserved exactly: a NULL inside an observed
+    row's ``value_cols[0]`` still marks it filled, and per-column
+    last-non-null carry happens on the observation rows before they
+    generate (same torn-row behavior as the old per-column LOCF).
+    Non-value columns (e.g. a partition id riding the tier) are NULL
+    on generated rows, as the left join left them.
     """
-    sp = spine(rolled, tier, keys)
-    joined = sp.join(rolled, [*keys, "bucket_us"], "left")
-    w = (
-        W.partitionBy(*keys)
-        .orderBy("bucket_us")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    out = joined.withColumn("is_filled", F.col(value_cols[0]).isNull())
+    us = TIER_US[tier]
+    w = W.partitionBy(*keys).orderBy("bucket_us")
+    w_run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    other_cols = [
+        c for c in rolled.columns
+        if c not in (*keys, "bucket_us", *value_cols)
+    ]
+    seg = rolled.withColumn(
+        "_next_b",
+        F.coalesce(F.lead("bucket_us").over(w),
+                   F.col("bucket_us") + F.lit(us)),
+    ).withColumn("_obs_null", F.col(value_cols[0]).isNull())
     for c in value_cols:
-        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return out
+        seg = seg.withColumn(c, F.last(c, ignorenulls=True).over(w_run))
+    x = explode_bucket_overlaps(seg, us, "bucket_us", "_next_b")
+    gen = F.col("_b") != F.col("bucket_us")
+    out = x.withColumn("is_filled", gen | F.col("_obs_null"))
+    for c in other_cols:
+        out = out.withColumn(
+            c, F.when(gen, F.lit(None)).otherwise(F.col(c))
+        )
+    return (
+        out.withColumn("bucket_us", F.col("_b"))
+        .drop("_b", "_overlap", "_next_b", "_obs_null")
+    )
 
 
 def gapfill_interpolate(

@@ -211,6 +211,10 @@ def _write_tier(store, rolled: DataFrame, tier: str) -> None:
     with_part_id(rolled, tier).write.mode("overwrite").partitionBy(
         "part_id"
     ).parquet(store.path(f"rollup_{tier}"))
+    # materialize_tiers re-reads the tier it just overwrote (and so do
+    # repeated pipeline runs in one session): drop any cached file
+    # listing so no reader resolves deleted pre-overwrite files
+    store.spark.catalog.refreshByPath(store.path(f"rollup_{tier}"))
 
 
 def _affected_parts(chunk_ids, dur_us: int, part_us: int) -> list[int]:
@@ -323,37 +327,28 @@ def _overwrite_parts(store, rolled_with_part: DataFrame, tier: str,
 
 def materialize_tiers(store, series: DataFrame) -> None:
     """Write 1m from raw, then each coarser tier from the finer one —
-    the expensive decode/scan lineage executes exactly once (the finer
-    tier is cached while its successor aggregates from it), and coarser
-    tiers re-aggregate an input ~60× smaller (decimal sums keep them
-    bit-identical to direct aggregation either way). Each tier is
-    partitioned by a coarse time bucket (``part_id``) so tier retention
-    is a metadata-only partition drop, like the chunks table.
+    the expensive decode/scan lineage executes exactly once, and
+    coarser tiers re-aggregate an input ~60× smaller (decimal sums
+    keep them bit-identical to direct aggregation either way). Each
+    tier is partitioned by a coarse time bucket (``part_id``) so tier
+    retention is a metadata-only partition drop, like the chunks table.
 
-    Writes OVERLAP the next tier's aggregation (Spark schedules
-    concurrent actions; a tier's parquet commit is mostly write/commit
-    latency while the next aggregation wants CPU): cache the finer
-    tier, then write it on a helper thread while the coarser tier
-    aggregates from the cache — measured ~6-20% off the tier stage at
-    local[32], identical outputs."""
-    from concurrent.futures import ThreadPoolExecutor
-
-    one_m = rollup_from_series(series, "1m").persist()
-    try:
-        one_m.count()  # materialize the cache before sharing it
-        with ThreadPoolExecutor(1) as ex:
-            w1m = ex.submit(_write_tier, store, one_m, "1m")
-            one_h = rollup_from_tier(one_m, "1h").persist()
-            try:
-                one_h.count()
-                w1m.result()
-                w1h = ex.submit(_write_tier, store, one_h, "1h")
-                _write_tier(store, rollup_from_tier(one_h, "1d"), "1d")
-                w1h.result()
-            finally:
-                one_h.unpersist()
-    finally:
-        one_m.unpersist()
+    The finer tier is handed to its successor by READING BACK the
+    parquet it just wrote, not by caching it: decode + 1m aggregation
+    + 1m write fuse into ONE pass over the raw points, where the old
+    persist/count/write-from-cache shape paid an extra full
+    materialization pass plus the cache memcpy of the 1m tier (the
+    largest tier — ~2/3 of the raw row count on sparse grids) before
+    the first byte of parquet was written. A pruned column scan of the
+    finished 1m files is far cheaper than that second pass, and
+    parquet round-trips longs/decimals losslessly, so tier equality is
+    unchanged (pytest asserts 1d(1h(1m)) ≡ direct aggregation)."""
+    _write_tier(store, rollup_from_series(series, "1m"), "1m")
+    for tier in ("1h", "1d"):
+        lower = store.spark.read.parquet(
+            store.path(f"rollup_{TIER_BELOW[tier]}")
+        )
+        _write_tier(store, rollup_from_tier(lower, tier), tier)
 
 
 def moving_aggregate(
