@@ -477,10 +477,17 @@ def _encode_block_arrow(
 
     out: dict[str, list] = {c: [] for c in _out_cols(channels)}
 
-    def emit_key(o, s):
-        o["url"].append(url[s].as_py())
-        o["chunk_id"].append(int(cids[s]))
-        o["lang"].append(lang[s].as_py())
+    # group keys in one vectorized take+to_pylist over the group-start
+    # indices instead of a pyarrow scalar .as_py() pair per group
+    # (group order is exactly `starts` order, which the group loop
+    # also iterates)
+    start_idx = pa.array(np.asarray(starts, dtype=np.int64))
+    out["url"] = url.take(start_idx).to_pylist()
+    out["lang"] = lang.take(start_idx).to_pylist()
+    out["chunk_id"] = cids[np.asarray(starts)].tolist()
+
+    def emit_key(o, s):  # keys precomputed above
+        pass
 
     _encode_groups(out, data, ts_all, starts, ends, comp_level,
                    do_time_diff, channels, emit_key)
@@ -708,7 +715,13 @@ def _decode_batches_arrow(
     decode; numpy→Arrow preserves the NaN payload bit-for-bit."""
     t = t.combine_chunks()
     numeric = [c for c in spec if not c.is_binary]
-    cols = {name: t.column(name).chunk(0) for name in t.column_names}
+    # one vectorized to_pylist per column instead of a pyarrow scalar
+    # __getitem__/.as_py() pair per chunk per column — the per-element
+    # path was ~25% of kernel self-time at 10³-10⁴ chunks per batch
+    cols = {
+        name: t.column(name).chunk(0).to_pylist()
+        for name in t.column_names
+    }
     urls, langs, tss, counts = [], [], [], []
     ch_parts: dict[str, list] = {c.name: [] for c in want}
 
@@ -737,30 +750,28 @@ def _decode_batches_arrow(
 
     acc = 0
     for i in range(t.num_rows):  # per-CHUNK, not per-point
-        ts = codec.decode_column(cols["p_ts"][i].as_py())
+        ts = codec.decode_column(cols["p_ts"][i])
         decoded: dict[str, np.ndarray] = {}
         if verify:
             for c in numeric:
-                decoded[c.name] = codec.decode_column(
-                    cols[c.pcol][i].as_py()
-                )
+                decoded[c.name] = codec.decode_column(cols[c.pcol][i])
             got = codec.chunk_sha1(
                 ts, {c.name: decoded[c.name] for c in numeric}
             )
-            if got != cols["sha1"][i].as_py():
+            if got != cols["sha1"][i]:
                 # ≙ "CRITICAL ERROR" hard failure, mtscomp.py:880-888
                 raise RuntimeError(
-                    f"chunk integrity failure url={cols['url'][i].as_py()} "
-                    f"expected sha1={cols['sha1'][i].as_py()} got={got}"
+                    f"chunk integrity failure url={cols['url'][i]} "
+                    f"expected sha1={cols['sha1'][i]} got={got}"
                 )
         tss.append(ts)
         counts.append(len(ts))
-        urls.append(cols["url"][i].as_py())
-        langs.append(cols["lang"][i].as_py())
+        urls.append(cols["url"][i])
+        langs.append(cols["lang"][i])
         for c in want:
             a = decoded.get(c.name)
             if a is None:
-                a = codec.decode_column(cols[c.pcol][i].as_py())
+                a = codec.decode_column(cols[c.pcol][i])
             ch_parts[c.name].append(a)
         acc += len(ts)
         if acc >= _DECODE_FLUSH_POINTS:

@@ -273,7 +273,9 @@ def decode_column(payload: bytes) -> np.ndarray:
     stored = bool(codec & _STORED_FLAG)
     codec &= _STORED_FLAG - 1
     dt = _CODE_DTYPES[dtcode]
-    raw_body = payload[_HEADER.size:]
+    # memoryview: byte-slicing a bytes payload copies; decode runs per
+    # chunk per channel, so header/body splits must be views
+    raw_body = memoryview(payload)[_HEADER.size:]
     if stored or codec in (CODEC_XOR_RAW, CODEC_XOR_PLANES):
         body = raw_body
     else:
@@ -291,7 +293,13 @@ def decode_column(payload: bytes) -> np.ndarray:
         z = _unshuffle_bytes(body[off:], m, _WIDTH_DTYPES[width]).astype(np.uint64)
         v = _unzigzag(z)
         for a in reversed(anchors):
-            v = np.concatenate(([a], v)).cumsum(dtype=np.int64)
+            # prepend the anchor and cumsum IN PLACE — the old
+            # concatenate-then-cumsum allocated twice per anchor
+            w = np.empty(v.size + 1, dtype=np.int64)
+            w[0] = a
+            w[1:] = v
+            np.cumsum(w, out=w)
+            v = w
         if dt.kind == "u":
             return v.astype(np.uint64).astype(dt)
         return v.astype(dt)

@@ -117,8 +117,13 @@ def generate_pages(
     # deterministic text: token run whose length varies by snapshot
     n_rep = (F.pmod(F.xxhash64(F.col("url_id"), F.col("snap_idx"), F.lit(3)),
                     F.lit(40)) + 1).cast("int")
+    # concat(cast) not format_string: identical bytes for non-negative
+    # longs (%d is plain toString), but java.util.Formatter costs ~2 µs
+    # per call — a visible slice of datagen wall at 10⁷ rows
     text = F.concat(
-        F.format_string("page %d snapshot %d lang ", F.col("url_id"), F.col("snap_idx")),
+        F.lit("page "), F.col("url_id").cast("string"),
+        F.lit(" snapshot "), F.col("snap_idx").cast("string"),
+        F.lit(" lang "),
         F.repeat(F.lit("lorem ipsum dolor sit amet "), n_rep),
     )
     snaps = (

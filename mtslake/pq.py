@@ -390,13 +390,18 @@ def ivfpq_search(
     p = probes.select(
         "probe_id", F.col("probe_vec").cast("array<double>").alias("_p")
     )
-    probed = _probe_cells(p, cents, n_probe).select("probe_id", "cell")
+    # ONE driver round-trip: _probe_cells keeps _p on its output rows,
+    # so probe vectors and (probe, cell) assignments collect together
+    # (two separate collects ran the probe scan twice as two jobs)
+    prows = _probe_cells(p, cents, n_probe).select(
+        "probe_id", "_p", "cell"
+    ).collect()
     pvecs = {
         int(r["probe_id"]): np.asarray(r["_p"], dtype=np.float64)
-        for r in p.collect()
+        for r in prows
     }
     cell_probes: dict[int, list[int]] = {}
-    for r in probed.collect():
+    for r in prows:
         cell_probes.setdefault(int(r["cell"]), []).append(int(r["probe_id"]))
     _guard_table_budget(
         sum(len(v) for v in cell_probes.values()), m, mats[0].shape[0]

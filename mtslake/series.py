@@ -49,7 +49,9 @@ def pages_to_series(pages: DataFrame) -> DataFrame:
         ts_us.alias(TS_COL),
         F.length("text").cast("long").alias("n_chars"),
         value.alias("value"),
-        F.sha1(F.encode(F.col("text"), "UTF-8")).alias("text_sha1"),
+        # cast-to-binary reuses the row's UTF-8 bytes; encode() round-trips
+        # through a Java String re-encode (same sha1, measurably slower)
+        F.sha1(F.col("text").cast("binary")).alias("text_sha1"),
         F.col("lang"),
     )
 
@@ -69,7 +71,7 @@ def events_to_series(events: DataFrame) -> DataFrame:
         F.unix_micros(F.col("ts").cast("timestamp")).alias(TS_COL),
         F.length("props").cast("long").alias("n_chars"),
         F.col("value"),
-        F.sha1(F.encode(F.col("props"), "UTF-8")).alias("text_sha1"),
+        F.sha1(F.col("props").cast("binary")).alias("text_sha1"),
         F.lit("en").alias("lang"),
     )
 
