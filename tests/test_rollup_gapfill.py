@@ -1100,3 +1100,51 @@ def test_lineage_wall_time_is_batch_scoped(spark, tmp_path):
     n_batches = sum(1 / r["units_in_batch"] for r in rows)
     assert abs(n_batches - round(n_batches)) < 1e-9
     assert all(r["batch_wall_ms"] >= 0 for r in rows)
+
+
+def test_gapfill_locf_equals_spine_join_reference(spark):
+    """The generator-based gapfill_locf (r6 optimization) must be
+    row-identical to the original spine-join + LOCF-window shape on
+    tier-shaped input — including a NULL-valued observed bucket (old
+    semantics: it reads as filled and its columns carry forward) and a
+    non-value passenger column (NULL on generated rows)."""
+    from pyspark.sql import Window as W
+
+    H = 3_600_000_000
+    rows = [
+        # h1: gaps of 2 and 1 buckets; one observation with NULL values
+        ("h1", "en", 0 * H, 5, 1.0, 2.0, 7.5, 10),
+        ("h1", "en", 3 * H, None, None, None, None, 11),
+        ("h1", "en", 5 * H, 2, 0.5, 0.9, 1.0, 12),
+        # h2: single observation
+        ("h2", "de", 1 * H, 1, 4.0, 4.0, 4.0, 13),
+        # h3: adjacent observations, no gap
+        ("h3", "fr", 2 * H, 7, 0.0, 0.0, 0.0, 14),
+        ("h3", "fr", 3 * H, 8, 9.0, 9.0, 9.0, 15),
+    ]
+    schema = (
+        "url_prefix string, lang string, bucket_us long, cnt long, "
+        "vmin double, vmax double, vsum double, part_id int"
+    )
+    rolled = spark.createDataFrame(rows, schema)
+    value_cols = ("cnt", "vmin", "vmax", "vsum")
+    keys = ["url_prefix", "lang"]
+
+    # reference: the pre-r6 spine-join implementation, inlined
+    sp = gapfill.spine(rolled, "1h", keys)
+    joined = sp.join(rolled, [*keys, "bucket_us"], "left")
+    w = (
+        W.partitionBy(*keys)
+        .orderBy("bucket_us")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ref = joined.withColumn("is_filled", F.col(value_cols[0]).isNull())
+    for c in value_cols:
+        ref = ref.withColumn(c, F.last(c, ignorenulls=True).over(w))
+
+    got = gapfill.gapfill_locf(rolled, "1h", value_cols, keys)
+    cols = sorted(got.columns)
+    assert sorted(ref.columns) == cols
+    a = {tuple(r) for r in got.select(*cols).collect()}
+    b = {tuple(r) for r in ref.select(*cols).collect()}
+    assert a == b

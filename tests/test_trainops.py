@@ -1631,3 +1631,33 @@ def test_resize_uses_decoded_shape_and_survives_empty_payload(spark):
     dec = multimodal.decode_ppm(bytes(out[1]["payload"]))
     assert dec.shape[:2] == (4, 4)
     assert len(out[2]["payload"]) == 16   # 4x4 stub raw bytes, no crash
+
+
+def test_shingles_zipwith_equals_reference_transform(spark):
+    """The zip_with shingle construction (r6 optimization) must equal
+    the reference per-index transform(sequence, slice) form on every
+    edge shape: empty text, whitespace-only, < k tokens, exactly k,
+    long docs, duplicate shingles, unicode, and k=1/2/3/5."""
+    texts = [
+        "", "   ", "one", "one two", "one two three",
+        "a b c d e f g h i j", "a a a a a", "x y x y x y x y",
+        "héllo wörld ünïcode 漢字 done", "  padded   spaces  here ",
+        "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12",
+    ]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    def ref_slicer(toks, k):
+        # factory closure, NOT a defaulted lambda: pyspark binds a
+        # multi-parameter transform lambda as (element, index, ...)
+        # — the minhash_signature docstring pitfall
+        return lambda i: F.concat_ws(" ", F.slice(toks, i, k))
+
+    for k in (1, 2, 3, 5):
+        toks = dedup._tokens("text")
+        n = F.greatest(F.size(toks) - (k - 1), F.lit(1))
+        ref = F.array_distinct(
+            F.transform(F.sequence(F.lit(1), n), ref_slicer(toks, k))
+        )
+        bad = docs.select(
+            dedup.shingles("text", k).alias("a"), ref.alias("b")
+        ).filter(F.col("a") != F.col("b"))
+        assert bad.count() == 0, f"shingle mismatch at k={k}"
