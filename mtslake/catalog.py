@@ -174,6 +174,10 @@ class ChunkStore:
         # read. Parquet dictionary/RLE encoding of the url/stat columns
         # is independent of the codec and still applies. The catalog
         # (tiny, metadata-only, compresses well) keeps the default.
+        # deploy knob (env, default uncompressed — see comment above):
+        # a store on costlier storage can flip the container codec back
+        chunks_codec = os.environ.get("MTSLAKE_CHUNKS_CODEC",
+                                      "uncompressed")
         if mode == "overwrite":
             # overwrite replaces the whole table, so the catalog can be
             # re-derived from the parquet just written: the encode
@@ -185,7 +189,7 @@ class ChunkStore:
             # extra memcpy of the payload bytes purely to keep the
             # second (tiny) projection from re-encoding.
             clustered.write.mode(mode).option(
-                "compression", "uncompressed"
+                "compression", chunks_codec
             ).partitionBy("chunk_id").parquet(self.path("chunks"))
             self.spark.catalog.refreshByPath(self.path("chunks"))
             src = self.chunks()
@@ -195,7 +199,7 @@ class ChunkStore:
             # lineage runs once across the two writes
             src = clustered.persist()
             src.write.mode(mode).option(
-                "compression", "uncompressed"
+                "compression", chunks_codec
             ).partitionBy("chunk_id").parquet(self.path("chunks"))
         try:
             # catalog rows are tiny (one per chunk): coalesce per write so

@@ -402,11 +402,18 @@ def incremental_minhash_pairs(
         & (F.col("a.bucket") == F.col("b.bucket"))
         & (F.col("a._id") < F.col("b._id")),
     ).select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-    cand_ids = eager_checkpoint(
-        old_new.unionByName(new_new).dropDuplicates(["id_a", "id_b"])
+    cand_ids = old_new.unionByName(new_new).dropDuplicates(
+        ["id_a", "id_b"]
     )
 
     if update_index:
+        # candidate ids must be MATERIALIZED before the append mutates
+        # the store (the probe must never see the batch's own
+        # freshly-appended rows); the probe-only path (update_index=
+        # False) skips this barrier — and its full extra
+        # materialization pass — because nothing mutates underneath
+        # the lazy plan
+        cand_ids = eager_checkpoint(cand_ids)
         (
             newb.repartition("band", "bprefix")
             .sortWithinPartitions("bucket")
@@ -414,10 +421,10 @@ def incremental_minhash_pairs(
             .parquet(index_path)
         )
         spark.catalog.refreshByPath(index_path)
-    # newb is dead: cand_ids is materialized and the append (its only
-    # other reader) has run — free its checkpoint blocks now (PySpark
-    # never frees them itself; see ckpt.py)
-    release_ckpt(newb)
+        # newb is dead: cand_ids is materialized and the append (its
+        # only other reader) has run — free its checkpoint blocks now
+        # (PySpark never frees them itself; see ckpt.py)
+        release_ckpt(newb)
 
     verified = eager_checkpoint(
         exact_jaccard_verify(
@@ -425,7 +432,11 @@ def incremental_minhash_pairs(
             params["shingle_k"], jaccard_threshold,
         )
     )
-    release_ckpt(cand_ids)
+    if update_index:
+        release_ckpt(cand_ids)
+    else:
+        # lazy cand_ids depended on newb until `verified` materialized
+        release_ckpt(newb)
     # the returned frame is caller-owned (ckpt.release(df) when done)
     return verified
 

@@ -47,6 +47,19 @@ def read_ch_meta(ch_path: str) -> dict:
         return json.load(f)
 
 
+def _scan_parallelism(plan: DataFrame) -> int:
+    """Partition count for a scan-plan exchange feeding a Python
+    decode stage: the session's shuffle width (what the cluster tuned),
+    pinned explicitly so AQE cannot coalesce the metadata-sized plan
+    frame below the downstream stage's real (per-row-expensive)
+    parallelism."""
+    sess = plan.sparkSession
+    try:
+        return int(sess.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return sess.sparkContext.defaultParallelism
+
+
 def read_cbin(spark: SparkSession, cbin_path: str, ch_path: str) -> DataFrame:
     """Distributed decode of a reference-compressed file.
 
@@ -109,7 +122,14 @@ def read_cbin(spark: SparkSession, cbin_path: str, ch_path: str) -> DataFrame:
         finally:
             os.close(fd)
 
-    return plan.repartition("chunk_idx").mapInPandas(decode, schema=MELT_SCHEMA)
+    # explicit partition count: the stage below this exchange is the
+    # per-chunk file decode (Python, I/O + numpy), so AQE must not
+    # byte-size-coalesce the tiny plan frame into one serial task (the
+    # compress_series lesson, chunk.py)
+    n_part = _scan_parallelism(plan)
+    return plan.repartition(n_part, "chunk_idx").mapInPandas(
+        decode, schema=MELT_SCHEMA
+    )
 
 
 def write_cbin(
@@ -255,7 +275,10 @@ def read_raw_bin(
         finally:
             os.close(fd)
 
-    return plan.repartition("s0").mapInPandas(scan, schema=MELT_SCHEMA)
+    n_part = _scan_parallelism(plan)  # see read_cbin: no AQE collapse
+    return plan.repartition(n_part, "s0").mapInPandas(
+        scan, schema=MELT_SCHEMA
+    )
 
 
 def read_npy(spark: SparkSession, path: str) -> DataFrame:
