@@ -202,10 +202,16 @@ class ChunkStore:
                 "compression", chunks_codec
             ).partitionBy("chunk_id").parquet(self.path("chunks"))
         try:
-            # catalog rows are tiny (one per chunk): coalesce per write so
-            # each batch adds O(1) files per touched partition, not one
-            # sliver per shuffle task
-            cat = src.select(*_catalog_cols(src)).coalesce(1)
+            # catalog rows are tiny (one per chunk): funnel to one task
+            # per write so each batch adds O(1) files per touched
+            # partition, not one sliver per shuffle task.
+            # repartition(1), NOT coalesce(1): coalesce folds the
+            # single-task boundary INTO the scan, so one task reads
+            # every split serially; repartition keeps the (pruned,
+            # payload-free) scan parallel and ships only the tiny
+            # catalog rows to the writer (measured 1.7 -> 1.2 s at
+            # sf0.1)
+            cat = src.select(*_catalog_cols(src)).repartition(1)
             cat.write.mode(mode).partitionBy("chunk_id").parquet(
                 self.path("catalog")
             )
