@@ -144,6 +144,40 @@ def main() -> None:
             timed("tiers_write",
                   lambda: rollup.materialize_tiers(store, decoded_v), n=2)
 
+        if "graph" in stages or "all" in stages:
+            # iterative-graph cost evidence (pagerank/HITS/LPA, 10
+            # rounds) at two SFs, per-edge-normalized — the measured
+            # form of the eager-checkpointed O(1)-frontier claim
+            import __spark_entry__ as entry
+            from mtslake import ckpt
+            from mtslake.graph import hits, label_propagation, pagerank
+            from mtslake.urlops import extract_links, host_edges
+
+            sf_small = os.path.join(
+                os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+            for tag, d in (("sf001", sf_small), ("sf", sf_dir)):
+                if not os.path.isdir(d):
+                    continue
+                edges = host_edges(
+                    extract_links(entry._linked_pages(spark, d)))
+                t[f"graph_edges_{tag}"] = edges.count()
+
+                def run_pr(edges=edges):
+                    out = pagerank(edges, iters=10, damping=0.85)
+                    out.count(); ckpt.release(out)
+
+                def run_hits(edges=edges):
+                    out = hits(edges, iters=10)
+                    out.count(); ckpt.release(out)
+
+                def run_lpa(edges=edges):
+                    out = label_propagation(edges, iters=10)
+                    out.count(); ckpt.release(out)
+
+                timed(f"pagerank10_{tag}", run_pr)
+                timed(f"hits10_{tag}", run_hits)
+                timed(f"lpa10_{tag}", run_lpa)
+
         t["loadavg_end"] = round(os.getloadavg()[0], 2)
         print(json.dumps({"stages": t, "sf": sf_num, "cpus": cpus}))
     finally:
