@@ -88,9 +88,13 @@ def asof_join(
     # fill is partition-layout-dependent (last() returns whichever row
     # the sort happened to place last — a different value after a
     # repartition). Tiebreak on the right payload columns themselves:
-    # the GREATEST payload row wins in every direction, deterministic
-    # across runs (left rows carry NULL payloads, so the extra keys
-    # never reorder the left side).
+    # the fill is deterministic across runs (left rows carry NULL
+    # payloads, so the extra keys never reorder the left side). NOTE
+    # the fill stays per-COLUMN last/first(ignorenulls): when duplicate
+    # same-ts right rows hold NULLs in DIFFERENT payload columns, each
+    # column takes its own greatest non-NULL value, so the result row
+    # can mix columns from different right rows (deterministic, but
+    # not any single right row).
     tiebreak = [F.col(f"{c}{suffix}") for c in right_cols]
     wb = (
         W.partitionBy(key)

@@ -154,17 +154,26 @@ def _shingles(tokens, k: int):
     window with a single space. Snapshots shorter than k shingle to
     the empty set — guarded explicitly, because Spark's
     ``sequence(1, n-k+1)`` runs DESCENDING (not empty) when n < k.
+
+    Built as k−1 chained ``zip_with`` passes over shifted views of the
+    token array (the dedup.shingles construction — O(k) array passes
+    instead of one interpreted slice+concat allocation PER ELEMENT,
+    measured ~5× cheaper there): element i of the accumulator joins
+    tokens[i..i+k−1]; the slice keeps only the n−k+1 full windows, so
+    with the size≥k guard the output is identical to the older
+    ``transform(sequence, slice)`` form, first-occurrence order (hence
+    array_distinct output) included.
     """
     if k == 1:
         return F.array_distinct(tokens)
+    size = F.size(tokens)
+    acc = tokens
+    for j in range(1, k):
+        nxt = F.slice(tokens, j + 1, F.greatest(size - j, F.lit(0)))
+        acc = F.zip_with(acc, nxt, lambda a, b: F.concat_ws(" ", a, b))
     return F.when(
-        F.size(tokens) >= k,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(tokens) - F.lit(k - 1)),
-                lambda i: F.concat_ws(" ", F.slice(tokens, i, k)),
-            )
-        ),
+        size >= k,
+        F.array_distinct(F.slice(acc, 1, size - F.lit(k - 1))),
     ).otherwise(F.array().cast("array<string>"))
 
 

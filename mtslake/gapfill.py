@@ -121,46 +121,102 @@ def gapfill_interpolate(
     """Linear interpolation between the surrounding observations
     (TimescaleDB's ``interpolate()`` to LOCF's ``locf()``): a missing
     bucket gets prev + (next-prev) · (t-t_prev)/(t_next-t_prev), pure
-    double arithmetic over two windows (backward LOCF + forward LOCF
-    of the value AND its observation time). Boundary gaps (no prior or
-    no next observation) stay NULL — there is nothing to anchor the
-    line. Same spine, same shuffle shape as gapfill_locf.
+    double arithmetic. Boundary gaps (no prior or no next observation)
+    stay NULL — there is nothing to anchor the line.
+
+    Gap-fill by GENERATION, the gapfill_locf shape: all anchors (the
+    per-column last/first non-NULL values and the probe-observation
+    times, backward inclusive + forward exclusive) are window exprs
+    over the TIER rows sharing ONE key-partitioned sort; each tier row
+    then generates the missing buckets up to (exclusive) its
+    successor, interpolating from its own anchors. The old shape
+    (per-key span aggregate → spine explode → left join → two windows
+    over the spine) paid two extra exchanges plus the join sort to
+    compute the same anchors — generated spine rows are all-NULL, so
+    last/first(ignorenulls) over the spine can only ever anchor on
+    tier rows, which is what the tier-side windows read directly.
+
+    Row- and BIT-identical to the join form for tier-shaped input
+    (bucket values unique per key, tier-grid aligned — what
+    ``rollup.bucket_expr`` produces): the emitted expression is the
+    same sub → cast → div → sub → mul → add over the same operand
+    values, so the raw doubles the contract hashes are unchanged.
+    Semantics preserved exactly: ``is_filled`` keys on the probe
+    column alone (other value_cols stay NULL-as-is on observed rows);
+    a probe-NULL tier row still anchors its own non-NULL columns
+    (inclusive frames — the torn-row behavior of the join form); and
+    non-value columns are NULL on generated rows, as the left join
+    left them.
     """
-    sp = spine(rolled, tier, keys)
-    joined = sp.join(rolled, [*keys, "bucket_us"], "left")
-    wb = (
-        W.partitionBy(*keys)
-        .orderBy("bucket_us")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    wf = (
-        W.partitionBy(*keys)
-        .orderBy("bucket_us")
-        .rowsBetween(W.currentRow, W.unboundedFollowing)
-    )
+    us = TIER_US[tier]
+    w = W.partitionBy(*keys).orderBy("bucket_us")
+    wb = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    wf1 = w.rowsBetween(1, W.unboundedFollowing)
     probe = value_cols[0]
-    out = joined.withColumn("is_filled", F.col(probe).isNull())
+    other_cols = [
+        c for c in rolled.columns
+        if c not in (*keys, "bucket_us", *value_cols)
+    ]
     obs_ts = F.when(
         F.col(probe).isNotNull(), F.col("bucket_us")
     )
-    out = out.withColumn("_tp", F.last(obs_ts, ignorenulls=True).over(wb))
-    out = out.withColumn("_tn", F.first(obs_ts, ignorenulls=True).over(wf))
+    seg = (
+        rolled.withColumn(
+            "_next_b",
+            F.coalesce(F.lead("bucket_us").over(w),
+                       F.col("bucket_us") + F.lit(us)),
+        )
+        .withColumn("_tp", F.last(obs_ts, ignorenulls=True).over(wb))
+        .withColumn("_tn_x", F.first(obs_ts, ignorenulls=True).over(wf1))
+    )
+    for c in value_cols:
+        seg = seg.withColumn(
+            f"_p_{c}",
+            F.last(c, ignorenulls=True).over(wb).cast("double"),
+        ).withColumn(
+            f"_n_{c}",
+            F.first(c, ignorenulls=True).over(wf1).cast("double"),
+        )
+    x = explode_bucket_overlaps(seg, us, "bucket_us", "_next_b")
+    gen = F.col("_b") != F.col("bucket_us")
+    out = x.withColumn("is_filled", gen | F.col(probe).isNull())
+    # forward anchors are EXCLUSIVE window values; on the tier row
+    # itself the join form's inclusive frame means its own non-NULL
+    # value wins — fold that in per expression. _tn is MATERIALIZED
+    # before the loop because the loop replaces the probe column it
+    # reads (a lazy expr would resolve against the interpolated probe)
+    out = out.withColumn(
+        "_tn",
+        F.when(
+            ~gen & F.col(probe).isNotNull(), F.col("bucket_us")
+        ).otherwise(F.col("_tn_x")),
+    )
     frac = F.when(
         F.col("_tn") == F.col("_tp"), F.lit(0.0)
     ).otherwise(
-        (F.col("bucket_us") - F.col("_tp")).cast("double")
+        (F.col("_b") - F.col("_tp")).cast("double")
         / (F.col("_tn") - F.col("_tp")).cast("double")
     )
     for c in value_cols:
-        prev = F.last(c, ignorenulls=True).over(wb).cast("double")
-        nxt = F.first(c, ignorenulls=True).over(wf).cast("double")
+        prev = F.col(f"_p_{c}")
+        nxt = F.when(
+            ~gen & F.col(c).isNotNull(), F.col(c).cast("double")
+        ).otherwise(F.col(f"_n_{c}"))
         out = out.withColumn(
             c,
             F.when(~F.col("is_filled"), F.col(c).cast("double")).otherwise(
                 prev + (nxt - prev) * frac
             ),
         )
-    return out.drop("_tp", "_tn")
+    for c in other_cols:
+        out = out.withColumn(
+            c, F.when(gen, F.lit(None)).otherwise(F.col(c))
+        )
+    rest = [c for c in rolled.columns if c not in (*keys, "bucket_us")]
+    return (
+        out.withColumn("bucket_us", F.col("_b"))
+        .select(*keys, "bucket_us", *rest, "is_filled")
+    )
 
 
 def explode_bucket_overlaps(

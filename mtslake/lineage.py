@@ -9,8 +9,10 @@ unit the job writes:
   deterministic chunk ids + overwrite ⇒ a re-run after a mid-job kill
   neither duplicates nor skips — SURVEY §7 risk 7);
 * a **lineage row** (job_id, unit, n_chunks, n_points, bytes, ratio,
-  wall_ms) — ≙ the reference's per-chunk ratio logging
-  (mtscomp.py:490-492) promoted to a queryable table;
+  batch_wall_ms, units_in_batch) — ≙ the reference's per-chunk ratio
+  logging (mtscomp.py:490-492) promoted to a queryable table; stores
+  written before the batch_wall_ms rename (one wall_ms per unit) are
+  read back schema-merged with wall_ms coalesced in;
 * a **checkpoint row** marking the unit done — the .ch-style manifest
   reborn as a snapshot log; resume = anti-join(all units, done units).
 
@@ -221,4 +223,31 @@ class ResumableCompressJob:
         }
 
     def lineage(self) -> DataFrame:
-        return self.spark.read.parquet(self.store.path("lineage"))
+        # mergeSchema: a store resumed across the wall_ms →
+        # batch_wall_ms rename holds files of both schemas in one
+        # directory; a plain read would take whichever file Spark
+        # happens to infer from and silently drop the other's column.
+        ln = self.spark.read.option("mergeSchema", "true").parquet(
+            self.store.path("lineage")
+        )
+        cols = set(ln.columns)
+        if "wall_ms" in cols:
+            # legacy rows recorded one wall per UNIT (units_in_batch=1)
+            bw = (
+                F.coalesce("batch_wall_ms", "wall_ms")
+                if "batch_wall_ms" in cols
+                else F.col("wall_ms")
+            )
+            ln = ln.withColumn("batch_wall_ms", bw.cast("long")).drop(
+                "wall_ms"
+            )
+            if "units_in_batch" in cols:
+                ln = ln.withColumn(
+                    "units_in_batch",
+                    F.coalesce("units_in_batch", F.lit(1)).cast("long"),
+                )
+            else:
+                ln = ln.withColumn(
+                    "units_in_batch", F.lit(1).cast("long")
+                )
+        return ln

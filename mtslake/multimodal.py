@@ -264,7 +264,11 @@ def _decode_image_bytes(payload: bytes, width: int, height: int) -> np.ndarray:
             from .jpeg import decode_jpeg
 
             return decode_jpeg(payload)
-    except ValueError:
+    except Exception:
+        # not just ValueError: a plausible-ASCII payload that passes the
+        # magic-byte check can die deeper (zlib.error from PNG IDAT,
+        # struct/index errors from truncated headers) — in stub mode all
+        # of those must fall through to the stub, not kill the task
         if not _STUBBED:
             raise
     if not _STUBBED:  # pragma: no cover

@@ -378,12 +378,28 @@ def record_late_drops(store, query, job_id: str = "stream",
     for batch ids NOT yet recorded for this job — a naive re-append of
     everything still in ``recentProgress`` would over-count severalfold
     when summed — and the sealer accumulator is recorded as the DELTA
-    since the last call (batch_id = -1 rows add up to the counter's
-    current value). ``recentProgress`` keeps only the last
+    since the last call. The accumulator rows are keyed on a NEGATIVE
+    per-run sentinel batch_id derived from ``query.runId`` (not a
+    shared -1): the accumulator resets to 0 on every query restart, so
+    a job_id-global baseline would read the all-time total, make the
+    delta negative, and silently under-record every drop after a
+    restart until the fresh counter overtook the ledger. Per-run
+    sentinels keep SUM(rows_dropped_late) per job_id correct across
+    restarts with no schema change (all sentinels are < -1; legacy -1
+    rows from pre-change stores still sum into totals).
+    ``recentProgress`` keeps only the last
     ``spark.sql.streaming.numRecentProgressUpdates`` (default 100)
     batches, so call this at least once per ~100 batches or the
     per-batch ledger silently misses the evicted ones."""
+    import hashlib
+
     counts = late_drop_counts(query, late_counter)
+    # stable within a run, new after every restart; < -1 so it can
+    # never collide with a real batch id or the legacy -1 sentinel
+    run_key = -2 - int.from_bytes(
+        hashlib.sha1(str(query.runId).encode("utf-8")).digest()[:7],
+        "big",
+    )
     seen_batches: set = set()
     acc_recorded = 0
     if store.has("lineage_stream"):
@@ -395,10 +411,12 @@ def record_late_drops(store, query, job_id: str = "stream",
             .collect()
         )
         for r in prior:
-            if r["batch_id"] == -1:
+            if int(r["batch_id"]) == run_key:
                 acc_recorded = int(r["n"])
-            else:
+            elif int(r["batch_id"]) >= 0:
                 seen_batches.add(int(r["batch_id"]))
+            # other negative ids: accumulator rows of OTHER runs (or
+            # the legacy -1) — counted in totals, not in this baseline
     rows = [
         (job_id, int(b), int(n))
         for b, n in sorted(counts["per_batch"].items())
@@ -406,7 +424,7 @@ def record_late_drops(store, query, job_id: str = "stream",
     ]
     delta = int(counts.get("sealer_late_rows", 0)) - acc_recorded
     if delta > 0:
-        rows.append((job_id, -1, delta))
+        rows.append((job_id, run_key, delta))
     if rows:
         store.spark.createDataFrame(
             rows, "job_id string, batch_id long, rows_dropped_late long"

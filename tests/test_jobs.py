@@ -628,3 +628,38 @@ def test_fragmented_detection_oversized_row(spark, tmp_path):
     compact(st, small)
     assert fragmented_chunk_ids(st, 100) == []
     assert st.catalog().agg(F_.max("n_points")).first()[0] <= 100
+
+
+def test_lineage_reads_pre_rename_rows_schema_merged(spark, tmp_path):
+    """ADVICE r5 (lineage.py): resuming a store written before the
+    wall_ms -> batch_wall_ms rename mixes two file schemas in one
+    lineage/ directory; lineage() must surface BOTH generations (the
+    legacy wall coalesced into batch_wall_ms, units_in_batch=1), not
+    silently drop whichever column Spark's single-file inference
+    missed."""
+    from mtslake import lineage as lineage_mod
+    from mtslake.catalog import ChunkStore
+
+    st = ChunkStore(spark, str(tmp_path / "store"))
+    job = lineage_mod.ResumableCompressJob(st, "mig")
+    # legacy-schema file: one wall_ms per unit, no batch columns
+    spark.createDataFrame(
+        [("mig", 1, 2, 100, 4400, 1100, 0.25, 77)],
+        "job_id string, unit long, n_chunks long, n_points long, "
+        "raw_nbytes long, comp_nbytes long, ratio double, wall_ms long",
+    ).write.mode("append").parquet(st.path("lineage"))
+    # current-schema file
+    spark.createDataFrame(
+        [("mig", 2, 3, 200, 8800, 2200, 0.25, 120, 2)],
+        "job_id string, unit long, n_chunks long, n_points long, "
+        "raw_nbytes long, comp_nbytes long, ratio double, "
+        "batch_wall_ms long, units_in_batch long",
+    ).write.mode("append").parquet(st.path("lineage"))
+    ln = job.lineage()
+    assert "wall_ms" not in ln.columns
+    rows = {r["unit"]: r for r in ln.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["batch_wall_ms"] == 77
+    assert rows[1]["units_in_batch"] == 1
+    assert rows[2]["batch_wall_ms"] == 120
+    assert rows[2]["units_in_batch"] == 2

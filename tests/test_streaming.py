@@ -554,3 +554,47 @@ def test_record_late_drops_is_idempotent(spark, tmp_path):
         twice = (spark.read.parquet(store.path("lineage_stream"))
                  .agg(F.sum("rows_dropped_late"), F.count("*")).first())
         assert tuple(twice) == tuple(once)
+
+
+def test_record_late_drops_survives_query_restart(spark, tmp_path):
+    """ADVICE r5 (streaming.py): the sealer accumulator resets to 0 on
+    a query restart; with a job_id-global baseline the post-restart
+    delta went negative and new drops were silently under-recorded
+    until the fresh counter overtook the all-time ledger. The baseline
+    is now scoped per query run (negative per-runId sentinel rows), so
+    drops before AND after a restart both persist."""
+    from mtslake.catalog import ChunkStore
+    from mtslake.streaming import record_late_drops
+
+    class FakeQuery:
+        # record_late_drops touches only recentProgress + runId
+        def __init__(self, run_id, progress=()):
+            self.runId = run_id
+            self.recentProgress = list(progress)
+
+    class Ctr:
+        def __init__(self, v):
+            self.value = v
+
+    store = ChunkStore(spark, str(tmp_path / "store"))
+
+    def total():
+        return (spark.read.parquet(store.path("lineage_stream"))
+                .agg(F.sum("rows_dropped_late")).first()[0])
+
+    q1 = FakeQuery("run-1")
+    record_late_drops(store, q1, "j", late_counter=Ctr(5))
+    assert total() == 5
+    # idempotent within the same run
+    record_late_drops(store, q1, "j", late_counter=Ctr(5))
+    assert total() == 5
+    # restart: same job_id, new runId, accumulator reset; 3 NEW drops
+    q2 = FakeQuery("run-2")
+    record_late_drops(store, q2, "j", late_counter=Ctr(3))
+    assert total() == 8, "post-restart drops were dropped from the ledger"
+    # and still idempotent after the restart
+    record_late_drops(store, q2, "j", late_counter=Ctr(3))
+    assert total() == 8
+    # accumulator grows within run 2 -> only the delta is appended
+    record_late_drops(store, q2, "j", late_counter=Ctr(7))
+    assert total() == 12
