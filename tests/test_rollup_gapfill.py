@@ -1148,3 +1148,67 @@ def test_gapfill_locf_equals_spine_join_reference(spark):
     a = {tuple(r) for r in got.select(*cols).collect()}
     b = {tuple(r) for r in ref.select(*cols).collect()}
     assert a == b
+
+
+def test_gapfill_interpolate_equals_spine_join_reference(spark):
+    """The generator-based gapfill_interpolate (r6 optimization, second
+    session) must be row- and BIT-identical to the original spine-join
+    + two-window shape on tier-shaped input — including torn rows
+    (NULL probe but non-NULL other value column: the inclusive frames
+    anchor the row's own value), boundary gaps (no prior/next probe
+    observation stay NULL), a single-observation key, and a non-value
+    passenger column (NULL on generated rows)."""
+    from pyspark.sql import Window as W
+
+    H = 3_600_000_000
+    rows = [
+        # h1: interior gaps; a torn row at 3h (vmin NULL, vmax set)
+        ("h1", "en", 0 * H, 1.0, 2.0, 10),
+        ("h1", "en", 3 * H, None, 8.0, 11),
+        ("h1", "en", 6 * H, 4.0, 5.0, 12),
+        # h2: single observation (tn==tp edge on its own row)
+        ("h2", "de", 1 * H, 4.0, 4.5, 13),
+        # h3: leading/trailing all-NULL rows -> boundary gaps stay NULL
+        ("h3", "fr", 0 * H, None, None, 14),
+        ("h3", "fr", 2 * H, 1.0, 1.5, 15),
+        ("h3", "fr", 5 * H, None, None, 16),
+    ]
+    schema = (
+        "url_prefix string, lang string, bucket_us long, "
+        "vmin double, vmax double, part_id int"
+    )
+    rolled = spark.createDataFrame(rows, schema)
+    value_cols = ("vmin", "vmax")
+    keys = ["url_prefix", "lang"]
+
+    # reference: the pre-r6 spine-join implementation, inlined
+    sp = gapfill.spine(rolled, "1h", keys)
+    joined = sp.join(rolled, [*keys, "bucket_us"], "left")
+    wb = (W.partitionBy(*keys).orderBy("bucket_us")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    wf = (W.partitionBy(*keys).orderBy("bucket_us")
+          .rowsBetween(W.currentRow, W.unboundedFollowing))
+    probe = value_cols[0]
+    ref = joined.withColumn("is_filled", F.col(probe).isNull())
+    obs_ts = F.when(F.col(probe).isNotNull(), F.col("bucket_us"))
+    ref = ref.withColumn("_tp", F.last(obs_ts, ignorenulls=True).over(wb))
+    ref = ref.withColumn("_tn", F.first(obs_ts, ignorenulls=True).over(wf))
+    frac = F.when(F.col("_tn") == F.col("_tp"), F.lit(0.0)).otherwise(
+        (F.col("bucket_us") - F.col("_tp")).cast("double")
+        / (F.col("_tn") - F.col("_tp")).cast("double"))
+    for c in value_cols:
+        prev = F.last(c, ignorenulls=True).over(wb).cast("double")
+        nxt = F.first(c, ignorenulls=True).over(wf).cast("double")
+        ref = ref.withColumn(
+            c, F.when(~F.col("is_filled"), F.col(c).cast("double")).otherwise(
+                prev + (nxt - prev) * frac))
+    ref = ref.drop("_tp", "_tn")
+
+    got = gapfill.gapfill_interpolate(rolled, "1h", value_cols, keys)
+    assert got.columns == ref.columns  # order too, not just the set
+    cols = sorted(got.columns)
+    # repr-compare doubles: bit-exact, not approximate — the contract
+    # query hashes these doubles UNROUNDED
+    a = sorted(tuple(repr(r[c]) for c in cols) for r in got.collect())
+    b = sorted(tuple(repr(r[c]) for c in cols) for r in ref.collect())
+    assert a == b
