@@ -535,9 +535,20 @@ def embedding_near_dupes(
     """
     from mtslake.simsearch import cosine, hyperplane_signature
 
-    base = embeddings.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
+    # spread the probe side: both branches run a per-row/per-pair
+    # expensive interpreted stage (signature eval, or the all-pairs
+    # cosine verify streamed against a broadcast) whose parallelism is
+    # otherwise the scan's split count — a small parquet yields a
+    # handful of splits and one straggler task does the quadratic work
+    # while the cluster idles (measured: 16k vecs, 4 tasks, 25+ min vs
+    # ~2 min spread). Conditional via _spread, so a web-scale table
+    # with ≫ cores splits never pays a shuffle.
+    base = _spread(
+        embeddings.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        ),
+        "_id", "_v",
     )
     if n_planes > 0:
         base = base.withColumn(

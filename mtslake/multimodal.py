@@ -58,6 +58,25 @@ FEATURE_SCHEMA = T.StructType(
     ]
 )
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Pin the exchange feeding a per-row-expensive Python kernel to
+    the session's shuffle width. Media/doc rows are byte-small next to
+    their kernel cost (a JPEG entropy decode is orders of magnitude
+    above the row's scan bytes), so AQE's size-based coalescing — or
+    the split math of a tiny source parquet — otherwise runs the
+    kernel on a handful of tasks while the rest of the cluster idles:
+    the same collapse class fixed for the codec encode (chunk.py) and
+    the binary interop scans (sources.py). An explicit-N repartition
+    is exempt from AQE coalescing; every kernel here is per-row
+    deterministic, so outputs are partitioning-invariant."""
+    sess = df.sparkSession
+    try:
+        n = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n = sess.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 _STUBBED = True  # audio/video decode needs libs absent from this container
 
 _PPM_HEADER_RE = None  # compiled lazily
@@ -315,7 +334,7 @@ def extract_features(media: DataFrame, n_features: int = 8) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(gen, schema=FEATURE_SCHEMA)
+    return _spread(media).mapInPandas(gen, schema=FEATURE_SCHEMA)
 
 
 def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
@@ -366,7 +385,7 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(gen, schema=out_schema)
+    return _spread(media).mapInPandas(gen, schema=out_schema)
 
 
 def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
@@ -406,7 +425,7 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(gen, schema=schema)
+    return _spread(media).mapInPandas(gen, schema=schema)
 
 
 def synthesize_media(docs: DataFrame, kind: str = "image") -> DataFrame:
@@ -461,7 +480,7 @@ def synthesize_ppm_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return base.mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return _spread(base).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def synthesize_jpeg_media(docs: DataFrame, quality: int = 90) -> DataFrame:
@@ -504,7 +523,7 @@ def synthesize_jpeg_media(docs: DataFrame, quality: int = 90) -> DataFrame:
                 }
             )
 
-    return base.mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return _spread(base).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def synthesize_png_media(docs: DataFrame) -> DataFrame:
@@ -549,4 +568,4 @@ def synthesize_png_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return base.mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return _spread(base).mapInPandas(gen, schema=MEDIA_SCHEMA)

@@ -508,3 +508,49 @@ def test_acf_join_is_co_partitioned_and_partial_aggregated(spark):
         .executedPlan().toString()
     assert plan.count("HashAggregate") >= 2, plan  # partial + final
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_multimodal_kernels_spread_to_shuffle_width(spark):
+    """Every multimodal Python kernel must sit above an explicit-N
+    round-robin exchange (exempt from AQE coalescing): media rows are
+    byte-small next to their kernel cost, so a tiny source's split
+    math — or AQE's byte-based coalescing below a join — would
+    otherwise run the kernel on a handful of tasks (measured 8x-sweep
+    regression class, round 6 §11)."""
+    from mtslake.multimodal import extract_features, synthesize_media
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", 10) for i in range(20)],
+        "doc_id long, text string, n_chars long",
+    )
+    feats = extract_features(synthesize_media(docs))
+    plan = feats._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in plan, plan
+    assert "RoundRobinPartitioning" in plan, plan
+
+
+def test_embedding_near_dup_all_pairs_spreads_stream_side(spark):
+    """The all-pairs variant's inequality join nest-loops with the
+    STREAM side's parallelism = the scan's split count; a one-split
+    input must be spread so the quadratic cosine verify does not
+    serialize on one task (round 6 §12). The conditional _spread only
+    fires when splits < cores, so a wide table pays no shuffle."""
+    from mtslake.dedup import embedding_near_dupes
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1)  # model the one-split scan that serialized the verify
+    out = embedding_near_dupes(emb, threshold=0.99, dim=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert ("BroadcastNestedLoopJoin" in plan
+            or "CartesianProduct" in plan), plan
+    assert "RoundRobinPartitioning" in plan, plan
+    # and with a wide input the spread must NOT add a shuffle
+    wide = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    plan_w = embedding_near_dupes(wide, threshold=0.99, dim=2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" not in plan_w, plan_w
